@@ -1,0 +1,171 @@
+"""ctypes bindings over the native host library (libdpqhost.so).
+
+Thin, typed wrappers only — all policy lives in `reader.py` / `writer.py`.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import json
+from typing import Any
+
+import numpy as np
+
+from .build import build_library
+
+_ERRCAP = 4096
+
+_DTYPES = {1: np.uint8, 2: np.int32, 3: np.int64}
+
+
+class NativeError(RuntimeError):
+    pass
+
+
+def _load() -> ct.CDLL:
+    lib = ct.CDLL(str(build_library()))
+
+    lib.dpq_free.argtypes = [ct.c_void_p]
+    lib.dpq_free.restype = None
+
+    lib.dpq_open.argtypes = [ct.c_char_p, ct.c_char_p, ct.c_size_t]
+    lib.dpq_open.restype = ct.c_void_p
+    lib.dpq_close.argtypes = [ct.c_void_p]
+    lib.dpq_close.restype = None
+    lib.dpq_meta_json.argtypes = [ct.c_void_p]
+    lib.dpq_meta_json.restype = ct.c_void_p
+    lib.dpq_num_pages_all.argtypes = [ct.c_void_p]
+    lib.dpq_num_pages_all.restype = ct.c_int64
+    lib.dpq_num_data_pages.argtypes = [ct.c_void_p]
+    lib.dpq_num_data_pages.restype = ct.c_int64
+    lib.dpq_page_table.argtypes = [ct.c_void_p] + [ct.c_void_p] * 10
+    lib.dpq_page_table.restype = None
+    lib.dpq_read_range.argtypes = [
+        ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_void_p, ct.c_char_p, ct.c_size_t,
+    ]
+    lib.dpq_read_range.restype = ct.c_int
+
+    lib.dpq_prescan.argtypes = [
+        ct.c_void_p, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int64, ct.c_int64,
+        ct.c_char_p, ct.c_size_t,
+    ]
+    lib.dpq_prescan.restype = ct.c_void_p
+    lib.dpq_batch_free.argtypes = [ct.c_void_p]
+    lib.dpq_batch_free.restype = None
+    lib.dpq_batch_manifest.argtypes = [ct.c_void_p]
+    lib.dpq_batch_manifest.restype = ct.c_void_p
+    lib.dpq_batch_view.argtypes = [ct.c_void_p, ct.c_char_p, ct.POINTER(ct.c_int64)]
+    lib.dpq_batch_view.restype = ct.c_void_p
+
+    lib.dpq_writer_new.argtypes = [ct.c_char_p, ct.c_char_p, ct.c_size_t]
+    lib.dpq_writer_new.restype = ct.c_void_p
+    lib.dpq_writer_declare.argtypes = [
+        ct.c_void_p, ct.c_char_p, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32,
+        ct.c_int32, ct.c_char_p, ct.c_size_t,
+    ]
+    lib.dpq_writer_declare.restype = ct.c_int
+    lib.dpq_writer_col_fixed.argtypes = [
+        ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int32, ct.c_int64,
+        ct.c_char_p, ct.c_size_t,
+    ]
+    lib.dpq_writer_col_fixed.restype = ct.c_int
+    lib.dpq_writer_col_bytes.argtypes = [
+        ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int64,
+        ct.c_char_p, ct.c_size_t,
+    ]
+    lib.dpq_writer_col_bytes.restype = ct.c_int
+    lib.dpq_writer_rg_end.argtypes = [ct.c_void_p, ct.c_char_p, ct.c_size_t]
+    lib.dpq_writer_rg_end.restype = ct.c_int
+    lib.dpq_writer_close.argtypes = [ct.c_void_p, ct.c_char_p, ct.c_size_t]
+    lib.dpq_writer_close.restype = ct.c_int
+    lib.dpq_writer_abort.argtypes = [ct.c_void_p]
+    lib.dpq_writer_abort.restype = None
+
+    return lib
+
+
+_lib: ct.CDLL | None = None
+
+
+def lib() -> ct.CDLL:
+    global _lib
+    if _lib is None:
+        _lib = _load()
+    return _lib
+
+
+def _err_buf() -> Any:
+    return ct.create_string_buffer(_ERRCAP)
+
+
+def _take_str(ptr: int) -> str:
+    s = ct.string_at(ptr).decode("utf-8")
+    lib().dpq_free(ptr)
+    return s
+
+
+def check(ret: int, err: Any) -> None:
+    if ret != 0:
+        raise NativeError(err.value.decode("utf-8", "replace"))
+
+
+def native_open(path: str) -> int:
+    err = _err_buf()
+    h = lib().dpq_open(path.encode(), err, _ERRCAP)
+    if not h:
+        raise NativeError(err.value.decode("utf-8", "replace"))
+    return h
+
+
+def native_meta(h: int) -> dict:
+    return json.loads(_take_str(lib().dpq_meta_json(h)))
+
+
+def native_page_table(h: int) -> dict[str, np.ndarray]:
+    n = lib().dpq_num_pages_all(h)
+    cols = {
+        "header_off": np.zeros(n, np.int64),
+        "data_off": np.zeros(n, np.int64),
+        "size": np.zeros(n, np.int64),
+        "kind": np.zeros(n, np.int32),
+        "rg": np.zeros(n, np.int32),
+        "col": np.zeros(n, np.int32),
+        "num_values": np.zeros(n, np.int32),
+        "encoding": np.zeros(n, np.int32),
+        "gid": np.zeros(n, np.int64),
+        "row_start": np.zeros(n, np.int64),
+    }
+    lib().dpq_page_table(h, *[c.ctypes.data_as(ct.c_void_p) for c in cols.values()])
+    return cols
+
+
+def native_read_range(h: int, off: int, length: int) -> np.ndarray:
+    out = np.zeros(length, np.uint8)
+    err = _err_buf()
+    check(lib().dpq_read_range(h, off, length, out.ctypes.data_as(ct.c_void_p), err, _ERRCAP), err)
+    return out
+
+
+def native_prescan(
+    h: int, leaf: int, rg0: int, rg1: int, align: int, pad_strings: int
+) -> tuple[dict, dict[str, np.ndarray]]:
+    """Runs the structural pre-scan, returning (dims, arrays as numpy)."""
+    err = _err_buf()
+    b = lib().dpq_prescan(h, leaf, rg0, rg1, align, pad_strings, err, _ERRCAP)
+    if not b:
+        raise NativeError(err.value.decode("utf-8", "replace"))
+    try:
+        manifest = json.loads(_take_str(lib().dpq_batch_manifest(b)))
+        arrays: dict[str, np.ndarray] = {}
+        for name, spec in manifest["arrays"].items():
+            nbytes = ct.c_int64()
+            ptr = lib().dpq_batch_view(b, name.encode(), ct.byref(nbytes))
+            dtype = _DTYPES[spec["dtype"]]
+            # copy out of the native buffer so the batch can be freed
+            arr = np.frombuffer(
+                ct.string_at(ptr, nbytes.value), dtype=dtype
+            ).reshape(spec["shape"]).copy()
+            arrays[name] = arr
+        return manifest["dims"], arrays
+    finally:
+        lib().dpq_batch_free(b)

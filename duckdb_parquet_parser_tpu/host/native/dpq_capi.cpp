@@ -1,0 +1,252 @@
+// dpq_capi.cpp — C ABI for the host library, consumed from Python via ctypes.
+//
+// Conventions: handle-returning functions return NULL on failure and write a
+// message into (err, errcap); int-returning functions return 0 on success and
+// -1 on failure.  Strings returned as char* must be freed with dpq_free.
+#include <cstdlib>
+#include <cstring>
+#include <string>
+
+#include "dpq_prescan.hpp"
+#include "dpq_reader.hpp"
+#include "dpq_writer.hpp"
+
+using namespace dpq;
+
+namespace {
+
+void set_err(char* err, size_t cap, const char* msg) {
+  if (err && cap) {
+    std::strncpy(err, msg, cap - 1);
+    err[cap - 1] = '\0';
+  }
+}
+
+char* dup_str(const std::string& s) {
+  char* out = static_cast<char*>(std::malloc(s.size() + 1));
+  std::memcpy(out, s.c_str(), s.size() + 1);
+  return out;
+}
+
+struct WriterHandle {
+  std::unique_ptr<Writer> writer;
+  std::vector<ColumnDecl> decls;          // collected before open
+  std::string path;
+  std::vector<ColumnData> pending;        // columns of the row group being built
+  std::vector<std::vector<uint8_t>> own;  // copies of caller buffers
+  std::vector<std::vector<int64_t>> own_offs;
+};
+
+}  // namespace
+
+#define DPQ_TRY(body)                       \
+  try {                                     \
+    body                                    \
+  } catch (const std::exception& e) {       \
+    set_err(err, errcap, e.what());         \
+    return nullptr;                         \
+  }
+
+#define DPQ_TRY_INT(body)                   \
+  try {                                     \
+    body                                    \
+  } catch (const std::exception& e) {       \
+    set_err(err, errcap, e.what());         \
+    return -1;                              \
+  }
+
+extern "C" {
+
+void dpq_free(void* p) { std::free(p); }
+
+// ── Reader ──────────────────────────────────────────────────────────────────
+
+void* dpq_open(const char* path, char* err, size_t errcap) {
+  DPQ_TRY({
+    auto* r = new Reader();
+    try {
+      r->open(path);
+    } catch (...) {
+      delete r;
+      throw;
+    }
+    return static_cast<void*>(r);
+  })
+}
+
+void dpq_close(void* h) { delete static_cast<Reader*>(h); }
+
+char* dpq_meta_json(void* h) {
+  return dup_str(static_cast<Reader*>(h)->meta_json());
+}
+
+int64_t dpq_num_pages_all(void* h) {
+  return int64_t(static_cast<Reader*>(h)->pages().size());
+}
+
+int64_t dpq_num_data_pages(void* h) {
+  return int64_t(static_cast<Reader*>(h)->data_page_gids().size());
+}
+
+// Fills per-page arrays for ALL pages (length dpq_num_pages_all): offsets and
+// sizes are for the page payload (after the header), matching the reference's
+// PageIndexEntry fields.
+void dpq_page_table(void* h, int64_t* header_off, int64_t* data_off,
+                    int64_t* size, int32_t* kind, int32_t* rg, int32_t* col,
+                    int32_t* num_values, int32_t* encoding, int64_t* gid,
+                    int64_t* row_start) {
+  const auto& pages = static_cast<Reader*>(h)->pages();
+  for (size_t i = 0; i < pages.size(); i++) {
+    const PageRec& p = pages[i];
+    header_off[i] = p.header_off;
+    data_off[i] = p.data_off;
+    size[i] = p.size;
+    kind[i] = p.kind;
+    rg[i] = p.rg;
+    col[i] = p.chunk_col;
+    num_values[i] = p.num_values;
+    encoding[i] = p.encoding;
+    gid[i] = p.gid;
+    row_start[i] = p.row_start;
+  }
+}
+
+int dpq_read_range(void* h, int64_t off, int64_t len, uint8_t* out, char* err,
+                   size_t errcap) {
+  DPQ_TRY_INT({
+    static_cast<Reader*>(h)->read_range(off, len, out);
+    return 0;
+  })
+}
+
+// ── Pre-scan batches ────────────────────────────────────────────────────────
+
+void* dpq_prescan(void* h, int32_t leaf_idx, int32_t rg0, int32_t rg1,
+                  int64_t align, int64_t pad_strings, char* err, size_t errcap) {
+  DPQ_TRY({
+    auto batch = static_cast<Reader*>(h)->prescan(leaf_idx, rg0, rg1, align,
+                                                  pad_strings);
+    return static_cast<void*>(batch.release());
+  })
+}
+
+void dpq_batch_free(void* b) { delete static_cast<ArrayStore*>(b); }
+
+char* dpq_batch_manifest(void* b) {
+  return dup_str(static_cast<ArrayStore*>(b)->manifest_json());
+}
+
+// Copies the named array into `out` (caller allocates using the manifest).
+int dpq_batch_read(void* b, const char* name, void* out, char* err,
+                   size_t errcap) {
+  DPQ_TRY_INT({
+    auto* store = static_cast<ArrayStore*>(b);
+    auto it = store->arrays.find(name);
+    if (it == store->arrays.end()) throw Error(std::string("no array: ") + name);
+    std::memcpy(out, it->second.bytes.data(), it->second.bytes.size());
+    return 0;
+  })
+}
+
+// Zero-copy view of the named array (valid until dpq_batch_free).
+const void* dpq_batch_view(void* b, const char* name, int64_t* nbytes) {
+  auto* store = static_cast<ArrayStore*>(b);
+  auto it = store->arrays.find(name);
+  if (it == store->arrays.end()) {
+    if (nbytes) *nbytes = -1;
+    return nullptr;
+  }
+  if (nbytes) *nbytes = int64_t(it->second.bytes.size());
+  return it->second.bytes.data();
+}
+
+// ── Writer ──────────────────────────────────────────────────────────────────
+
+void* dpq_writer_new(const char* path, char* err, size_t errcap) {
+  DPQ_TRY({
+    auto* w = new WriterHandle();
+    w->path = path;
+    return static_cast<void*>(w);
+  })
+}
+
+int dpq_writer_declare(void* h, const char* name, int32_t type,
+                       int32_t optional, int32_t converted, int32_t scale,
+                       int32_t precision, char* err, size_t errcap) {
+  DPQ_TRY_INT({
+    auto* w = static_cast<WriterHandle*>(h);
+    if (w->writer) throw Error("writer: declare before first row group");
+    ColumnDecl d;
+    d.name = name;
+    d.type = type;
+    d.optional = optional != 0;
+    if (converted >= 0) d.converted = converted;
+    if (scale != INT32_MIN) d.scale = scale;
+    if (precision != INT32_MIN) d.precision = precision;
+    w->decls.push_back(std::move(d));
+    return 0;
+  })
+}
+
+static ColumnData& push_col(WriterHandle* w, const uint8_t* valid, int64_t n) {
+  ColumnData cd;
+  cd.n = n;
+  if (valid) {
+    w->own.emplace_back(valid, valid + n);
+    cd.valid = w->own.back().data();
+  }
+  w->pending.push_back(cd);
+  return w->pending.back();
+}
+
+int dpq_writer_col_fixed(void* h, const uint8_t* valid, const uint8_t* data,
+                         int32_t width, int64_t n, char* err, size_t errcap) {
+  DPQ_TRY_INT({
+    auto* w = static_cast<WriterHandle*>(h);
+    ColumnData& cd = push_col(w, valid, n);
+    w->own.emplace_back(data, data + n * width);
+    cd.fixed = w->own.back().data();
+    cd.width = width;
+    return 0;
+  })
+}
+
+int dpq_writer_col_bytes(void* h, const uint8_t* valid, const int64_t* offs,
+                         const uint8_t* chars, int64_t n, char* err,
+                         size_t errcap) {
+  DPQ_TRY_INT({
+    auto* w = static_cast<WriterHandle*>(h);
+    ColumnData& cd = push_col(w, valid, n);
+    w->own_offs.emplace_back(offs, offs + n + 1);
+    cd.offs = w->own_offs.back().data();
+    w->own.emplace_back(chars, chars + offs[n]);
+    cd.chars = w->own.back().data();
+    return 0;
+  })
+}
+
+int dpq_writer_rg_end(void* h, char* err, size_t errcap) {
+  DPQ_TRY_INT({
+    auto* w = static_cast<WriterHandle*>(h);
+    if (!w->writer) w->writer = std::make_unique<Writer>(w->path, w->decls);
+    w->writer->write_row_group(w->pending);
+    w->pending.clear();
+    w->own.clear();
+    w->own_offs.clear();
+    return 0;
+  })
+}
+
+int dpq_writer_close(void* h, char* err, size_t errcap) {
+  DPQ_TRY_INT({
+    auto* w = static_cast<WriterHandle*>(h);
+    if (!w->writer) w->writer = std::make_unique<Writer>(w->path, w->decls);
+    w->writer->close();
+    delete w;
+    return 0;
+  })
+}
+
+void dpq_writer_abort(void* h) { delete static_cast<WriterHandle*>(h); }
+
+}  // extern "C"

@@ -1,0 +1,265 @@
+// dpq_meta.hpp — Parquet footer metadata model and deserializers.
+//
+// Field-id maps follow the Parquet Thrift IDL and match the reference's
+// coverage (reference: src/reader/metadata.cpp — SchemaElement ids 1-9,
+// ColumnMetaData ids 1-7,9,10,11, ColumnChunk 1-3, DataPageHeader 1-4,
+// DictionaryPageHeader 1-3, PageHeader 1-8, RowGroup 1-3, KeyValue 1-2,
+// FileMetaData 1-6).  Unknown fields are skipped, Statistics are parsed and
+// discarded, so decoding stays in lockstep with any conforming writer.
+#pragma once
+
+#include <optional>
+
+#include "dpq_common.hpp"
+#include "dpq_thrift.hpp"
+
+namespace dpq {
+
+struct SchemaElement {
+  std::optional<int32_t> type;          // id 1 (PhysicalType)
+  std::optional<int32_t> type_length;   // id 2
+  std::optional<int32_t> repetition;    // id 3 (Repetition)
+  std::string name;                     // id 4
+  std::optional<int32_t> num_children;  // id 5
+  std::optional<int32_t> converted;     // id 6 (ConvertedType)
+  std::optional<int32_t> scale;         // id 7
+  std::optional<int32_t> precision;     // id 8
+  std::optional<int32_t> field_id;      // id 9
+};
+
+struct ColumnMeta {
+  int32_t type = 0;                              // id 1
+  std::vector<int32_t> encodings;                // id 2
+  std::vector<std::string> path;                 // id 3
+  int32_t codec = 0;                             // id 4
+  int64_t num_values = 0;                        // id 5
+  int64_t total_uncompressed_size = 0;           // id 6
+  int64_t total_compressed_size = 0;             // id 7
+  int64_t data_page_offset = 0;                  // id 9
+  std::optional<int64_t> index_page_offset;      // id 10
+  std::optional<int64_t> dictionary_page_offset; // id 11
+};
+
+struct ColumnChunk {
+  std::string file_path;           // id 1
+  int64_t file_offset = 0;         // id 2
+  std::optional<ColumnMeta> meta;  // id 3
+};
+
+struct RowGroup {
+  std::vector<ColumnChunk> columns;  // id 1
+  int64_t total_byte_size = 0;       // id 2
+  int64_t num_rows = 0;              // id 3
+};
+
+struct KeyValue {
+  std::string key;    // id 1
+  std::string value;  // id 2
+};
+
+struct FileMeta {
+  int32_t version = 0;                // id 1
+  std::vector<SchemaElement> schema;  // id 2 (depth-first flattened tree)
+  int64_t num_rows = 0;               // id 3
+  std::vector<RowGroup> row_groups;   // id 4
+  std::vector<KeyValue> kv;           // id 5
+  std::string created_by;             // id 6
+};
+
+struct DataPageHead {
+  int32_t num_values = 0;  // id 1
+  int32_t encoding = 0;    // id 2
+  int32_t def_encoding = 0;  // id 3
+  int32_t rep_encoding = 0;  // id 4
+};
+
+struct DictPageHead {
+  int32_t num_values = 0;  // id 1
+  int32_t encoding = 0;    // id 2
+  bool is_sorted = false;  // id 3
+};
+
+struct PageHead {
+  int32_t kind = -1;                  // id 1 (PageKind)
+  int32_t uncompressed_size = 0;      // id 2
+  int32_t compressed_size = 0;        // id 3
+  std::optional<int32_t> crc;         // id 4
+  std::optional<DataPageHead> data;   // id 5
+  std::optional<DictPageHead> dict;   // id 7
+};
+
+// ── Deserializers ───────────────────────────────────────────────────────────
+
+inline SchemaElement read_schema_element(TReader& r) {
+  SchemaElement e;
+  r.read_struct([&](const TReader::Field& f) {
+    switch (f.id) {
+      case 1: e.type = r.vi32(); return true;
+      case 2: e.type_length = r.vi32(); return true;
+      case 3: e.repetition = r.vi32(); return true;
+      case 4: e.name = r.vstring(); return true;
+      case 5: e.num_children = r.vi32(); return true;
+      case 6: e.converted = r.vi32(); return true;
+      case 7: e.scale = r.vi32(); return true;
+      case 8: e.precision = r.vi32(); return true;
+      case 9: e.field_id = r.vi32(); return true;
+      default: return false;
+    }
+  });
+  return e;
+}
+
+inline ColumnMeta read_column_meta(TReader& r) {
+  ColumnMeta m;
+  r.read_struct([&](const TReader::Field& f) {
+    switch (f.id) {
+      case 1: m.type = r.vi32(); return true;
+      case 2: {
+        auto lh = r.list();
+        for (int32_t i = 0; i < lh.count; i++) m.encodings.push_back(r.vi32());
+        return true;
+      }
+      case 3: {
+        auto lh = r.list();
+        for (int32_t i = 0; i < lh.count; i++) m.path.push_back(r.vstring());
+        return true;
+      }
+      case 4: m.codec = r.vi32(); return true;
+      case 5: m.num_values = r.vi64(); return true;
+      case 6: m.total_uncompressed_size = r.vi64(); return true;
+      case 7: m.total_compressed_size = r.vi64(); return true;
+      case 9: m.data_page_offset = r.vi64(); return true;
+      case 10: m.index_page_offset = r.vi64(); return true;
+      case 11: m.dictionary_page_offset = r.vi64(); return true;
+      default: return false;
+    }
+  });
+  return m;
+}
+
+inline ColumnChunk read_column_chunk(TReader& r) {
+  ColumnChunk c;
+  r.read_struct([&](const TReader::Field& f) {
+    switch (f.id) {
+      case 1: c.file_path = r.vstring(); return true;
+      case 2: c.file_offset = r.vi64(); return true;
+      case 3: c.meta = read_column_meta(r); return true;
+      default: return false;
+    }
+  });
+  return c;
+}
+
+inline RowGroup read_row_group(TReader& r) {
+  RowGroup g;
+  r.read_struct([&](const TReader::Field& f) {
+    switch (f.id) {
+      case 1: {
+        auto lh = r.list();
+        for (int32_t i = 0; i < lh.count; i++)
+          g.columns.push_back(read_column_chunk(r));
+        return true;
+      }
+      case 2: g.total_byte_size = r.vi64(); return true;
+      case 3: g.num_rows = r.vi64(); return true;
+      default: return false;
+    }
+  });
+  return g;
+}
+
+inline FileMeta read_file_meta(TReader& r) {
+  FileMeta m;
+  // FileMetaData is the top-level struct: no enclosing field header, but the
+  // field loop itself is identical to a nested struct body.
+  r.read_struct([&](const TReader::Field& f) {
+    switch (f.id) {
+      case 1: m.version = r.vi32(); return true;
+      case 2: {
+        auto lh = r.list();
+        for (int32_t i = 0; i < lh.count; i++)
+          m.schema.push_back(read_schema_element(r));
+        return true;
+      }
+      case 3: m.num_rows = r.vi64(); return true;
+      case 4: {
+        auto lh = r.list();
+        for (int32_t i = 0; i < lh.count; i++)
+          m.row_groups.push_back(read_row_group(r));
+        return true;
+      }
+      case 5: {
+        auto lh = r.list();
+        for (int32_t i = 0; i < lh.count; i++) {
+          KeyValue kv;
+          r.read_struct([&](const TReader::Field& g) {
+            switch (g.id) {
+              case 1: kv.key = r.vstring(); return true;
+              case 2: kv.value = r.vstring(); return true;
+              default: return false;
+            }
+          });
+          m.kv.push_back(std::move(kv));
+        }
+        return true;
+      }
+      case 6: m.created_by = r.vstring(); return true;
+      default: return false;
+    }
+  });
+  return m;
+}
+
+inline PageHead read_page_head(TReader& r) {
+  PageHead h;
+  r.read_struct([&](const TReader::Field& f) {
+    switch (f.id) {
+      case 1: h.kind = r.vi32(); return true;
+      case 2: h.uncompressed_size = r.vi32(); return true;
+      case 3: h.compressed_size = r.vi32(); return true;
+      case 4: h.crc = r.vi32(); return true;
+      case 5: {
+        DataPageHead d;
+        r.read_struct([&](const TReader::Field& g) {
+          switch (g.id) {
+            case 1: d.num_values = r.vi32(); return true;
+            case 2: d.encoding = r.vi32(); return true;
+            case 3: d.def_encoding = r.vi32(); return true;
+            case 4: d.rep_encoding = r.vi32(); return true;
+            default: return false;
+          }
+        });
+        h.data = d;
+        return true;
+      }
+      case 7: {
+        DictPageHead d;
+        r.read_struct([&](const TReader::Field& g) {
+          switch (g.id) {
+            case 1: d.num_values = r.vi32(); return true;
+            case 2: d.encoding = r.vi32(); return true;
+            case 3: d.is_sorted = r.vbool(g); return true;
+            default: return false;
+          }
+        });
+        h.dict = d;
+        return true;
+      }
+      default: return false;
+    }
+  });
+  return h;
+}
+
+// Bit width needed to encode values in [0, max_level] — matches the level
+// bit-width rule of the format (reference: src/reader/column_reader.cpp:270).
+inline uint8_t level_bit_width(int32_t max_level) {
+  uint8_t w = 0;
+  while (max_level > 0) {
+    w++;
+    max_level >>= 1;
+  }
+  return w;
+}
+
+}  // namespace dpq

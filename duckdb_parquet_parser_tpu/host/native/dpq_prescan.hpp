@@ -1,0 +1,359 @@
+// dpq_prescan.hpp — implementation of Reader::prescan: packs one column's
+// pages (over a row-group range) into the fixed-layout SoA batch consumed by
+// the device decode kernels.
+//
+// Batch contract (array names ↔ duckdb_parquet_parser_tpu/ops/decode.py):
+//   dims: n_pages vmax nn_cap def_rmax idx_rmax def_pad idx_pad plain_w
+//         bool_pad dict_n nn_total chars_total dict_chars_total str_pitch
+//         dict_pitch type max_def max_rep
+//   per page  : page_num_values page_nn page_kind page_def_bw page_idx_bw
+//               page_def_nruns page_idx_nruns page_row_start page_gid page_rg
+//               page_dict_base page_dict_size
+//   run tables: {def,idx}_run_{kind,count,value,bitoff,vstart}  [n_pages, rmax]
+//   byte data : def_bytes [n_pages, def_pad], idx_bytes [n_pages, idx_pad],
+//               plain_fixed [n_pages, nn_cap*plain_w], bool_bits [n_pages,
+//               bool_pad], dict_fixed [dict_n, plain_w]
+//   strings   : str_nn_start [n_pages+1], str_lens/str_offs [nn_total],
+//               str_chars [chars_total], str_padded [nn_total, str_pitch],
+//               dict_lens/dict_offs [dict_n], dict_chars, dict_padded
+#pragma once
+
+#include "dpq_reader.hpp"
+
+namespace dpq {
+
+inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
+                                                   int rg1, int64_t align,
+                                                   int64_t pad_strings) const {
+  if (leaf_idx < 0 || size_t(leaf_idx) >= leaves_.size())
+    throw Error("leaf index out of range");
+  const Leaf& lf = leaves_[size_t(leaf_idx)];
+  const int n_rg = int(meta_.row_groups.size());
+  if (rg0 < 0) rg0 = 0;
+  if (rg1 < 0 || rg1 > n_rg) rg1 = n_rg;
+  if (align <= 0) align = 1;
+
+  const int w = plain_width(lf.type);
+  const bool is_bool = lf.type == T_BOOLEAN;
+  const bool is_ba = lf.type == T_BYTE_ARRAY;
+  const int def_bw = lf.max_def > 0 ? level_bit_width(lf.max_def) : 0;
+
+  // per-page accumulators
+  struct PageTmp {
+    int32_t num_values, nn, kind, idx_bw;
+    int64_t row_start, gid;
+    int32_t rg, dict_base, dict_size;
+    std::vector<Run> def_runs, idx_runs;
+    std::vector<uint8_t> def_bytes, idx_bytes, plain, bits;
+    // strings (PLAIN BYTE_ARRAY pages)
+    std::vector<int32_t> slens;
+    int64_t schar_start = 0;  // into the global chars accumulator
+  };
+  std::vector<PageTmp> tmp;
+
+  // dictionary accumulators (all row groups concatenated)
+  std::vector<uint8_t> dict_fixed;          // fixed-width / bool entries
+  std::vector<int32_t> dict_lens;           // BYTE_ARRAY entries
+  std::vector<int64_t> dict_offs;
+  std::vector<uint8_t> dict_chars;
+  std::vector<uint8_t> str_chars;           // PLAIN string payload accumulator
+  int32_t dict_n = 0;
+
+  for (int rg = rg0; rg < rg1; rg++) {
+    const RowGroup& g = meta_.row_groups[size_t(rg)];
+    if (size_t(lf.chunk_idx) >= g.columns.size() || !g.columns[size_t(lf.chunk_idx)].meta)
+      throw Error("column chunk missing metadata");
+    const ColumnMeta& cm = *g.columns[size_t(lf.chunk_idx)].meta;
+    if (cm.codec != C_UNCOMPRESSED)
+      throw Error("Only uncompressed parquet files are supported");
+
+    int32_t rg_dict_base = -1, rg_dict_size = 0;
+
+    for (size_t pi = 0; pi < pages_.size(); pi++) {
+      const PageRec& pr = pages_[pi];
+      if (pr.rg != rg || pr.chunk_col != lf.chunk_idx) continue;
+
+      std::vector<uint8_t> page(size_t(pr.size));
+      read_range(pr.data_off, pr.size, page.data());
+
+      if (pr.kind == P_DICTIONARY) {
+        // Dictionary values are PLAIN-encoded; BOOLEAN dictionaries use one
+        // byte per value (reference: src/reader/column_reader.cpp:128-138 via
+        // read_plain_value).
+        rg_dict_base = dict_n;
+        rg_dict_size = pr.num_values;
+        Cursor cur(page.data(), page.size());
+        if (is_ba) {
+          for (int32_t i = 0; i < pr.num_values; i++) {
+            uint32_t len = cur.le<uint32_t>();
+            const uint8_t* p = cur.bytes(len);
+            dict_lens.push_back(int32_t(len));
+            dict_offs.push_back(int64_t(dict_chars.size()));
+            dict_chars.insert(dict_chars.end(), p, p + len);
+          }
+        } else if (is_bool) {
+          for (int32_t i = 0; i < pr.num_values; i++)
+            dict_fixed.push_back(cur.u8());
+        } else if (w > 0) {
+          const uint8_t* p = cur.bytes(size_t(pr.num_values) * size_t(w));
+          dict_fixed.insert(dict_fixed.end(), p, p + size_t(pr.num_values) * size_t(w));
+        } else {
+          throw Error("unsupported dictionary value type");
+        }
+        dict_n += pr.num_values;
+        continue;
+      }
+      if (pr.kind != P_DATA) continue;  // V2 / index pages carry no V1 payload
+
+      PageTmp t{};
+      t.num_values = pr.num_values;
+      t.rg = pr.rg;
+      t.row_start = pr.row_start;
+      t.gid = pr.gid;
+      t.dict_base = rg_dict_base;
+      t.dict_size = rg_dict_size;
+
+      Cursor cur(page.data(), page.size());
+
+      // Definition levels (read FIRST — matching the reference's order; see
+      // header comment in dpq_reader.hpp).
+      if (lf.max_def > 0) {
+        uint32_t def_len = cur.le<uint32_t>();
+        const uint8_t* dp = cur.bytes(def_len);
+        t.def_bytes.assign(dp, dp + def_len);
+        rle_prescan(dp, def_len, def_bw, t.num_values, t.def_runs);
+        t.nn = int32_t(count_matching(t.def_runs, dp, def_len, def_bw, lf.max_def));
+      } else {
+        t.nn = t.num_values;
+      }
+
+      // Repetition levels: present when max_rep > 0; decoded-and-ignored by
+      // the reference — we skip the section.
+      if (lf.max_rep > 0) {
+        uint32_t rep_len = cur.le<uint32_t>();
+        cur.bytes(rep_len);
+      }
+
+      const bool enc_dict =
+          pr.encoding == E_PLAIN_DICTIONARY || pr.encoding == E_RLE_DICTIONARY;
+
+      if (enc_dict) {
+        t.kind = 1;
+        t.idx_bw = cur.u8();
+        size_t rest = cur.left();
+        const uint8_t* ip = cur.bytes(rest);
+        t.idx_bytes.assign(ip, ip + rest);
+        rle_prescan(ip, rest, t.idx_bw, t.nn, t.idx_runs);
+      } else if (is_bool) {
+        t.kind = 0;
+        size_t nbytes = size_t((t.nn + 7) / 8);
+        const uint8_t* bp = cur.bytes(nbytes);
+        t.bits.assign(bp, bp + nbytes);
+      } else if (is_ba) {
+        t.kind = 0;
+        t.schar_start = int64_t(str_chars.size());
+        t.slens.reserve(size_t(t.nn));
+        for (int32_t i = 0; i < t.nn; i++) {
+          uint32_t len = cur.le<uint32_t>();
+          const uint8_t* p = cur.bytes(len);
+          t.slens.push_back(int32_t(len));
+          str_chars.insert(str_chars.end(), p, p + len);
+        }
+      } else if (w > 0) {
+        t.kind = 0;
+        const uint8_t* p = cur.bytes(size_t(t.nn) * size_t(w));
+        t.plain.assign(p, p + size_t(t.nn) * size_t(w));
+      } else {
+        throw Error(std::string("unsupported plain type: ") +
+                    physical_type_name(lf.type));
+      }
+
+      tmp.push_back(std::move(t));
+    }
+  }
+
+  // ── dims ──────────────────────────────────────────────────────────────────
+  const int64_t N = int64_t(tmp.size());
+  int64_t vmax = 1, nn_cap = 1, def_rmax = 1, idx_rmax = 1;
+  int64_t def_pad = 0, idx_pad = 0;
+  int64_t nn_total = 0, max_slen = 0, max_dlen = 0;
+  for (const auto& t : tmp) {
+    vmax = std::max<int64_t>(vmax, t.num_values);
+    nn_cap = std::max<int64_t>(nn_cap, t.nn);
+    def_rmax = std::max<int64_t>(def_rmax, int64_t(t.def_runs.size()));
+    idx_rmax = std::max<int64_t>(idx_rmax, int64_t(t.idx_runs.size()));
+    def_pad = std::max<int64_t>(def_pad, int64_t(t.def_bytes.size()));
+    idx_pad = std::max<int64_t>(idx_pad, int64_t(t.idx_bytes.size()));
+    nn_total += int64_t(t.slens.size());
+    for (int32_t l : t.slens) max_slen = std::max<int64_t>(max_slen, l);
+  }
+  for (int32_t l : dict_lens) max_dlen = std::max<int64_t>(max_dlen, l);
+  vmax = round_up(vmax, 8);
+  nn_cap = round_up(nn_cap, 8);
+  def_pad = round_up(std::max<int64_t>(def_pad, 4) + 4, align);  // +4 slack so
+  idx_pad = round_up(std::max<int64_t>(idx_pad, 4) + 4, align);  // 4-byte windows
+  const int64_t bool_pad = is_bool ? round_up((nn_cap + 7) / 8, align) : 0;
+
+  auto store = std::make_unique<ArrayStore>();
+  auto& dims = store->dims;
+  dims["n_pages"] = N;
+  dims["vmax"] = vmax;
+  dims["nn_cap"] = nn_cap;
+  dims["def_rmax"] = def_rmax;
+  dims["idx_rmax"] = idx_rmax;
+  dims["def_pad"] = def_pad;
+  dims["idx_pad"] = idx_pad;
+  dims["plain_w"] = w;
+  dims["bool_pad"] = bool_pad;
+  dims["dict_n"] = dict_n;
+  dims["nn_total"] = nn_total;
+  dims["chars_total"] = int64_t(str_chars.size());
+  dims["dict_chars_total"] = int64_t(dict_chars.size());
+  dims["type"] = lf.type;
+  dims["max_def"] = lf.max_def;
+  dims["max_rep"] = lf.max_rep;
+  dims["def_bw"] = def_bw;
+
+  const int64_t str_pitch =
+      (is_ba && pad_strings > 0) ? round_up(std::max<int64_t>(max_slen, 1), pad_strings) : 0;
+  const int64_t dict_pitch =
+      (is_ba && pad_strings > 0) ? round_up(std::max<int64_t>(max_dlen, 1), pad_strings) : 0;
+  dims["str_pitch"] = str_pitch;
+  dims["dict_pitch"] = dict_pitch;
+
+  // ── per-page scalars ──────────────────────────────────────────────────────
+  auto* p_nv = store->alloc<int32_t>("page_num_values", {N});
+  auto* p_nn = store->alloc<int32_t>("page_nn", {N});
+  auto* p_kind = store->alloc<int32_t>("page_kind", {N});
+  auto* p_dbw = store->alloc<int32_t>("page_def_bw", {N});
+  auto* p_ibw = store->alloc<int32_t>("page_idx_bw", {N});
+  auto* p_dnr = store->alloc<int32_t>("page_def_nruns", {N});
+  auto* p_inr = store->alloc<int32_t>("page_idx_nruns", {N});
+  auto* p_row = store->alloc<int64_t>("page_row_start", {N});
+  auto* p_gid = store->alloc<int64_t>("page_gid", {N});
+  auto* p_rg = store->alloc<int32_t>("page_rg", {N});
+  auto* p_db = store->alloc<int32_t>("page_dict_base", {N});
+  auto* p_ds = store->alloc<int32_t>("page_dict_size", {N});
+
+  auto alloc_runs = [&](const char* prefix, int64_t rmax) {
+    struct Ptrs {
+      int32_t *kind, *count, *value, *bitoff, *vstart;
+    } p;
+    std::string pre(prefix);
+    p.kind = store->alloc<int32_t>(pre + "_run_kind", {N, rmax});
+    p.count = store->alloc<int32_t>(pre + "_run_count", {N, rmax});
+    p.value = store->alloc<int32_t>(pre + "_run_value", {N, rmax});
+    p.bitoff = store->alloc<int32_t>(pre + "_run_bitoff", {N, rmax});
+    p.vstart = store->alloc<int32_t>(pre + "_run_vstart", {N, rmax});
+    return p;
+  };
+  auto dr = alloc_runs("def", def_rmax);
+  auto ir = alloc_runs("idx", idx_rmax);
+
+  auto* a_def = store->alloc<uint8_t>("def_bytes", {N, def_pad});
+  auto* a_idx = store->alloc<uint8_t>("idx_bytes", {N, idx_pad});
+  uint8_t* a_plain = nullptr;
+  if (w > 0) a_plain = store->alloc<uint8_t>("plain_fixed", {N, nn_cap * w});
+  uint8_t* a_bits = nullptr;
+  if (is_bool) a_bits = store->alloc<uint8_t>("bool_bits", {N, bool_pad});
+
+  if (dict_n > 0 && !is_ba)
+    std::memcpy(store->alloc<uint8_t>("dict_fixed",
+                                      {dict_n, is_bool ? 1 : int64_t(w)}),
+                dict_fixed.data(), dict_fixed.size());
+
+  for (int64_t i = 0; i < N; i++) {
+    const PageTmp& t = tmp[size_t(i)];
+    p_nv[i] = t.num_values;
+    p_nn[i] = t.nn;
+    p_kind[i] = t.kind;
+    p_dbw[i] = lf.max_def > 0 ? def_bw : 0;
+    p_ibw[i] = t.idx_bw;
+    p_dnr[i] = int32_t(t.def_runs.size());
+    p_inr[i] = int32_t(t.idx_runs.size());
+    p_row[i] = t.row_start;
+    p_gid[i] = t.gid;
+    p_rg[i] = t.rg;
+    p_db[i] = t.dict_base;
+    p_ds[i] = t.dict_size;
+
+    for (size_t r = 0; r < t.def_runs.size(); r++) {
+      const Run& rn = t.def_runs[r];
+      int64_t k = i * def_rmax + int64_t(r);
+      dr.kind[k] = rn.kind;
+      dr.count[k] = rn.count;
+      dr.value[k] = rn.value;
+      dr.bitoff[k] = rn.bitoff;
+      dr.vstart[k] = rn.vstart;
+    }
+    for (size_t r = 0; r < t.idx_runs.size(); r++) {
+      const Run& rn = t.idx_runs[r];
+      int64_t k = i * idx_rmax + int64_t(r);
+      ir.kind[k] = rn.kind;
+      ir.count[k] = rn.count;
+      ir.value[k] = rn.value;
+      ir.bitoff[k] = rn.bitoff;
+      ir.vstart[k] = rn.vstart;
+    }
+    if (!t.def_bytes.empty())
+      std::memcpy(a_def + i * def_pad, t.def_bytes.data(), t.def_bytes.size());
+    if (!t.idx_bytes.empty())
+      std::memcpy(a_idx + i * idx_pad, t.idx_bytes.data(), t.idx_bytes.size());
+    if (a_plain && !t.plain.empty())
+      std::memcpy(a_plain + i * nn_cap * w, t.plain.data(), t.plain.size());
+    if (a_bits && !t.bits.empty())
+      std::memcpy(a_bits + i * bool_pad, t.bits.data(), t.bits.size());
+  }
+
+  // ── strings ───────────────────────────────────────────────────────────────
+  if (is_ba) {
+    auto* nn_start = store->alloc<int64_t>("str_nn_start", {N + 1});
+    auto* s_lens = store->alloc<int32_t>("str_lens", {std::max<int64_t>(nn_total, 1)});
+    auto* s_offs = store->alloc<int64_t>("str_offs", {std::max<int64_t>(nn_total, 1)});
+    auto* s_chars = store->alloc<uint8_t>(
+        "str_chars", {std::max<int64_t>(int64_t(str_chars.size()), 1)});
+    std::memcpy(s_chars, str_chars.data(), str_chars.size());
+
+    int64_t at = 0;
+    for (int64_t i = 0; i < N; i++) {
+      nn_start[i] = at;
+      const PageTmp& t = tmp[size_t(i)];
+      int64_t off = t.schar_start;
+      for (size_t k = 0; k < t.slens.size(); k++) {
+        s_lens[at] = t.slens[k];
+        s_offs[at] = off;
+        off += t.slens[k];
+        at++;
+      }
+    }
+    nn_start[N] = at;
+
+    if (dict_n > 0) {
+      std::memcpy(store->alloc<int32_t>("dict_lens", {dict_n}),
+                  dict_lens.data(), dict_lens.size() * sizeof(int32_t));
+      std::memcpy(store->alloc<int64_t>("dict_offs", {dict_n}),
+                  dict_offs.data(), dict_offs.size() * sizeof(int64_t));
+      std::memcpy(store->alloc<uint8_t>(
+                      "dict_chars", {std::max<int64_t>(int64_t(dict_chars.size()), 1)}),
+                  dict_chars.data(), dict_chars.size());
+    }
+
+    if (str_pitch > 0 && nn_total > 0) {
+      auto* padded = store->alloc<uint8_t>("str_padded", {nn_total, str_pitch});
+      for (int64_t v = 0; v < nn_total; v++)
+        std::memcpy(padded + v * str_pitch, str_chars.data() + s_offs[v],
+                    size_t(s_lens[v]));
+    }
+    if (dict_pitch > 0 && dict_n > 0) {
+      auto* padded = store->alloc<uint8_t>("dict_padded", {dict_n, dict_pitch});
+      for (int32_t v = 0; v < dict_n; v++)
+        std::memcpy(padded + int64_t(v) * dict_pitch,
+                    dict_chars.data() + dict_offs[size_t(v)],
+                    size_t(dict_lens[size_t(v)]));
+    }
+  }
+
+  return store;
+}
+
+}  // namespace dpq

@@ -1,0 +1,535 @@
+// dpq_reader.hpp — host-side Parquet reader: footer parse, schema walk,
+// global page index, and the *structural pre-scan* that packs column chunks
+// into fixed-layout SoA batches for the TPU decode kernels.
+//
+// The TPU-first split implemented here: everything data-dependent and branchy
+// (Thrift, varints, RLE run headers, string length prefixes) happens once on
+// the host at O(runs + strings) cost; the device then sees only fixed-shape
+// integer tensors (run descriptor tables, padded byte planes) and does all
+// O(values) work branch-free.  Behavioral parity targets the reference
+// decoder (reference: src/reader/column_reader.cpp, src/reader/
+// parquet_reader.cpp) — quirks mirrored deliberately:
+//   * RLE decoder zero-fills when a section is exhausted
+//     (reference: include/reader/rle_decoder.hpp:20-24)
+//   * literal (bit-packed) runs advertise groups*8 values
+//     (reference: include/reader/rle_decoder.hpp:41-46)
+//   * definition levels are read BEFORE repetition levels (the reference
+//     deviates from the Parquet v1 page layout here; its own writer emits no
+//     rep levels so the swap is invisible — we match the reference)
+//     (reference: src/reader/column_reader.cpp:147-164)
+//   * out-of-range dictionary indices decode to NULL in column reads
+//     (reference: src/reader/column_reader.cpp:190-194)
+//   * page headers for DATA_PAGE and DATA_PAGE_V2 get global page ids;
+//     dictionary pages do not (reference: src/reader/parquet_reader.cpp:588-599)
+#pragma once
+
+#include <fcntl.h>
+#include <unistd.h>
+
+#include <algorithm>
+#include <map>
+#include <memory>
+#include <sstream>
+
+#include "dpq_meta.hpp"
+
+namespace dpq {
+
+// ── Leaf column descriptor ──────────────────────────────────────────────────
+
+struct Leaf {
+  std::string name;
+  int32_t type = T_BYTE_ARRAY;  // defaulted like the reference when absent
+  int32_t chunk_idx = 0;        // index into row_group.columns
+  int32_t max_def = 0;
+  int32_t max_rep = 0;
+  std::optional<int32_t> repetition;
+  std::optional<int32_t> converted;
+  std::optional<int32_t> type_length;
+};
+
+// One parsed page header, cached at open() time so the pre-scan and the raw
+// page API never re-parse Thrift.
+struct PageRec {
+  int32_t rg = 0;
+  int32_t chunk_col = 0;  // column index within the row group
+  int64_t header_off = 0;
+  int64_t data_off = 0;  // after header
+  int64_t size = 0;      // compressed_page_size
+  int32_t kind = 0;      // PageKind
+  int32_t num_values = 0;
+  int32_t encoding = 0;  // data pages: value encoding
+  int64_t gid = -1;      // global data-page id (-1 for dictionary pages)
+  int64_t row_start = 0; // absolute row index of first value (data pages)
+};
+
+// ── SoA array store (host→Python→device hand-off) ───────────────────────────
+
+enum DType : int32_t { DT_U8 = 1, DT_I32 = 2, DT_I64 = 3 };
+
+struct NamedArray {
+  int32_t dtype = DT_U8;
+  std::vector<int64_t> shape;
+  std::vector<uint8_t> bytes;
+
+  int64_t numel() const {
+    int64_t n = 1;
+    for (auto d : shape) n *= d;
+    return n;
+  }
+};
+
+struct ArrayStore {
+  std::map<std::string, NamedArray> arrays;
+  std::map<std::string, int64_t> dims;
+
+  template <typename T>
+  T* alloc(const std::string& name, std::vector<int64_t> shape) {
+    NamedArray a;
+    a.dtype = std::is_same<T, uint8_t>::value  ? DT_U8
+              : std::is_same<T, int32_t>::value ? DT_I32
+                                                : DT_I64;
+    a.shape = std::move(shape);
+    a.bytes.assign(size_t(a.numel()) * sizeof(T), 0);
+    auto [it, ok] = arrays.emplace(name, std::move(a));
+    (void)ok;
+    return reinterpret_cast<T*>(it->second.bytes.data());
+  }
+
+  std::string manifest_json() const;
+};
+
+// ── RLE/bit-packed hybrid structural pre-scan ───────────────────────────────
+
+struct Run {
+  int32_t kind;    // 0 = repeated(RLE), 1 = literal(bit-packed)
+  int32_t count;   // values this run contributes (already capped)
+  int32_t value;   // repeated value (RLE runs)
+  int32_t bitoff;  // first value's bit offset within the section (literal)
+  int32_t vstart;  // index of this run's first value within the page
+};
+
+// Walk a hybrid RLE/bit-packed section's run headers without touching value
+// data.  Consumption rules mirror the reference decoder: varints tolerate
+// truncation, repeated-value reads stop at the section end (missing bytes are
+// zero), literal runs advertise groups*8 values, and an exhausted section
+// zero-fills the remainder (emitted as a synthetic RLE run of value 0).
+inline void rle_prescan(const uint8_t* d, size_t size, int bw, int64_t want,
+                        std::vector<Run>& out) {
+  size_t pos = 0;
+  int64_t got = 0;
+  const int vbytes = (bw + 7) / 8;
+  while (got < want) {
+    if (pos >= size) {
+      out.push_back({0, int32_t(want - got), 0, 0, int32_t(got)});
+      return;
+    }
+    uint32_t ind = 0;
+    int shift = 0;
+    while (pos < size) {
+      uint8_t b = d[pos++];
+      ind |= uint32_t(b & 0x7f) << shift;
+      if (!(b & 0x80)) break;
+      shift += 7;
+    }
+    if (ind & 1) {
+      int64_t adv = int64_t(ind >> 1) * 8;  // literal runs come in 8-groups
+      int64_t take = std::min(adv, want - got);
+      out.push_back({1, int32_t(take), 0, int32_t(pos * 8), int32_t(got)});
+      got += take;
+      pos += size_t((adv * bw + 7) / 8);
+    } else {
+      int64_t count = int64_t(ind >> 1);
+      uint64_t val = 0;
+      for (int i = 0; i < vbytes && pos < size; i++)
+        val |= uint64_t(d[pos++]) << (i * 8);
+      if (count == 0) continue;  // degenerate zero-length run
+      int64_t take = std::min(count, want - got);
+      out.push_back({0, int32_t(take), int32_t(val), 0, int32_t(got)});
+      got += take;
+    }
+  }
+}
+
+// Extract one bw-bit little-endian value at `bitpos` (zero beyond `size`).
+inline uint32_t bits_at(const uint8_t* d, size_t size, int64_t bitpos, int bw) {
+  uint32_t v = 0;
+  for (int k = 0; k < bw; k++) {
+    int64_t b = bitpos + k;
+    size_t byte = size_t(b >> 3);
+    if (byte < size && (d[byte] >> (b & 7)) & 1) v |= 1u << k;
+  }
+  return v;
+}
+
+// Count values equal to `target` across pre-scanned runs of one section.
+inline int64_t count_matching(const std::vector<Run>& runs, const uint8_t* d,
+                              size_t size, int bw, int64_t target) {
+  int64_t n = 0;
+  for (const Run& r : runs) {
+    if (r.kind == 0) {
+      if (r.value == target) n += r.count;
+    } else if (bw == 1 && target == 1) {
+      // fast path: popcount over the literal bit range
+      for (int32_t i = 0; i < r.count; i++)
+        n += (bits_at(d, size, r.bitoff + i, 1) != 0);
+    } else {
+      for (int32_t i = 0; i < r.count; i++)
+        n += (bits_at(d, size, r.bitoff + int64_t(i) * bw, bw) == uint32_t(target));
+    }
+  }
+  return n;
+}
+
+inline int64_t round_up(int64_t v, int64_t m) { return (v + m - 1) / m * m; }
+
+// ── Reader ──────────────────────────────────────────────────────────────────
+
+class Reader {
+ public:
+  ~Reader() {
+    if (fd_ >= 0) ::close(fd_);
+  }
+
+  void open(const std::string& path) {
+    fd_ = ::open(path.c_str(), O_RDONLY);
+    if (fd_ < 0) throw Error("cannot open file: " + path);
+    off_t end = ::lseek(fd_, 0, SEEK_END);
+    if (end < 0) throw Error("cannot stat file: " + path);
+    file_size_ = size_t(end);
+    if (file_size_ < 12) throw Error("file too small to be Parquet");
+
+    uint8_t head[4], tail[8];
+    pread_full(0, 4, head);
+    if (std::memcmp(head, "PAR1", 4) != 0) throw Error("missing PAR1 magic at start");
+    pread_full(int64_t(file_size_) - 8, 8, tail);
+    if (std::memcmp(tail + 4, "PAR1", 4) != 0) throw Error("missing PAR1 magic at end");
+
+    uint32_t footer_len;
+    std::memcpy(&footer_len, tail, 4);
+    if (size_t(footer_len) + 8 > file_size_) throw Error("invalid footer length");
+
+    std::vector<uint8_t> footer(footer_len);
+    pread_full(int64_t(file_size_) - 8 - footer_len, footer_len, footer.data());
+    TReader tr(footer.data(), footer.size());
+    meta_ = read_file_meta(tr);
+
+    build_leaves();
+    build_page_index();
+  }
+
+  const FileMeta& meta() const { return meta_; }
+  const std::vector<Leaf>& leaves() const { return leaves_; }
+  const std::vector<PageRec>& pages() const { return pages_; }
+  const std::vector<int64_t>& data_page_gids() const { return data_gids_; }
+  size_t file_size() const { return file_size_; }
+
+  int find_leaf(const std::string& name) const {
+    for (size_t i = 0; i < leaves_.size(); i++)
+      if (leaves_[i].name == name) return int(i);
+    return -1;
+  }
+
+  // Zero-fill semantics beyond EOF, matching the reference's ifstream reads
+  // into a zero-initialized vector (reference: src/reader/parquet_reader.cpp:173-178).
+  void read_range(int64_t off, int64_t len, uint8_t* out) const {
+    std::memset(out, 0, size_t(len));
+    if (off >= int64_t(file_size_)) return;
+    int64_t avail = std::min(len, int64_t(file_size_) - off);
+    ssize_t got = ::pread(fd_, out, size_t(avail), off);
+    (void)got;
+  }
+
+  std::string meta_json() const;
+
+  // The structural pre-scan: pack one column across row groups [rg0, rg1)
+  // into a device-ready SoA batch.  `align` pads trailing dims; when
+  // `pad_strings` > 0, BYTE_ARRAY values/dictionaries are additionally packed
+  // into fixed-pitch char matrices for the scan kernels.
+  std::unique_ptr<ArrayStore> prescan(int leaf_idx, int rg0, int rg1,
+                                      int64_t align, int64_t pad_strings) const;
+
+ private:
+  void pread_full(int64_t off, size_t len, uint8_t* out) const {
+    ssize_t got = ::pread(fd_, out, len, off);
+    if (got != ssize_t(len)) throw Error("short read");
+  }
+
+  void build_leaves() {
+    leaves_.clear();
+    if (meta_.schema.empty()) return;
+    int col = 0;
+    walk_schema(1, int(meta_.schema.size()), 0, 0, col);
+  }
+
+  // Depth-first walk of the flattened schema tree computing max def/rep
+  // levels: OPTIONAL adds a def level, REPEATED adds both (reference:
+  // src/reader/parquet_reader.cpp:495-543).
+  void walk_schema(int idx, int end, int def, int rep, int& col) {
+    while (idx < end) {
+      const SchemaElement& e = meta_.schema[size_t(idx)];
+      int d = def, r = rep;
+      if (e.repetition) {
+        if (*e.repetition == R_OPTIONAL) d++;
+        if (*e.repetition == R_REPEATED) {
+          d++;
+          r++;
+        }
+      }
+      if (e.num_children && *e.num_children > 0) {
+        int child_begin = idx + 1;
+        int child_end = child_begin;
+        for (int k = 0; k < *e.num_children && child_end < end; k++)
+          child_end = subtree_end(child_end);
+        walk_schema(child_begin, child_end, d, r, col);
+        idx = child_end;
+      } else {
+        Leaf lf;
+        lf.name = e.name;
+        lf.type = e.type.value_or(T_BYTE_ARRAY);
+        lf.chunk_idx = col++;
+        lf.max_def = d;
+        lf.max_rep = r;
+        lf.repetition = e.repetition;
+        lf.converted = e.converted;
+        lf.type_length = e.type_length;
+        leaves_.push_back(std::move(lf));
+        idx++;
+      }
+    }
+  }
+
+  int subtree_end(int idx) const {
+    const SchemaElement& e = meta_.schema[size_t(idx)];
+    int n = (e.num_children && *e.num_children > 0) ? *e.num_children : 0;
+    idx++;
+    for (int k = 0; k < n; k++) idx = subtree_end(idx);
+    return idx;
+  }
+
+  // Walk every column chunk's page headers once.  Data pages (V1 and V2) get
+  // sequential global ids in (row group, column, file order); dictionary
+  // pages are recorded but unnumbered — identical numbering to the
+  // reference's build_page_index (src/reader/parquet_reader.cpp:559-605).
+  void build_page_index() {
+    pages_.clear();
+    data_gids_.clear();
+    int64_t gid = 0;
+
+    // absolute row offset of each row group
+    rg_row_base_.assign(meta_.row_groups.size() + 1, 0);
+    for (size_t i = 0; i < meta_.row_groups.size(); i++)
+      rg_row_base_[i + 1] = rg_row_base_[i] + meta_.row_groups[i].num_rows;
+
+    for (size_t rg = 0; rg < meta_.row_groups.size(); rg++) {
+      const RowGroup& g = meta_.row_groups[rg];
+      for (size_t c = 0; c < g.columns.size(); c++) {
+        if (!g.columns[c].meta) continue;
+        const ColumnMeta& cm = *g.columns[c].meta;
+
+        int64_t start = cm.data_page_offset;
+        if (cm.dictionary_page_offset)
+          start = std::min(start, *cm.dictionary_page_offset);
+
+        // Read the chunk's byte span once and walk it in memory.
+        int64_t span = cm.total_compressed_size;
+        // Guard: span must at least reach the data pages; extend defensively.
+        span = std::max<int64_t>(span, 16);
+        std::vector<uint8_t> buf(static_cast<size_t>(span));
+        read_range(start, span, buf.data());
+
+        int64_t off = 0;
+        int64_t values_seen = 0;
+        int64_t rows_before = 0;
+        while (values_seen < cm.num_values) {
+          if (off >= span) {
+            // fall back to direct file reads if the chunk span was short
+            break;
+          }
+          TReader hr(buf.data() + off, size_t(span - off));
+          PageHead ph = read_page_head(hr);
+          int64_t header_size = int64_t(hr.tell());
+          int64_t data_off = start + off + header_size;
+
+          PageRec rec;
+          rec.rg = int32_t(rg);
+          rec.chunk_col = int32_t(c);
+          rec.header_off = start + off;
+          rec.data_off = data_off;
+          rec.size = ph.compressed_size;
+          rec.kind = ph.kind;
+          if (ph.kind == P_DATA && ph.data) {
+            rec.num_values = ph.data->num_values;
+            rec.encoding = ph.data->encoding;
+            rec.gid = gid++;
+            rec.row_start = rg_row_base_[rg] + rows_before;
+            rows_before += ph.data->num_values;
+            values_seen += ph.data->num_values;
+          } else if (ph.kind == P_DATA_V2) {
+            rec.gid = gid++;  // numbered but contributes no values (parity)
+          } else if (ph.kind == P_DICTIONARY && ph.dict) {
+            rec.num_values = ph.dict->num_values;
+            rec.encoding = ph.dict->encoding;
+          }
+          if (rec.gid >= 0) data_gids_.push_back(int64_t(pages_.size()));
+          pages_.push_back(rec);
+          off += header_size + ph.compressed_size;
+        }
+      }
+    }
+  }
+
+  int fd_ = -1;
+  size_t file_size_ = 0;
+  FileMeta meta_;
+  std::vector<Leaf> leaves_;
+  std::vector<PageRec> pages_;       // all pages (incl. dictionary pages)
+  std::vector<int64_t> data_gids_;   // indices into pages_ of numbered pages
+  std::vector<int64_t> rg_row_base_;
+};
+
+// ── JSON helpers ────────────────────────────────────────────────────────────
+
+inline void json_escape(std::ostringstream& os, const std::string& s) {
+  os << '"';
+  for (char ch : s) {
+    switch (ch) {
+      case '"': os << "\\\""; break;
+      case '\\': os << "\\\\"; break;
+      case '\n': os << "\\n"; break;
+      case '\r': os << "\\r"; break;
+      case '\t': os << "\\t"; break;
+      default:
+        if (uint8_t(ch) < 0x20) {
+          char hex[8];
+          std::snprintf(hex, sizeof hex, "\\u%04x", ch);
+          os << hex;
+        } else {
+          os << ch;
+        }
+    }
+  }
+  os << '"';
+}
+
+inline std::string ArrayStore::manifest_json() const {
+  std::ostringstream os;
+  os << "{\"dims\":{";
+  bool first = true;
+  for (const auto& [k, v] : dims) {
+    if (!first) os << ',';
+    first = false;
+    json_escape(os, k);
+    os << ':' << v;
+  }
+  os << "},\"arrays\":{";
+  first = true;
+  for (const auto& [k, a] : arrays) {
+    if (!first) os << ',';
+    first = false;
+    json_escape(os, k);
+    os << ":{\"dtype\":" << a.dtype << ",\"shape\":[";
+    for (size_t i = 0; i < a.shape.size(); i++) {
+      if (i) os << ',';
+      os << a.shape[i];
+    }
+    os << "]}";
+  }
+  os << "}}";
+  return os.str();
+}
+
+inline std::string Reader::meta_json() const {
+  std::ostringstream os;
+  os << "{\"version\":" << meta_.version << ",\"num_rows\":" << meta_.num_rows
+     << ",\"created_by\":";
+  json_escape(os, meta_.created_by);
+  os << ",\"file_size\":" << file_size_;
+
+  os << ",\"schema\":[";
+  for (size_t i = 0; i < meta_.schema.size(); i++) {
+    const auto& e = meta_.schema[i];
+    if (i) os << ',';
+    os << "{\"name\":";
+    json_escape(os, e.name);
+    auto opt = [&os](const char* key, const std::optional<int32_t>& v) {
+      if (v) os << ",\"" << key << "\":" << *v;
+    };
+    opt("type", e.type);
+    opt("type_length", e.type_length);
+    opt("repetition", e.repetition);
+    opt("num_children", e.num_children);
+    opt("converted", e.converted);
+    opt("scale", e.scale);
+    opt("precision", e.precision);
+    opt("field_id", e.field_id);
+    os << '}';
+  }
+  os << ']';
+
+  os << ",\"columns\":[";
+  for (size_t i = 0; i < leaves_.size(); i++) {
+    const auto& lf = leaves_[i];
+    if (i) os << ',';
+    os << "{\"name\":";
+    json_escape(os, lf.name);
+    os << ",\"type\":" << lf.type << ",\"chunk_idx\":" << lf.chunk_idx
+       << ",\"max_def\":" << lf.max_def << ",\"max_rep\":" << lf.max_rep;
+    if (lf.repetition) os << ",\"repetition\":" << *lf.repetition;
+    if (lf.converted) os << ",\"converted\":" << *lf.converted;
+    if (lf.type_length) os << ",\"type_length\":" << *lf.type_length;
+    os << '}';
+  }
+  os << ']';
+
+  os << ",\"row_groups\":[";
+  for (size_t g = 0; g < meta_.row_groups.size(); g++) {
+    const auto& rg = meta_.row_groups[g];
+    if (g) os << ',';
+    os << "{\"num_rows\":" << rg.num_rows
+       << ",\"total_byte_size\":" << rg.total_byte_size << ",\"columns\":[";
+    for (size_t c = 0; c < rg.columns.size(); c++) {
+      const auto& cc = rg.columns[c];
+      if (c) os << ',';
+      os << "{\"file_offset\":" << cc.file_offset;
+      if (cc.meta) {
+        const auto& m = *cc.meta;
+        os << ",\"type\":" << m.type << ",\"codec\":" << m.codec
+           << ",\"num_values\":" << m.num_values
+           << ",\"total_uncompressed_size\":" << m.total_uncompressed_size
+           << ",\"total_compressed_size\":" << m.total_compressed_size
+           << ",\"data_page_offset\":" << m.data_page_offset;
+        if (m.dictionary_page_offset)
+          os << ",\"dictionary_page_offset\":" << *m.dictionary_page_offset;
+        os << ",\"encodings\":[";
+        for (size_t k = 0; k < m.encodings.size(); k++) {
+          if (k) os << ',';
+          os << m.encodings[k];
+        }
+        os << "],\"path\":[";
+        for (size_t k = 0; k < m.path.size(); k++) {
+          if (k) os << ',';
+          json_escape(os, m.path[k]);
+        }
+        os << ']';
+      }
+      os << '}';
+    }
+    os << "]}";
+  }
+  os << ']';
+
+  os << ",\"kv\":[";
+  for (size_t i = 0; i < meta_.kv.size(); i++) {
+    if (i) os << ',';
+    os << '[';
+    json_escape(os, meta_.kv[i].key);
+    os << ',';
+    json_escape(os, meta_.kv[i].value);
+    os << ']';
+  }
+  os << "]}";
+  return os.str();
+}
+
+}  // namespace dpq
