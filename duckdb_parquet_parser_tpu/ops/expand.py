@@ -1,0 +1,107 @@
+"""Branch-free expansion of RLE/bit-packed hybrid run descriptors.
+
+This is the TPU-native replacement for the reference's scalar
+`RleDecoder::get_batch` loop (reference: include/reader/rle_decoder.hpp:17-74):
+the host pre-scan (native/dpq_prescan.hpp) has already turned each page's
+hybrid section into a *run descriptor table*; here the device expands those
+descriptors into per-value levels/indices with only vectorized primitives:
+
+  1. run assignment  — scatter-add run starts, prefix-sum, so each value v
+     learns its run id (a segmented "searchsorted" with no search);
+  2. attribute gather — per-value run kind/value/bit-offset via gather;
+  3. bit extraction  — literal (bit-packed) values read a 4-byte little-endian
+     window at bit offset `bitoff + (v - vstart) * bw`, shift and mask.
+     Supports bit widths up to 24 (dictionary indices), plenty beyond the
+     reference writer's own maximum.
+
+Zero-fill on section exhaustion and literal-run 8-group padding are encoded by
+the host pre-scan, so the device math stays affine.  Every function is
+`xp`-generic: `xp=numpy` gives the golden reference used in tests, `xp=jnp`
+the jit-compiled device path (identical math).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+MAX_BITWIDTH = 24  # 4-byte window, shift < 8  →  bw + 7 <= 31 bits
+
+
+def _scatter_add(xp, target, rows, cols, values):
+    if xp is np:
+        out = target.copy()
+        np.add.at(out, (rows, cols), values)
+        return out
+    return target.at[rows, cols].add(values)
+
+
+def expand_hybrid(
+    xp: Any,
+    run_kind,   # [N, R] i32 : 0 = repeated, 1 = literal
+    run_count,  # [N, R] i32 : values contributed (0 = padding)
+    run_value,  # [N, R] i32 : repeated value
+    run_bitoff, # [N, R] i32 : literal first-value bit offset in section
+    run_vstart, # [N, R] i32 : first value index of the run within the page
+    section,    # [N, S] u8  : raw section bytes (zero padded; S >= max+4)
+    bw,         # [N]    i32 : bit width per page (0..24)
+    out_len: int,
+):
+    """Expands hybrid runs to per-value integers. Returns [N, out_len] i32."""
+    n_pages, n_runs = run_count.shape
+    s_pad = section.shape[1]
+
+    active = run_count > 0
+    rows = xp.broadcast_to(xp.arange(n_pages, dtype=xp.int32)[:, None], (n_pages, n_runs))
+    cols = xp.where(active, xp.clip(run_vstart, 0, out_len - 1), 0)
+    marks = _scatter_add(
+        xp,
+        xp.zeros((n_pages, out_len), xp.int32),
+        rows,
+        cols,
+        active.astype(xp.int32),
+    )
+    run_id = xp.clip(xp.cumsum(marks, axis=1) - 1, 0, n_runs - 1)
+
+    take = lambda a: xp.take_along_axis(a, run_id, axis=1)
+    kind_v = take(run_kind)
+    value_v = take(run_value)
+    bitoff_v = take(run_bitoff)
+    vstart_v = take(run_vstart)
+
+    v_iota = xp.arange(out_len, dtype=xp.int32)[None, :]
+    bw_col = bw[:, None]
+    bitpos = bitoff_v + (v_iota - vstart_v) * bw_col
+    byte0 = bitpos >> 3
+    shift = (bitpos & 7).astype(xp.uint32)
+
+    in_range = (byte0 >= 0) & (byte0 <= s_pad - 4)
+    b0 = xp.clip(byte0, 0, s_pad - 4)
+    w = xp.take_along_axis(section, b0, axis=1).astype(xp.uint32)
+    w = w | (xp.take_along_axis(section, b0 + 1, axis=1).astype(xp.uint32) << 8)
+    w = w | (xp.take_along_axis(section, b0 + 2, axis=1).astype(xp.uint32) << 16)
+    w = w | (xp.take_along_axis(section, b0 + 3, axis=1).astype(xp.uint32) << 24)
+    mask = ((xp.uint32(1) << bw_col.astype(xp.uint32)) - xp.uint32(1))
+    literal = ((w >> shift) & mask).astype(xp.int32)
+    literal = xp.where(in_range, literal, 0)
+
+    return xp.where(kind_v == 1, literal, value_v)
+
+
+def nonnull_mask_and_index(xp, def_levels, num_values, max_def: int, out_len: int):
+    """Null materialization bookkeeping.
+
+    Given expanded definition levels, returns
+      nonnull [N, V] bool : def == max_def AND v < num_values
+      nn_idx  [N, V] i32  : rank of this value in the page's non-null stream
+                            (exclusive prefix sum of nonnull; meaningful only
+                            where nonnull)
+    Matches the reference's null interleave rule
+    (reference: src/reader/column_reader.cpp:167-196).
+    """
+    v_iota = xp.arange(out_len, dtype=xp.int32)[None, :]
+    row_valid = v_iota < num_values[:, None]
+    nonnull = (def_levels == max_def) & row_valid
+    nn_idx = xp.cumsum(nonnull.astype(xp.int32), axis=1) - 1
+    return nonnull, xp.clip(nn_idx, 0, None)

@@ -1,0 +1,331 @@
+"""Host-side regex compilation: pattern -> dense DFA byte-transition table.
+
+The reference README specifies a regex page-pruning mode backed by re2
+(reference: README.md:54-64) but the snapshot ships no implementation, so the
+behavioral contract here is: per-value *search* semantics (unanchored unless
+^/$ are used, like re2 PartialMatch / SQL LIKE '%..%'), with `--neg-regex`
+inverting the per-value accept; a page is reported when it has NO accepted
+values.
+
+Compilation is classic Thompson NFA -> subset-construction DFA over raw bytes.
+Search semantics fold into the automaton itself: an implicit `.*` is wrapped
+around the pattern on the unanchored sides, and acceptance is evaluated after
+the whole value is consumed — so the device matcher is a single table walk per
+byte with no backtracking and no per-value state beyond one int32.
+
+Supported syntax: literals, '.', classes [...] (ranges, negation), escapes
+(\\d \\D \\w \\W \\s \\S \\. etc.), groups (), alternation |, repeats * + ?
+{m} {m,} {m,n}, anchors ^ $ (at the pattern edges).  SQL LIKE patterns
+translate via `like_to_regex` ('%' -> '.*', '_' -> '.').  Anything the subset
+cannot express raises UnsupportedPattern and callers fall back to the host
+matcher (scan.py), which guarantees identical survivor sets either way.
+"""
+
+from __future__ import annotations
+
+import re as _re
+from dataclasses import dataclass
+
+import numpy as np
+
+MAX_DFA_STATES = 4096
+
+
+class UnsupportedPattern(ValueError):
+    pass
+
+
+# ── NFA construction ────────────────────────────────────────────────────────
+
+ANY = frozenset(range(256))
+
+_CLASS_ESCAPES = {
+    "d": frozenset(range(ord("0"), ord("9") + 1)),
+    "w": frozenset(
+        list(range(ord("a"), ord("z") + 1))
+        + list(range(ord("A"), ord("Z") + 1))
+        + list(range(ord("0"), ord("9") + 1))
+        + [ord("_")]
+    ),
+    "s": frozenset(map(ord, " \t\n\r\f\v")),
+    "n": frozenset([10]),
+    "t": frozenset([9]),
+    "r": frozenset([13]),
+}
+
+
+class _NFA:
+    """States hold edge lists [(byteset | None, target)]; None = epsilon."""
+
+    def __init__(self):
+        self.edges: list[list[tuple[frozenset | None, int]]] = []
+
+    def state(self) -> int:
+        self.edges.append([])
+        return len(self.edges) - 1
+
+    def link(self, a: int, b: int, symbols: frozenset | None = None) -> None:
+        self.edges[a].append((symbols, b))
+
+
+@dataclass
+class _Frag:
+    start: int
+    end: int
+
+
+class _Parser:
+    def __init__(self, pattern: str, nfa: _NFA):
+        self.p = pattern
+        self.i = 0
+        self.nfa = nfa
+
+    def peek(self) -> str | None:
+        return self.p[self.i] if self.i < len(self.p) else None
+
+    def take(self) -> str:
+        c = self.p[self.i]
+        self.i += 1
+        return c
+
+    # grammar: alt := concat ('|' concat)* ; concat := repeat* ;
+    #          repeat := atom ('*'|'+'|'?'|'{m,n}')*
+    def parse_alt(self) -> _Frag:
+        frags = [self.parse_concat()]
+        while self.peek() == "|":
+            self.take()
+            frags.append(self.parse_concat())
+        if len(frags) == 1:
+            return frags[0]
+        s, e = self.nfa.state(), self.nfa.state()
+        for f in frags:
+            self.nfa.link(s, f.start)
+            self.nfa.link(f.end, e)
+        return _Frag(s, e)
+
+    def parse_concat(self) -> _Frag:
+        frags: list[_Frag] = []
+        while self.peek() is not None and self.peek() not in "|)":
+            frags.append(self.parse_repeat())
+        if not frags:
+            s = self.nfa.state()
+            return _Frag(s, s)
+        for a, b in zip(frags, frags[1:]):
+            self.nfa.link(a.end, b.start)
+        return _Frag(frags[0].start, frags[-1].end)
+
+    def parse_repeat(self) -> _Frag:
+        frag = self.parse_atom()
+        while (c := self.peek()) in ("*", "+", "?", "{"):
+            if c == "{":
+                frag = self._counted(frag)
+                continue
+            self.take()
+            s, e = self.nfa.state(), self.nfa.state()
+            self.nfa.link(s, frag.start)
+            self.nfa.link(frag.end, e)
+            if c in "*?":
+                self.nfa.link(s, e)
+            if c in "*+":
+                self.nfa.link(frag.end, frag.start)
+            frag = _Frag(s, e)
+        return frag
+
+    def _counted(self, frag: _Frag) -> _Frag:
+        # {m}, {m,}, {m,n} — expand by re-parsing the atom source m..n times.
+        m = _re.match(r"\{(\d+)(,(\d*))?\}", self.p[self.i :])
+        if not m:
+            raise UnsupportedPattern("bad counted repeat")
+        raise UnsupportedPattern(
+            "counted repeats {m,n} are not DFA-compiled; host fallback"
+        )
+
+    def parse_atom(self) -> _Frag:
+        c = self.take()
+        if c == "(":
+            # non-capturing prefix (?: accepted and ignored
+            if self.peek() == "?":
+                self.take()
+                if self.peek() != ":":
+                    raise UnsupportedPattern("lookaround / named groups")
+                self.take()
+            frag = self.parse_alt()
+            if self.peek() != ")":
+                raise UnsupportedPattern("unbalanced group")
+            self.take()
+            return frag
+        if c == "[":
+            return self._leaf(self._char_class())
+        if c == ".":
+            return self._leaf(ANY)
+        if c == "\\":
+            return self._leaf(self._escape(self.take()))
+        if c in "*+?{":
+            raise UnsupportedPattern(f"dangling quantifier '{c}'")
+        if c in "^$":
+            raise UnsupportedPattern("inner anchors")
+        return self._leaf(frozenset([ord(c)]))
+
+    def _leaf(self, symbols: frozenset) -> _Frag:
+        s, e = self.nfa.state(), self.nfa.state()
+        self.nfa.link(s, e, symbols)
+        return _Frag(s, e)
+
+    def _escape(self, c: str) -> frozenset:
+        if c in _CLASS_ESCAPES:
+            return _CLASS_ESCAPES[c]
+        if c in ("D", "W", "S"):
+            return ANY - _CLASS_ESCAPES[c.lower()]
+        if c.isalnum():
+            raise UnsupportedPattern(f"escape \\{c}")
+        return frozenset([ord(c)])
+
+    def _char_class(self) -> frozenset:
+        negate = False
+        if self.peek() == "^":
+            self.take()
+            negate = True
+        items: set[int] = set()
+        first = True
+        while True:
+            c = self.peek()
+            if c is None:
+                raise UnsupportedPattern("unterminated class")
+            if c == "]" and not first:
+                self.take()
+                break
+            first = False
+            self.take()
+            if c == "\\":
+                items |= self._escape(self.take())
+                continue
+            lo = ord(c)
+            if self.peek() == "-" and self.i + 1 < len(self.p) and self.p[self.i + 1] != "]":
+                self.take()
+                hi = ord(self.take())
+                items |= set(range(lo, hi + 1))
+            else:
+                items.add(lo)
+        out = frozenset(items)
+        return ANY - out if negate else out
+
+
+# ── DFA ─────────────────────────────────────────────────────────────────────
+
+
+@dataclass
+class DFA:
+    """Dense byte DFA.  `table[s, b]` = next state; `accept[s]` = accepting.
+    Matching = walk all bytes of the value, then test accept[final]."""
+
+    table: np.ndarray  # [S, 256] int32
+    accept: np.ndarray  # [S] bool
+    pattern: str
+
+    @property
+    def n_states(self) -> int:
+        return self.table.shape[0]
+
+    def match_str(self, data: bytes) -> bool:
+        s = 0
+        for b in data:
+            s = int(self.table[s, b])
+        return bool(self.accept[s])
+
+
+def like_to_regex(pattern: str) -> str:
+    """SQL LIKE -> regex ('%' any run, '_' any byte), anchored both ends."""
+    out = ["^"]
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    out.append("$")
+    return "".join(out)
+
+
+def compile_pattern(pattern: str) -> DFA:
+    """Compile to a search-semantics DFA (raises UnsupportedPattern)."""
+    pat = pattern
+    anchored_start = pat.startswith("^")
+    if anchored_start:
+        pat = pat[1:]
+    anchored_end = pat.endswith("$") and not pat.endswith("\\$")
+    if anchored_end:
+        pat = pat[:-1]
+
+    nfa = _NFA()
+    parser = _Parser(pat, nfa)
+    frag = parser.parse_alt()
+    if parser.i != len(pat):
+        raise UnsupportedPattern(f"trailing junk at {parser.i}")
+
+    start = nfa.state()
+    accept = nfa.state()
+    nfa.link(start, frag.start)
+    nfa.link(frag.end, accept)
+    if not anchored_start:
+        nfa.link(start, start, ANY)  # implicit leading .*
+    if not anchored_end:
+        nfa.link(accept, accept, ANY)  # implicit trailing .*
+
+    # epsilon closures
+    n = len(nfa.edges)
+    eps = [set() for _ in range(n)]
+    for s in range(n):
+        stack, seen = [s], {s}
+        while stack:
+            u = stack.pop()
+            for sym, v in nfa.edges[u]:
+                if sym is None and v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        eps[s] = seen
+
+    def closure(states: frozenset) -> frozenset:
+        out: set[int] = set()
+        for s in states:
+            out |= eps[s]
+        return frozenset(out)
+
+    start_set = closure(frozenset([start]))
+    ids = {start_set: 0}
+    table_rows: list[np.ndarray] = []
+    accepts: list[bool] = []
+    work = [start_set]
+    while work:
+        cur = work.pop(0)
+        sid = ids[cur]
+        while len(table_rows) <= sid:
+            table_rows.append(np.zeros(256, np.int32))
+            accepts.append(False)
+        accepts[sid] = accept in cur
+        # group targets per byte
+        targets: list[set[int]] = [set() for _ in range(256)]
+        for u in cur:
+            for sym, v in nfa.edges[u]:
+                if sym is None:
+                    continue
+                for b in sym:
+                    targets[b].add(v)
+        row = np.zeros(256, np.int32)
+        cache: dict[frozenset, int] = {}
+        for b in range(256):
+            t = frozenset(targets[b])
+            if t in cache:
+                row[b] = cache[t]
+                continue
+            t_closed = closure(t)
+            if t_closed not in ids:
+                if len(ids) >= MAX_DFA_STATES:
+                    raise UnsupportedPattern("DFA state blow-up")
+                ids[t_closed] = len(ids)
+                work.append(t_closed)
+            row[b] = ids[t_closed]
+            cache[t] = row[b]
+        table_rows[sid] = row
+
+    return DFA(np.stack(table_rows), np.array(accepts, bool), pattern)

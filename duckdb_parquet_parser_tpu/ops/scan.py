@@ -1,0 +1,191 @@
+"""Regex page-pruning scan — vectorized DFA matching over packed string pages.
+
+Implements the reference README's regex filtering mode (reference:
+README.md:54-64): evaluate a pattern over every non-null value of a column and
+report the data pages with NO matching values (`--neg-regex` inverts the
+per-value accept first).  The reference names re2 but ships no implementation;
+the contract here is re2-like *search* semantics, with Python `re` as the
+test oracle and as the host fallback for patterns outside the DFA subset —
+both paths produce identical survivor sets.
+
+Device shape of the matcher: values are packed by the host pre-scan into a
+fixed-pitch char matrix; the DFA advances all lanes one byte per step
+(`state = table[state, byte]`, a flat-table gather), with padded tail bytes
+holding the state.  Dictionary-encoded pages get the fast path: match each
+dictionary entry once, then map per-value accepts through the expanded index
+stream — O(dict + values) instead of O(bytes).
+"""
+
+from __future__ import annotations
+
+import re as _re
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import decode as _decode
+from .regex import DFA, UnsupportedPattern, compile_pattern
+
+
+def dfa_match(xp, chars, lens, table, accept):
+    """Match L values against the DFA.
+
+    chars: [L, P] u8 fixed-pitch (zero-padded); lens: [L] i32;
+    table: [S, 256] i32; accept: [S] bool.  Returns [L] bool.
+    """
+    tflat = xp.asarray(table, dtype=xp.int32).reshape(-1)
+    acc = xp.asarray(accept)
+    lens = xp.asarray(lens, dtype=xp.int32)
+    n, pitch = chars.shape
+
+    if xp is np:
+        state = np.zeros(n, np.int32)
+        for j in range(pitch):
+            nxt = tflat[state * 256 + chars[:, j].astype(np.int32)]
+            state = np.where(j < lens, nxt, state)
+        return acc[state]
+
+    import jax
+    import jax.numpy as jnp
+
+    cols = jnp.transpose(xp.asarray(chars)).astype(jnp.int32)  # [P, L]
+
+    def step(state, xs):
+        j, col = xs
+        nxt = jnp.take(tflat, state * 256 + col)
+        return jnp.where(j < lens, nxt, state), None
+
+    state0 = jnp.zeros(n, jnp.int32)
+    state, _ = jax.lax.scan(step, state0, (jnp.arange(pitch), cols))
+    return jnp.take(acc, state)
+
+
+def segment_counts(xp, values, segment_ids, num_segments: int):
+    """Sum `values` ([L] int) into per-segment counts ([num_segments])."""
+    if xp is np:
+        out = np.zeros(num_segments, np.int32)
+        np.add.at(out, segment_ids, values.astype(np.int32))
+        return out
+    import jax
+
+    return jax.ops.segment_sum(
+        values.astype(xp.int32), segment_ids, num_segments=num_segments
+    )
+
+
+@dataclass
+class PageMatchResult:
+    """Per-page accept counts for one scanned column batch."""
+
+    page_gid: np.ndarray        # [N] global data-page ids
+    match_counts: np.ndarray    # [N] number of accepted (non-null) values
+    value_counts: np.ndarray    # [N] number of participating values
+
+    def pruned_pages(self) -> np.ndarray:
+        """Global ids of pages with NO accepted values (the reported set)."""
+        return self.page_gid[self.match_counts == 0]
+
+    def surviving_pages(self) -> np.ndarray:
+        return self.page_gid[self.match_counts > 0]
+
+
+def _page_of_plain_entry(batch) -> np.ndarray:
+    """[nn_total] page index of each PLAIN string-table entry."""
+    nn_start = batch.arrays["str_nn_start"]
+    counts = np.diff(nn_start)
+    return np.repeat(np.arange(batch.n_pages, dtype=np.int32), counts)
+
+
+def scan_batch(batch, pattern: str, *, negate: bool = False, xp=np) -> PageMatchResult:
+    """Evaluate `pattern` over a BYTE_ARRAY batch (prescanned with
+    pad_strings>0) and count accepted values per page."""
+    try:
+        dfa = compile_pattern(pattern)
+    except UnsupportedPattern:
+        return scan_batch_fallback(batch, pattern, negate=negate)
+
+    arrays = batch.arrays
+    n = batch.n_pages
+    counts = np.zeros(n, np.int64)
+
+    has_plain = "str_padded" in arrays and arrays["str_padded"].shape[0] > 0
+    has_dict = "dict_padded" in arrays and int(batch.dims.get("dict_n", 0)) > 0
+    if batch.dims.get("nn_total", 0) > 0 and "str_padded" not in arrays:
+        raise ValueError("batch was prescanned without pad_strings")
+
+    # Levels / value participation.
+    nonnull, nn_idx = _decode.decode_levels(xp, _as_xp(xp, arrays), batch.max_def, batch.vmax)
+    nonnull_np = np.asarray(nonnull)
+    is_dict = arrays["page_kind"] == 1
+
+    if has_plain:
+        match = dfa_match(
+            xp, _xp_arr(xp, arrays["str_padded"]), arrays["str_lens"],
+            dfa.table, dfa.accept,
+        )
+        match = np.asarray(match) ^ negate
+        seg = _page_of_plain_entry(batch)
+        plain_counts = segment_counts(np, match, seg, n)
+        counts += np.where(~is_dict, plain_counts, 0)
+
+    if has_dict:
+        dict_match = dfa_match(
+            xp, _xp_arr(xp, arrays["dict_padded"]), arrays["dict_lens"],
+            dfa.table, dfa.accept,
+        )
+        dict_match = np.asarray(dict_match) ^ negate
+        dict_idx, ok = _decode.decode_dict_indices(
+            xp, _as_xp(xp, arrays), nn_idx, batch.nn_cap
+        )
+        dict_idx = np.asarray(dict_idx)
+        ok = np.asarray(ok)
+        g = np.clip(arrays["page_dict_base"][:, None] + np.clip(dict_idx, 0, None),
+                    0, len(dict_match) - 1)
+        accept = dict_match[g] & ok & nonnull_np
+        counts += np.where(is_dict, accept.sum(axis=1), 0)
+
+    participating = np.where(
+        is_dict,
+        # dict pages: non-null values with in-range indices
+        (nonnull_np & (np.asarray(ok) if has_dict else False)).sum(axis=1)
+        if has_dict else 0,
+        np.diff(arrays["str_nn_start"]) if has_plain else arrays["page_nn"],
+    )
+    return PageMatchResult(
+        page_gid=arrays["page_gid"].copy(),
+        match_counts=counts.astype(np.int64),
+        value_counts=np.asarray(participating, np.int64),
+    )
+
+
+def scan_batch_fallback(batch, pattern: str, *, negate: bool = False) -> PageMatchResult:
+    """Host fallback (full `re` semantics) producing identical survivor sets
+    for patterns the DFA subset cannot express."""
+    from ..host.reader import _string_stream  # late import to avoid cycle
+
+    rx = _re.compile(pattern.encode("utf-8", "surrogateescape"))
+    pos, lens, offs, chars = _string_stream(batch)
+    # page of each emission: recover from row positions via page row ranges
+    row_start = batch.arrays["page_row_start"]
+    nv = batch.arrays["page_num_values"]
+    page_of = np.searchsorted(row_start, pos, side="right") - 1
+    n = batch.n_pages
+    counts = np.zeros(n, np.int64)
+    participating = np.zeros(n, np.int64)
+    for p, ln, off in zip(page_of, lens, offs):
+        s = chars[off : off + ln].tobytes()
+        m = (rx.search(s) is not None) ^ negate
+        counts[p] += m
+        participating[p] += 1
+    _ = nv
+    return PageMatchResult(batch.arrays["page_gid"].copy(), counts, participating)
+
+
+def _xp_arr(xp, a):
+    return a if xp is np else xp.asarray(a)
+
+
+def _as_xp(xp, arrays: dict):
+    if xp is np:
+        return arrays
+    return {k: xp.asarray(v) for k, v in arrays.items() if k in _decode.DECODE_ARRAYS}

@@ -54,12 +54,16 @@ int main(int argc, char** argv) {
     return 0;
   }
   if (mode == "iter") {
+    // NOTE: only (pos, len) are printed.  The reference's next() returns a
+    // char* into page_strings_, which its own auto-refill invalidates for the
+    // last string of every page (use-after-free; observed emitting garbage on
+    // row-group boundaries).  pos/len are value copies and well-defined;
+    // string *contents* are parity-checked via the `column` mode instead.
     auto it = reader.column_iterator(argv[3]);
     while (it.has_next()) {
       auto [pos, len, ptr] = it.next();
-      std::cout << pos << " " << len << " ";
-      std::cout.write(ptr, std::streamsize(len));
-      std::cout << "\n";
+      (void)ptr;
+      std::cout << pos << " " << len << "\n";
     }
     return 0;
   }
