@@ -1,0 +1,123 @@
+"""Command-line interface.
+
+Implements the reference README's CLI contract (reference: README.md:44-72):
+
+  dpq-tpu <file>                          print schema, row groups, page sizes
+  dpq-tpu <file> --regex-column C --regex P [--neg-regex]
+                                          report data pages with NO values
+                                          matching P (NOT LIKE via --neg-regex)
+  dpq-tpu index <file> <column> [--chunk-size N]
+                                          chunked inverted index totals
+
+Extra engine knobs (not in the reference): --engine numpy|jax selects the
+decode/match backend, --like treats the pattern as a SQL LIKE expression.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .host.reader import ParquetReader
+from .host.schema import PageType
+from .ops.index import build_index_for_column
+from .ops.regex import like_to_regex
+from .ops.scan import scan_batch
+
+
+def _print_file_info(reader: ParquetReader) -> None:
+    sys.stdout.write(reader.schema_string())
+    pages = reader._pages  # page table incl. dictionary pages
+    print()
+    for rg_idx, rg in enumerate(reader.metadata()["row_groups"]):
+        print(f"Row group {rg_idx}: {rg['num_rows']} rows, "
+              f"{rg['total_byte_size']} bytes")
+        for col_idx, info in enumerate(reader.columns()):
+            sel = (pages["rg"] == rg_idx) & (pages["col"] == info.column_index)
+            kinds = pages["kind"][sel]
+            sizes = pages["size"][sel]
+            n_data = int((kinds == PageType.DATA_PAGE).sum())
+            n_dict = int((kinds == PageType.DICTIONARY_PAGE).sum())
+            dict_note = f" + {n_dict} dict" if n_dict else ""
+            print(
+                f"  {info.name}: {n_data} data pages{dict_note}, "
+                f"page sizes [{sizes.min() if len(sizes) else 0}"
+                f"..{sizes.max() if len(sizes) else 0}] bytes"
+            )
+    print(f"\nTotal data pages: {reader.num_pages()}")
+
+
+def _run_regex_scan(reader: ParquetReader, args) -> int:
+    pattern = like_to_regex(args.regex) if args.like else args.regex
+    batch = reader.prescan(args.regex_column, pad_strings=8)
+    xp = np
+    if args.engine == "jax":
+        import jax.numpy as xp  # noqa: F811
+    result = scan_batch(batch, pattern, negate=args.neg_regex, xp=xp)
+    total_match = int(result.match_counts.sum())
+    total_vals = int(result.value_counts.sum())
+    mode = "NOT matching" if args.neg_regex else "matching"
+    print(
+        f"Scanned column '{args.regex_column}': {len(result.page_gid)} data "
+        f"pages, {total_vals} values, {total_match} {mode} '{args.regex}'"
+    )
+    pruned = result.pruned_pages()
+    print(f"Pages with no {mode} values ({len(pruned)}):")
+    for gid in pruned:
+        e = reader.page_index_entry(int(gid))
+        print(f"  page {int(gid)} (row_group={e.row_group_idx}, "
+              f"size={e.data_size})")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    if argv and argv[0] == "index":
+        ap = argparse.ArgumentParser(prog="dpq-tpu index")
+        ap.add_argument("file")
+        ap.add_argument("column")
+        ap.add_argument("--chunk-size", type=int, default=4096)
+        args = ap.parse_args(argv[1:])
+        reader = ParquetReader()
+        if not reader.open(args.file):
+            print(f"error: cannot open {args.file}", file=sys.stderr)
+            return 1
+        idx = build_index_for_column(reader, args.column, args.chunk_size)
+        print(f"Total tuples: {idx.num_rows}")
+        print(f"Total chunks: {idx.num_chunks}")
+        return 0
+
+    ap = argparse.ArgumentParser(
+        prog="dpq-tpu", description="TPU-native Parquet scan engine"
+    )
+    ap.add_argument("file")
+    ap.add_argument("--regex-column", help="column to scan")
+    ap.add_argument("--regex", help="pattern to match against values")
+    ap.add_argument("--neg-regex", action="store_true",
+                    help="invert the match (NOT LIKE)")
+    ap.add_argument("--like", action="store_true",
+                    help="treat the pattern as a SQL LIKE expression")
+    ap.add_argument("--engine", choices=["numpy", "jax"], default="numpy")
+    args = ap.parse_args(argv)
+
+    reader = ParquetReader()
+    if not reader.open(args.file):
+        print(f"error: cannot open {args.file}", file=sys.stderr)
+        return 1
+
+    if args.regex_column or args.regex:
+        if not (args.regex_column and args.regex):
+            print("error: --regex-column and --regex must be used together",
+                  file=sys.stderr)
+            return 2
+        return _run_regex_scan(reader, args)
+
+    _print_file_info(reader)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

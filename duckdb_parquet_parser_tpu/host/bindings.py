@@ -64,6 +64,10 @@ def _load() -> ct.CDLL:
         ct.c_int32, ct.c_char_p, ct.c_size_t,
     ]
     lib.dpq_writer_declare.restype = ct.c_int
+    lib.dpq_writer_kv.argtypes = [
+        ct.c_void_p, ct.c_char_p, ct.c_char_p, ct.c_char_p, ct.c_size_t,
+    ]
+    lib.dpq_writer_kv.restype = ct.c_int
     lib.dpq_writer_col_fixed.argtypes = [
         ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int32, ct.c_int64,
         ct.c_char_p, ct.c_size_t,

@@ -31,6 +31,7 @@ char* dup_str(const std::string& s) {
 struct WriterHandle {
   std::unique_ptr<Writer> writer;
   std::vector<ColumnDecl> decls;          // collected before open
+  std::vector<std::pair<std::string, std::string>> kv;
   std::string path;
   std::vector<ColumnData> pending;        // columns of the row group being built
   std::vector<std::vector<uint8_t>> own;  // copies of caller buffers
@@ -188,6 +189,16 @@ int dpq_writer_declare(void* h, const char* name, int32_t type,
   })
 }
 
+int dpq_writer_kv(void* h, const char* key, const char* value, char* err,
+                  size_t errcap) {
+  DPQ_TRY_INT({
+    auto* w = static_cast<WriterHandle*>(h);
+    if (w->writer) throw Error("writer: add key-values before first row group");
+    w->kv.emplace_back(key, value);
+    return 0;
+  })
+}
+
 static ColumnData& push_col(WriterHandle* w, const uint8_t* valid, int64_t n) {
   ColumnData cd;
   cd.n = n;
@@ -228,7 +239,10 @@ int dpq_writer_col_bytes(void* h, const uint8_t* valid, const int64_t* offs,
 int dpq_writer_rg_end(void* h, char* err, size_t errcap) {
   DPQ_TRY_INT({
     auto* w = static_cast<WriterHandle*>(h);
-    if (!w->writer) w->writer = std::make_unique<Writer>(w->path, w->decls);
+    if (!w->writer) {
+      w->writer = std::make_unique<Writer>(w->path, w->decls);
+      for (const auto& [k, v] : w->kv) w->writer->add_key_value(k, v);
+    }
     w->writer->write_row_group(w->pending);
     w->pending.clear();
     w->own.clear();
@@ -240,7 +254,10 @@ int dpq_writer_rg_end(void* h, char* err, size_t errcap) {
 int dpq_writer_close(void* h, char* err, size_t errcap) {
   DPQ_TRY_INT({
     auto* w = static_cast<WriterHandle*>(h);
-    if (!w->writer) w->writer = std::make_unique<Writer>(w->path, w->decls);
+    if (!w->writer) {
+      w->writer = std::make_unique<Writer>(w->path, w->decls);
+      for (const auto& [k, v] : w->kv) w->writer->add_key_value(k, v);
+    }
     w->writer->close();
     delete w;
     return 0;

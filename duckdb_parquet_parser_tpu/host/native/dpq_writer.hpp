@@ -140,6 +140,10 @@ class Writer {
     }
   }
 
+  void add_key_value(const std::string& key, const std::string& value) {
+    kv_.emplace_back(key, value);
+  }
+
   void write_row_group(const std::vector<ColumnData>& data) {
     if (closed_) throw Error("writer: already closed");
     if (data.size() != cols_.size()) throw Error("writer: column count mismatch");
@@ -245,6 +249,16 @@ class Writer {
       t.f_i64(2, rg_bytes);
       t.f_i64(3, rg.num_rows);
       t.elem_struct_end();
+    }
+
+    if (!kv_.empty()) {
+      t.f_list(5, tc::STRUCT, int32_t(kv_.size()));
+      for (const auto& [k, v] : kv_) {
+        t.elem_struct_begin();
+        t.f_binary(1, k);
+        t.f_binary(2, v);
+        t.elem_struct_end();
+      }
     }
 
     t.stop();
@@ -491,6 +505,7 @@ class Writer {
 
   std::ofstream out_;
   std::vector<ColumnDecl> cols_;
+  std::vector<std::pair<std::string, std::string>> kv_;
   std::vector<RGMeta> rgs_;
   int64_t total_rows_ = 0;
   bool closed_ = false;

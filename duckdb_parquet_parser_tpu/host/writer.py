@@ -51,13 +51,20 @@ class ParquetWriter:
     (lists) or an explicit `valid` mask passed as a tuple (values, valid).
     """
 
-    def __init__(self, path: str, columns: list[ColumnSpec]):
+    def __init__(
+        self,
+        path: str,
+        columns: list[ColumnSpec],
+        key_value: dict[str, str] | None = None,
+    ):
         self._columns = columns
         err = ct.create_string_buffer(4096)
         self._h = lib().dpq_writer_new(str(path).encode(), err, 4096)
         if not self._h:
             raise NativeError(err.value.decode())
         self._closed = False
+        for k, v in (key_value or {}).items():
+            check(lib().dpq_writer_kv(self._h, k.encode(), v.encode(), err, 4096), err)
         for c in columns:
             conv = int(c.converted_type) if c.converted_type is not None else -1
             check(

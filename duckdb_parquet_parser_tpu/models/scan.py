@@ -1,0 +1,170 @@
+"""ScanEngine — the engine's end-to-end facade (the "flagship model").
+
+One object that takes a Parquet file and drives the full TPU pipeline:
+structural pre-scan (host) -> page batches -> vectorized decode -> regex
+page pruning -> chunked inverted index, optionally sharded over a device
+mesh with the all_to_all entry exchange.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..host.reader import ParquetReader, _string_stream
+from ..ops.index import ChunkedIndex, build_index
+from ..ops.regex import DFA, UnsupportedPattern, compile_pattern
+from ..ops.scan import PageMatchResult, scan_batch, scan_batch_fallback
+from ..parallel.mesh import make_mesh
+from ..parallel.partition import pad_pages
+from ..parallel.pipeline import DistributedScanResult, distributed_scan
+from ..parallel.shuffle import ExchangePlan, balanced_chunk_owners
+
+
+@dataclass
+class IndexBuildResult:
+    index: ChunkedIndex
+    chunk_owners: np.ndarray | None = None  # device owning each chunk (mesh runs)
+
+
+class ScanEngine:
+    """End-to-end scan engine over one Parquet file.
+
+    mesh=None  -> single-device jit pipeline
+    mesh=Mesh  -> pages sharded over the mesh ('pages' axis), collectives for
+                  totals and the index entry exchange
+    """
+
+    def __init__(self, path: str, mesh=None):
+        self.reader = ParquetReader(path)
+        self.mesh = mesh
+
+    # ── regex page pruning ──────────────────────────────────────────────────
+
+    def scan(
+        self, column: str, pattern: str, *, negate: bool = False,
+        like: bool = False, engine: str = "jax",
+    ) -> PageMatchResult | DistributedScanResult:
+        from ..ops.regex import like_to_regex
+
+        pat = like_to_regex(pattern) if like else pattern
+        batch = self.reader.prescan(column, pad_strings=8)
+
+        if self.mesh is not None:
+            try:
+                dfa = compile_pattern(pat)
+            except UnsupportedPattern:
+                return scan_batch_fallback(batch, pat, negate=negate)
+            n_dev = int(np.prod(list(self.mesh.shape.values())))
+            padded = pad_pages(batch, n_dev)
+            return distributed_scan(self.mesh, padded, dfa, negate=negate)
+
+        if engine == "jax":
+            import jax.numpy as jnp
+
+            return scan_batch(batch, pat, negate=negate, xp=jnp)
+        return scan_batch(batch, pat, negate=negate, xp=np)
+
+    # ── chunked inverted index ──────────────────────────────────────────────
+
+    def build_index(self, column: str, chunk_size: int = 4096) -> IndexBuildResult:
+        batch = self.reader.prescan(column)
+        pos, lens, offs, chars = _string_stream(batch)
+        index = build_index(pos, lens, self.reader.num_rows(), chunk_size)
+
+        owners = None
+        if self.mesh is not None:
+            n_dev = int(np.prod(list(self.mesh.shape.values())))
+            # skew-aware chunk ownership by chunk byte weight
+            sizes = np.diff(
+                np.concatenate([index.chunk_starts, [len(lens)]])
+            )
+            owners = balanced_chunk_owners(sizes, n_dev)
+        return IndexBuildResult(index=index, chunk_owners=owners)
+
+
+# ── graft entry support: jittable kernels over a self-contained example ─────
+
+
+def build_example_batch(tmpdir: str, *, rows: int = 400, n_unique=None):
+    """Writes a small two-row-group string fixture and prescans it."""
+    import os
+
+    from ..host.schema import ParquetType
+    from ..host.writer import ColumnSpec, ParquetWriter
+
+    rng = np.random.default_rng(0)
+    path = os.path.join(tmpdir, "graft_example.parquet")
+    letters = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz ", np.uint8)
+
+    def strings(n, uniq):
+        if uniq:
+            pool = [f"word_{i}_{'x' * (i % 5)}".encode() for i in range(uniq)]
+            return [pool[int(rng.integers(uniq))] for _ in range(n)]
+        return [bytes(rng.choice(letters, int(rng.integers(3, 25)))) for _ in range(n)]
+
+    w = ParquetWriter(
+        path, [ColumnSpec("s", ParquetType.BYTE_ARRAY, optional=True)],
+        key_value={"pad": "x" * 512},
+    )
+    vals = strings(rows, 8) + strings(rows, None)
+    w.write_row_group({"s": [None if rng.random() < 0.1 else v for v in vals[:rows]]})
+    w.write_row_group({"s": [None if rng.random() < 0.1 else v for v in vals[rows:]]})
+    w.close()
+
+    reader = ParquetReader(path)
+    return reader, reader.prescan("s", pad_strings=8)
+
+
+def single_chip_forward(batch, dfa: DFA):
+    """Returns (jittable_fn, example_args): one fused decode+match+count step
+    on a page batch — the compile-check surface for the driver."""
+    import jax.numpy as jnp
+
+    from ..ops.scan import dfa_match as _dfa_match
+    from ..ops import decode as _decode
+    from ..parallel.partition import strings_page_major
+
+    chars_pm, lens_pm = strings_page_major(batch)
+    core = {k: jnp.asarray(v) for k, v in batch.arrays.items()
+            if k in _decode.DECODE_ARRAYS}
+    if "dict_padded" in batch.arrays:
+        dict_match_np = np.asarray(
+            _dfa_match(np, batch.arrays["dict_padded"], batch.arrays["dict_lens"],
+                       dfa.table, dfa.accept))
+    else:
+        dict_match_np = np.zeros(1, bool)
+
+    vmax = batch.vmax
+    max_def = batch.max_def
+
+    def forward(core, chars_pm, lens_pm, dict_match, table, accept):
+        # single-chip: same math as the sharded kernel minus the collective
+        n, cap, pitch = chars_pm.shape
+        nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)
+        is_dict = core["page_kind"] == 1
+        match = _dfa_match(
+            jnp, chars_pm.reshape(n * cap, pitch), lens_pm.reshape(n * cap),
+            table, accept,
+        ).reshape(n, cap)
+        entry_valid = (
+            jnp.arange(cap, dtype=jnp.int32)[None, :] < core["page_nn"][:, None]
+        )
+        plain_counts = jnp.sum(match & entry_valid, axis=1)
+        dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, cap)
+        g = jnp.clip(core["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),
+                     0, dict_match.shape[0] - 1)
+        dict_counts = jnp.sum(jnp.take(dict_match, g) & ok & nonnull, axis=1)
+        return jnp.where(is_dict, dict_counts, plain_counts)
+
+    example_args = (
+        core, jnp.asarray(chars_pm), jnp.asarray(lens_pm),
+        jnp.asarray(dict_match_np), jnp.asarray(dfa.table),
+        jnp.asarray(dfa.accept),
+    )
+    return forward, example_args
+
+
+def make_engine(path: str, distributed: bool = False) -> ScanEngine:
+    return ScanEngine(path, mesh=make_mesh() if distributed else None)

@@ -1,0 +1,121 @@
+"""Chunked inverted index over a string column.
+
+Reproduces the reference prototype's semantics exactly (reference:
+src/main.cpp:10-38): stream the column's non-null values in global row order;
+each entry appends `str(len) + value` to the current chunk; the chunk is
+flushed BEFORE an append once its size has reached `chunk_size` (so chunks
+overshoot by one entry — a quirk preserved deliberately), and every emitted
+row records its chunk id in a row->chunk map (rows with no emission keep 0).
+
+The heavy work (decode, lengths, positions) is vectorized; the inherently
+sequential chunk-boundary recurrence collapses to O(#chunks · log n) via
+searchsorted over the entry-size prefix sum — no per-entry host loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+def entry_sizes(lens: np.ndarray) -> np.ndarray:
+    """Size each entry contributes: ASCII decimal digits of len, plus len
+    (reference: src/main.cpp:30 `std::to_string(len) + value`)."""
+    lens = np.asarray(lens, np.int64)
+    digits = np.ones_like(lens)
+    big = lens > 0
+    digits[big] = np.floor(np.log10(lens[big].astype(np.float64))).astype(np.int64) + 1
+    # float log10 is exact for the sizes here (< 2^53) but guard boundaries
+    pow10 = 10 ** digits
+    digits[lens >= pow10] += 1
+    pow10 = 10 ** (digits - 1)
+    digits[(lens > 0) & (lens < pow10)] -= 1
+    return digits + lens
+
+
+def chunk_boundaries(sizes: np.ndarray, chunk_size: int) -> np.ndarray:
+    """First-entry index of every chunk (always starts with 0).
+
+    Entry i opens a new chunk iff the accumulated size of entries since the
+    previous flush had already reached `chunk_size` *before* appending i.
+    """
+    n = len(sizes)
+    prefix = np.zeros(n + 1, np.int64)
+    np.cumsum(sizes, out=prefix[1:])
+    starts = [0]
+    base = 0
+    while True:
+        i = int(np.searchsorted(prefix, base + chunk_size, side="left"))
+        if i > n:
+            break
+        starts.append(i)
+        base = prefix[i]
+    # a flush can also trigger exactly at the end; the reference would clear
+    # and bump chunk_id only when another entry arrives — so drop a trailing
+    # empty chunk start at n
+    if starts[-1] == n:
+        starts.pop()
+    return np.asarray(starts, np.int64)
+
+
+@dataclass
+class ChunkedIndex:
+    num_rows: int
+    chunk_size: int
+    positions: np.ndarray       # [M] global row of each emitted entry
+    lens: np.ndarray            # [M]
+    chunk_of_entry: np.ndarray  # [M]
+    tuple_to_chunk: np.ndarray  # [num_rows], 0 where no emission
+    chunk_starts: np.ndarray    # [num_chunks] first entry of each chunk
+
+    @property
+    def num_chunks(self) -> int:
+        # reference prints chunk_id + 1 (src/main.cpp:35)
+        return int(self.chunk_of_entry[-1]) + 1 if len(self.chunk_of_entry) else 1
+
+    def materialize_chunk(self, chunk_id: int, chars: np.ndarray,
+                          offs: np.ndarray) -> bytes:
+        """Builds one chunk's byte payload (length-prefixed values)."""
+        lo = int(self.chunk_starts[chunk_id])
+        hi = (
+            int(self.chunk_starts[chunk_id + 1])
+            if chunk_id + 1 < len(self.chunk_starts)
+            else len(self.lens)
+        )
+        parts = []
+        for k in range(lo, hi):
+            ln = int(self.lens[k])
+            off = int(offs[k])
+            parts.append(str(ln).encode())
+            parts.append(chars[off : off + ln].tobytes())
+        return b"".join(parts)
+
+
+def build_index(positions, lens, num_rows: int, chunk_size: int = 4096) -> ChunkedIndex:
+    """Builds the chunked index from the (row-ordered) emission stream."""
+    positions = np.asarray(positions, np.int64)
+    lens = np.asarray(lens, np.int64)
+    sizes = entry_sizes(lens)
+    starts = chunk_boundaries(sizes, chunk_size)
+    chunk_of = np.searchsorted(starts, np.arange(len(lens)), side="right") - 1
+    t2c = np.zeros(num_rows, np.int64)
+    t2c[positions] = chunk_of
+    return ChunkedIndex(
+        num_rows=num_rows,
+        chunk_size=chunk_size,
+        positions=positions,
+        lens=lens,
+        chunk_of_entry=chunk_of,
+        tuple_to_chunk=t2c,
+        chunk_starts=starts,
+    )
+
+
+def build_index_for_column(reader, column: str, chunk_size: int = 4096) -> ChunkedIndex:
+    """End-to-end: prescan + decode the column, then build the index."""
+    from ..host.reader import _string_stream
+
+    batch = reader.prescan(column)
+    pos, lens, _offs, _chars = _string_stream(batch)
+    return build_index(pos, lens, reader.num_rows(), chunk_size)

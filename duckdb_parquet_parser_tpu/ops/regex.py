@@ -114,11 +114,16 @@ class _Parser:
             self.nfa.link(a.end, b.start)
         return _Frag(frags[0].start, frags[-1].end)
 
+    MAX_COUNTED = 128  # expansion bound for {m,n}
+
     def parse_repeat(self) -> _Frag:
+        atom_start = self.i
         frag = self.parse_atom()
+        atom_src = self.p[atom_start : self.i]
         while (c := self.peek()) in ("*", "+", "?", "{"):
             if c == "{":
-                frag = self._counted(frag)
+                frag = self._counted(frag, atom_src)
+                atom_src = None  # re cannot double-quantify either
                 continue
             self.take()
             s, e = self.nfa.state(), self.nfa.state()
@@ -131,14 +136,59 @@ class _Parser:
             frag = _Frag(s, e)
         return frag
 
-    def _counted(self, frag: _Frag) -> _Frag:
-        # {m}, {m,}, {m,n} — expand by re-parsing the atom source m..n times.
+    def _counted(self, frag: _Frag, atom_src: str | None) -> _Frag:
+        # {m}, {m,}, {m,n} — expanded by re-parsing the atom source; each
+        # clone is a fresh NFA fragment (Thompson fragments cannot be shared).
         m = _re.match(r"\{(\d+)(,(\d*))?\}", self.p[self.i :])
-        if not m:
+        if not m or atom_src is None:
             raise UnsupportedPattern("bad counted repeat")
-        raise UnsupportedPattern(
-            "counted repeats {m,n} are not DFA-compiled; host fallback"
-        )
+        self.i += m.end()
+        lo = int(m.group(1))
+        if m.group(2) is None:
+            hi: int | None = lo
+        elif m.group(3) == "":
+            hi = None  # {m,}
+        else:
+            hi = int(m.group(3))
+        if hi is not None and hi < lo:
+            raise UnsupportedPattern("bad counted repeat bounds")
+        if lo > self.MAX_COUNTED or (hi or 0) > self.MAX_COUNTED:
+            raise UnsupportedPattern("counted repeat too large")
+
+        def clone() -> _Frag:
+            sub = _Parser(atom_src, self.nfa)
+            f = sub.parse_alt()
+            if sub.i != len(atom_src):
+                raise UnsupportedPattern("bad counted repeat atom")
+            return f
+
+        pieces = [frag] + [clone() for _ in range(max(lo - 1, 0))] if lo else []
+        if not pieces:
+            s = self.nfa.state()
+            base = _Frag(s, s)
+        else:
+            for a, b in zip(pieces, pieces[1:]):
+                self.nfa.link(a.end, b.start)
+            base = _Frag(pieces[0].start, pieces[-1].end)
+
+        if hi is None:  # {m,}: trailing star
+            f = clone()
+            s, e = self.nfa.state(), self.nfa.state()
+            self.nfa.link(s, f.start)
+            self.nfa.link(f.end, e)
+            self.nfa.link(s, e)
+            self.nfa.link(f.end, f.start)
+            self.nfa.link(base.end, s)
+            return _Frag(base.start, e)
+        for _ in range(hi - lo):  # optional copies
+            f = clone()
+            s, e = self.nfa.state(), self.nfa.state()
+            self.nfa.link(s, f.start)
+            self.nfa.link(f.end, e)
+            self.nfa.link(s, e)
+            self.nfa.link(base.end, s)
+            base = _Frag(base.start, e)
+        return base
 
     def parse_atom(self) -> _Frag:
         c = self.take()

@@ -1,0 +1,46 @@
+"""Device mesh helpers.
+
+The engine's parallel axis is *pages* (the scan analog of data parallelism —
+SURVEY.md §2.1): page batches shard along a 1-D mesh axis "pages"; exchange
+for the inverted-index build rides `all_to_all` over the same axis (ICI within
+a host, DCN across hosts — chosen by XLA).  Multi-host initialization is
+`jax.distributed.initialize` + the same mesh over `jax.devices()`.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+PAGES_AXIS = "pages"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(f"need {n_devices} devices, have {len(devs)}")
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (PAGES_AXIS,))
+
+
+def pages_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 (pages) across the mesh."""
+    return NamedSharding(mesh, PartitionSpec(PAGES_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def distributed_init_from_env() -> None:
+    """Multi-host process-group init (no-op when single-process)."""
+    import os
+
+    if os.environ.get("DPQ_COORDINATOR"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["DPQ_COORDINATOR"],
+            num_processes=int(os.environ.get("DPQ_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("DPQ_PROCESS_ID", "0")),
+        )

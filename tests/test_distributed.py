@@ -1,0 +1,129 @@
+"""Multi-device sharding tests on the 8-way virtual CPU mesh (conftest forces
+JAX_PLATFORMS=cpu + xla_force_host_platform_device_count=8 — the standard JAX
+idiom for testing meshes without hardware)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from duckdb_parquet_parser_tpu.host.reader import ParquetReader, _string_stream
+from duckdb_parquet_parser_tpu.ops.index import build_index
+from duckdb_parquet_parser_tpu.ops.regex import compile_pattern
+from duckdb_parquet_parser_tpu.ops.scan import scan_batch
+from duckdb_parquet_parser_tpu.parallel.mesh import make_mesh
+from duckdb_parquet_parser_tpu.parallel.partition import (
+    assign_balanced,
+    pad_pages,
+    reorder_pages,
+    strings_page_major,
+)
+from duckdb_parquet_parser_tpu.parallel.pipeline import (
+    distributed_scan,
+    exchange_entries,
+)
+from duckdb_parquet_parser_tpu.parallel.shuffle import (
+    ExchangePlan,
+    balanced_chunk_owners,
+)
+from tests import fixtures
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module", params=["plain", "dict"])
+def batch_and_path(request, tmp_path_factory):
+    rng = np.random.default_rng(5 if request.param == "plain" else 6)
+    d = tmp_path_factory.mktemp("dist")
+    path = fixtures.strings_file(
+        d / "f.parquet", rng, n=1800, null_p=0.2,
+        n_unique=None if request.param == "plain" else 13,
+    )
+    r = ParquetReader(path)
+    return r, r.prescan("s", pad_strings=8)
+
+
+@pytest.mark.parametrize("pattern,negate", [("alpha", False), ("o[a-z]t", True)])
+def test_distributed_scan_matches_single(mesh, batch_and_path, pattern, negate):
+    _, batch = batch_and_path
+    single = scan_batch(batch, pattern, negate=negate)
+    padded = pad_pages(batch, 8)
+    res = distributed_scan(mesh, padded, compile_pattern(pattern), negate=negate)
+    assert np.array_equal(np.sort(res.pruned_pages()), np.sort(single.pruned_pages()))
+    assert int(res.totals[0]) == int(single.match_counts.sum())
+    n = batch.n_pages
+    assert np.array_equal(res.match_counts[:n], single.match_counts)
+
+
+def test_strings_page_major_layout(batch_and_path):
+    _, batch = batch_and_path
+    chars, lens = strings_page_major(batch)
+    nn_start = batch.arrays["str_nn_start"]
+    counts = np.diff(nn_start)
+    for p in range(min(batch.n_pages, 5)):
+        got = [bytes(chars[p, k, : lens[p, k]]) for k in range(counts[p])]
+        lo = nn_start[p]
+        want = [
+            batch.arrays["str_chars"][
+                batch.arrays["str_offs"][lo + k] :
+                batch.arrays["str_offs"][lo + k] + batch.arrays["str_lens"][lo + k]
+            ].tobytes()
+            for k in range(counts[p])
+        ]
+        assert got == want
+
+
+def test_exchange_roundtrip(mesh, batch_and_path):
+    reader, batch = batch_and_path
+    pos, lens, _offs, _chars = _string_stream(batch)
+    index = build_index(pos, lens, reader.num_rows(), 1024)
+    sizes = np.diff(np.concatenate([index.chunk_starts, [len(lens)]]))
+    owners = balanced_chunk_owners(sizes, 8)
+    dst = owners[index.chunk_of_entry]
+    src = (np.arange(len(dst)) * 8) // max(len(dst), 1)
+    plan = ExchangePlan.plan(dst, src, 8)
+    payload = np.stack([pos, lens], axis=1).astype(np.int64)
+    send = plan.build_send_buffer(payload, src, fill=-1)
+    recv = exchange_entries(mesh, send)
+    got = recv.reshape(-1, 2)
+    got = got[got[:, 0] >= 0]
+    # every entry arrives exactly once, with its payload intact
+    assert got.shape[0] == len(pos)
+    assert np.array_equal(np.sort(got[:, 0]), np.sort(pos))
+
+    # and each entry landed on the device owning its chunk
+    d = 8
+    recv_by_dest = recv.reshape(d, -1, 2)
+    for dest in range(d):
+        rows = recv_by_dest[dest]
+        rows = rows[rows[:, 0] >= 0]
+        expect = np.sort(pos[dst == dest])
+        assert np.array_equal(np.sort(rows[:, 0]), expect)
+
+
+def test_balanced_assignment_skew():
+    weights = np.array([1000, 1, 1, 1, 1, 1, 1, 1000])
+    a = assign_balanced(weights, 4)
+    load = np.zeros(4, np.int64)
+    np.add.at(load, a.device_of, weights)
+    assert load.max() <= 1002  # two heavy pages land on different devices
+
+
+def test_reorder_pages_preserves_decode(batch_and_path):
+    _, batch = batch_and_path
+    rng = np.random.default_rng(0)
+    order = rng.permutation(batch.n_pages)
+    re_batch = reorder_pages(batch, order)
+    assert np.array_equal(
+        re_batch.arrays["page_gid"], batch.arrays["page_gid"][order]
+    )
+    # string table stays consistent with the per-page prefix
+    if "str_nn_start" in re_batch.arrays:
+        counts = np.diff(re_batch.arrays["str_nn_start"])
+        want = np.diff(batch.arrays["str_nn_start"])[order]
+        assert np.array_equal(counts, want)
