@@ -47,7 +47,7 @@ def _load() -> ct.CDLL:
 
     lib.dpq_prescan.argtypes = [
         ct.c_void_p, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int64, ct.c_int64,
-        ct.c_char_p, ct.c_size_t,
+        ct.c_int64, ct.c_char_p, ct.c_size_t,
     ]
     lib.dpq_prescan.restype = ct.c_void_p
     lib.dpq_batch_free.argtypes = [ct.c_void_p]
@@ -150,12 +150,17 @@ def native_read_range(h: int, off: int, length: int) -> np.ndarray:
     return out
 
 
+PS_HOST_STRINGS = 1
+PS_PAYLOAD = 2
+
+
 def native_prescan(
-    h: int, leaf: int, rg0: int, rg1: int, align: int, pad_strings: int
+    h: int, leaf: int, rg0: int, rg1: int, align: int, pad_strings: int,
+    flags: int = PS_HOST_STRINGS,
 ) -> tuple[dict, dict[str, np.ndarray]]:
     """Runs the structural pre-scan, returning (dims, arrays as numpy)."""
     err = _err_buf()
-    b = lib().dpq_prescan(h, leaf, rg0, rg1, align, pad_strings, err, _ERRCAP)
+    b = lib().dpq_prescan(h, leaf, rg0, rg1, align, pad_strings, flags, err, _ERRCAP)
     if not b:
         raise NativeError(err.value.decode("utf-8", "replace"))
     try:

@@ -123,10 +123,11 @@ int dpq_read_range(void* h, int64_t off, int64_t len, uint8_t* out, char* err,
 // ── Pre-scan batches ────────────────────────────────────────────────────────
 
 void* dpq_prescan(void* h, int32_t leaf_idx, int32_t rg0, int32_t rg1,
-                  int64_t align, int64_t pad_strings, char* err, size_t errcap) {
+                  int64_t align, int64_t pad_strings, int64_t flags, char* err,
+                  size_t errcap) {
   DPQ_TRY({
     auto batch = static_cast<Reader*>(h)->prescan(leaf_idx, rg0, rg1, align,
-                                                  pad_strings);
+                                                  pad_strings, flags);
     return static_cast<void*>(batch.release());
   })
 }

@@ -2,20 +2,26 @@
 // pages (over a row-group range) into the fixed-layout SoA batch consumed by
 // the device decode kernels.
 //
-// Batch contract (array names ↔ duckdb_parquet_parser_tpu/ops/decode.py):
+// Batch contract (array names ↔ duckdb_parquet_parser_tpu/ops/*.py):
 //   dims: n_pages vmax nn_cap def_rmax idx_rmax def_pad idx_pad plain_w
 //         bool_pad dict_n nn_total chars_total dict_chars_total str_pitch
-//         dict_pitch type max_def max_rep
+//         dict_pitch payload_pad type max_def max_rep def_bw
 //   per page  : page_num_values page_nn page_kind page_def_bw page_idx_bw
 //               page_def_nruns page_idx_nruns page_row_start page_gid page_rg
-//               page_dict_base page_dict_size
+//               page_dict_base page_dict_size page_payload_len
 //   run tables: {def,idx}_run_{kind,count,value,bitoff,vstart}  [n_pages, rmax]
 //   byte data : def_bytes [n_pages, def_pad], idx_bytes [n_pages, idx_pad],
-//               plain_fixed [n_pages, nn_cap*plain_w], bool_bits [n_pages,
-//               bool_pad], dict_fixed [dict_n, plain_w]
+//               plain_fixed [n_pages, nn_cap*plain_w], bool_bits, dict_fixed
+//   payload   : payload [n_pages, payload_pad] raw value-section bytes
+//               (PS_PAYLOAD; feeds the fully device-side string kernels)
 //   strings   : str_nn_start [n_pages+1], str_lens/str_offs [nn_total],
-//               str_chars [chars_total], str_padded [nn_total, str_pitch],
-//               dict_lens/dict_offs [dict_n], dict_chars, dict_padded
+//               str_chars, str_padded [nn_total, str_pitch]  (PS_HOST_STRINGS)
+//   dict      : dict_lens/dict_offs/dict_chars/dict_padded  (BYTE_ARRAY)
+//
+// Performance shape: every column chunk is read from disk ONCE (one pread per
+// chunk); per-page work is O(run headers) + bulk memcpy.  The per-value
+// string-prefix walk runs only under PS_HOST_STRINGS — the scan pipeline uses
+// PS_PAYLOAD and parses prefixes on the device instead.
 #pragma once
 
 #include "dpq_reader.hpp"
@@ -24,7 +30,8 @@ namespace dpq {
 
 inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
                                                    int rg1, int64_t align,
-                                                   int64_t pad_strings) const {
+                                                   int64_t pad_strings,
+                                                   int64_t flags) const {
   if (leaf_idx < 0 || size_t(leaf_idx) >= leaves_.size())
     throw Error("leaf index out of range");
   const Leaf& lf = leaves_[size_t(leaf_idx)];
@@ -37,35 +44,58 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   const bool is_bool = lf.type == T_BOOLEAN;
   const bool is_ba = lf.type == T_BYTE_ARRAY;
   const int def_bw = lf.max_def > 0 ? level_bit_width(lf.max_def) : 0;
+  const bool want_strings = is_ba && (flags & PS_HOST_STRINGS);
+  const bool want_payload = is_ba && (flags & PS_PAYLOAD);
 
-  // per-page accumulators
+  // per-page accumulators (value-section spans point into rg chunk buffers,
+  // which stay alive in `chunk_bufs` until the final packing pass)
   struct PageTmp {
     int32_t num_values, nn, kind, idx_bw;
     int64_t row_start, gid;
     int32_t rg, dict_base, dict_size;
     std::vector<Run> def_runs, idx_runs;
-    std::vector<uint8_t> def_bytes, idx_bytes, plain, bits;
-    // strings (PLAIN BYTE_ARRAY pages)
+    const uint8_t* def_ptr = nullptr;   // def section
+    int64_t def_len = 0;
+    const uint8_t* val_ptr = nullptr;   // value section (after def/rep [+bw])
+    int64_t val_len = 0;
+    // strings (PLAIN BYTE_ARRAY pages, PS_HOST_STRINGS)
     std::vector<int32_t> slens;
-    int64_t schar_start = 0;  // into the global chars accumulator
+    int64_t schar_start = 0;
   };
   std::vector<PageTmp> tmp;
+  tmp.reserve(256);
+  std::vector<std::vector<uint8_t>> chunk_bufs;
 
-  // dictionary accumulators (all row groups concatenated)
-  std::vector<uint8_t> dict_fixed;          // fixed-width / bool entries
-  std::vector<int32_t> dict_lens;           // BYTE_ARRAY entries
+  std::vector<uint8_t> dict_fixed;
+  std::vector<int32_t> dict_lens;
   std::vector<int64_t> dict_offs;
   std::vector<uint8_t> dict_chars;
-  std::vector<uint8_t> str_chars;           // PLAIN string payload accumulator
+  std::vector<uint8_t> str_chars;
   int32_t dict_n = 0;
 
   for (int rg = rg0; rg < rg1; rg++) {
     const RowGroup& g = meta_.row_groups[size_t(rg)];
-    if (size_t(lf.chunk_idx) >= g.columns.size() || !g.columns[size_t(lf.chunk_idx)].meta)
+    if (size_t(lf.chunk_idx) >= g.columns.size() ||
+        !g.columns[size_t(lf.chunk_idx)].meta)
       throw Error("column chunk missing metadata");
     const ColumnMeta& cm = *g.columns[size_t(lf.chunk_idx)].meta;
     if (cm.codec != C_UNCOMPRESSED)
       throw Error("Only uncompressed parquet files are supported");
+
+    // one disk read per chunk
+    int64_t chunk_start = cm.data_page_offset;
+    if (cm.dictionary_page_offset)
+      chunk_start = std::min(chunk_start, *cm.dictionary_page_offset);
+    int64_t span = std::max<int64_t>(cm.total_compressed_size, 16);
+    chunk_bufs.emplace_back(size_t(span));
+    std::vector<uint8_t>& cbuf = chunk_bufs.back();
+    read_range(chunk_start, span, cbuf.data());
+    auto page_bytes = [&](const PageRec& pr) -> const uint8_t* {
+      int64_t off = pr.data_off - chunk_start;
+      if (off < 0 || off + pr.size > span)
+        throw Error("page outside chunk span");
+      return cbuf.data() + off;
+    };
 
     int32_t rg_dict_base = -1, rg_dict_size = 0;
 
@@ -73,17 +103,14 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       const PageRec& pr = pages_[pi];
       if (pr.rg != rg || pr.chunk_col != lf.chunk_idx) continue;
 
-      std::vector<uint8_t> page(size_t(pr.size));
-      read_range(pr.data_off, pr.size, page.data());
-
       if (pr.kind == P_DICTIONARY) {
         // Dictionary values are PLAIN-encoded; BOOLEAN dictionaries use one
-        // byte per value (reference: src/reader/column_reader.cpp:128-138 via
-        // read_plain_value).
+        // byte per value (reference: src/reader/column_reader.cpp:128-138).
         rg_dict_base = dict_n;
         rg_dict_size = pr.num_values;
-        Cursor cur(page.data(), page.size());
+        Cursor cur(page_bytes(pr), size_t(pr.size));
         if (is_ba) {
+          dict_lens.reserve(dict_lens.size() + size_t(pr.num_values));
           for (int32_t i = 0; i < pr.num_values; i++) {
             uint32_t len = cur.le<uint32_t>();
             const uint8_t* p = cur.bytes(len);
@@ -96,7 +123,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
             dict_fixed.push_back(cur.u8());
         } else if (w > 0) {
           const uint8_t* p = cur.bytes(size_t(pr.num_values) * size_t(w));
-          dict_fixed.insert(dict_fixed.end(), p, p + size_t(pr.num_values) * size_t(w));
+          dict_fixed.insert(dict_fixed.end(), p,
+                            p + size_t(pr.num_values) * size_t(w));
         } else {
           throw Error("unsupported dictionary value type");
         }
@@ -113,23 +141,22 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       t.dict_base = rg_dict_base;
       t.dict_size = rg_dict_size;
 
-      Cursor cur(page.data(), page.size());
+      Cursor cur(page_bytes(pr), size_t(pr.size));
 
-      // Definition levels (read FIRST — matching the reference's order; see
-      // header comment in dpq_reader.hpp).
+      // Definition levels first — matching the reference's (nonstandard)
+      // order; see the header comment in dpq_reader.hpp.
       if (lf.max_def > 0) {
         uint32_t def_len = cur.le<uint32_t>();
-        const uint8_t* dp = cur.bytes(def_len);
-        t.def_bytes.assign(dp, dp + def_len);
-        rle_prescan(dp, def_len, def_bw, t.num_values, t.def_runs);
-        t.nn = int32_t(count_matching(t.def_runs, dp, def_len, def_bw, lf.max_def));
+        t.def_ptr = cur.bytes(def_len);
+        t.def_len = def_len;
+        rle_prescan(t.def_ptr, def_len, def_bw, t.num_values, t.def_runs);
+        t.nn = int32_t(
+            count_matching(t.def_runs, t.def_ptr, def_len, def_bw, lf.max_def));
       } else {
         t.nn = t.num_values;
       }
 
-      // Repetition levels: present when max_rep > 0; decoded-and-ignored by
-      // the reference — we skip the section.
-      if (lf.max_rep > 0) {
+      if (lf.max_rep > 0) {  // rep levels: decoded-and-ignored by the reference
         uint32_t rep_len = cur.le<uint32_t>();
         cur.bytes(rep_len);
       }
@@ -140,29 +167,32 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       if (enc_dict) {
         t.kind = 1;
         t.idx_bw = cur.u8();
-        size_t rest = cur.left();
-        const uint8_t* ip = cur.bytes(rest);
-        t.idx_bytes.assign(ip, ip + rest);
-        rle_prescan(ip, rest, t.idx_bw, t.nn, t.idx_runs);
+        t.val_len = int64_t(cur.left());
+        t.val_ptr = cur.bytes(size_t(t.val_len));
+        rle_prescan(t.val_ptr, size_t(t.val_len), t.idx_bw, t.nn, t.idx_runs);
       } else if (is_bool) {
         t.kind = 0;
-        size_t nbytes = size_t((t.nn + 7) / 8);
-        const uint8_t* bp = cur.bytes(nbytes);
-        t.bits.assign(bp, bp + nbytes);
+        t.val_len = int64_t((t.nn + 7) / 8);
+        t.val_ptr = cur.bytes(size_t(t.val_len));
       } else if (is_ba) {
         t.kind = 0;
-        t.schar_start = int64_t(str_chars.size());
-        t.slens.reserve(size_t(t.nn));
-        for (int32_t i = 0; i < t.nn; i++) {
-          uint32_t len = cur.le<uint32_t>();
-          const uint8_t* p = cur.bytes(len);
-          t.slens.push_back(int32_t(len));
-          str_chars.insert(str_chars.end(), p, p + len);
+        t.val_len = int64_t(cur.left());
+        t.val_ptr = cur.bytes(size_t(t.val_len));
+        if (want_strings) {
+          Cursor vc(t.val_ptr, size_t(t.val_len));
+          t.schar_start = int64_t(str_chars.size());
+          t.slens.reserve(size_t(t.nn));
+          for (int32_t i = 0; i < t.nn; i++) {
+            uint32_t len = vc.le<uint32_t>();
+            const uint8_t* p = vc.bytes(len);
+            t.slens.push_back(int32_t(len));
+            str_chars.insert(str_chars.end(), p, p + len);
+          }
         }
       } else if (w > 0) {
         t.kind = 0;
-        const uint8_t* p = cur.bytes(size_t(t.nn) * size_t(w));
-        t.plain.assign(p, p + size_t(t.nn) * size_t(w));
+        t.val_len = int64_t(t.nn) * w;
+        t.val_ptr = cur.bytes(size_t(t.val_len));
       } else {
         throw Error(std::string("unsupported plain type: ") +
                     physical_type_name(lf.type));
@@ -175,15 +205,16 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   // ── dims ──────────────────────────────────────────────────────────────────
   const int64_t N = int64_t(tmp.size());
   int64_t vmax = 1, nn_cap = 1, def_rmax = 1, idx_rmax = 1;
-  int64_t def_pad = 0, idx_pad = 0;
+  int64_t def_pad = 0, idx_pad = 0, payload_max = 0;
   int64_t nn_total = 0, max_slen = 0, max_dlen = 0;
   for (const auto& t : tmp) {
     vmax = std::max<int64_t>(vmax, t.num_values);
     nn_cap = std::max<int64_t>(nn_cap, t.nn);
     def_rmax = std::max<int64_t>(def_rmax, int64_t(t.def_runs.size()));
     idx_rmax = std::max<int64_t>(idx_rmax, int64_t(t.idx_runs.size()));
-    def_pad = std::max<int64_t>(def_pad, int64_t(t.def_bytes.size()));
-    idx_pad = std::max<int64_t>(idx_pad, int64_t(t.idx_bytes.size()));
+    def_pad = std::max<int64_t>(def_pad, t.def_len);
+    if (t.kind == 1) idx_pad = std::max<int64_t>(idx_pad, t.val_len);
+    payload_max = std::max<int64_t>(payload_max, t.val_len);
     nn_total += int64_t(t.slens.size());
     for (int32_t l : t.slens) max_slen = std::max<int64_t>(max_slen, l);
   }
@@ -191,8 +222,10 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   vmax = round_up(vmax, 8);
   nn_cap = round_up(nn_cap, 8);
   def_pad = round_up(std::max<int64_t>(def_pad, 4) + 4, align);  // +4 slack so
-  idx_pad = round_up(std::max<int64_t>(idx_pad, 4) + 4, align);  // 4-byte windows
+  idx_pad = round_up(std::max<int64_t>(idx_pad, 4) + 4, align);  // 4B windows
   const int64_t bool_pad = is_bool ? round_up((nn_cap + 7) / 8, align) : 0;
+  const int64_t payload_pad =
+      want_payload ? round_up(std::max<int64_t>(payload_max, 4) + 4, align) : 0;
 
   auto store = std::make_unique<ArrayStore>();
   auto& dims = store->dims;
@@ -209,15 +242,20 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   dims["nn_total"] = nn_total;
   dims["chars_total"] = int64_t(str_chars.size());
   dims["dict_chars_total"] = int64_t(dict_chars.size());
+  dims["payload_pad"] = payload_pad;
   dims["type"] = lf.type;
   dims["max_def"] = lf.max_def;
   dims["max_rep"] = lf.max_rep;
   dims["def_bw"] = def_bw;
 
   const int64_t str_pitch =
-      (is_ba && pad_strings > 0) ? round_up(std::max<int64_t>(max_slen, 1), pad_strings) : 0;
+      (want_strings && pad_strings > 0)
+          ? round_up(std::max<int64_t>(max_slen, 1), pad_strings)
+          : 0;
   const int64_t dict_pitch =
-      (is_ba && pad_strings > 0) ? round_up(std::max<int64_t>(max_dlen, 1), pad_strings) : 0;
+      (is_ba && pad_strings > 0)
+          ? round_up(std::max<int64_t>(max_dlen, 1), pad_strings)
+          : 0;
   dims["str_pitch"] = str_pitch;
   dims["dict_pitch"] = dict_pitch;
 
@@ -234,6 +272,7 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   auto* p_rg = store->alloc<int32_t>("page_rg", {N});
   auto* p_db = store->alloc<int32_t>("page_dict_base", {N});
   auto* p_ds = store->alloc<int32_t>("page_dict_size", {N});
+  auto* p_pl = store->alloc<int32_t>("page_payload_len", {N});
 
   auto alloc_runs = [&](const char* prefix, int64_t rmax) {
     struct Ptrs {
@@ -256,6 +295,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   if (w > 0) a_plain = store->alloc<uint8_t>("plain_fixed", {N, nn_cap * w});
   uint8_t* a_bits = nullptr;
   if (is_bool) a_bits = store->alloc<uint8_t>("bool_bits", {N, bool_pad});
+  uint8_t* a_payload = nullptr;
+  if (want_payload) a_payload = store->alloc<uint8_t>("payload", {N, payload_pad});
 
   if (dict_n > 0 && !is_ba)
     std::memcpy(store->alloc<uint8_t>("dict_fixed",
@@ -276,6 +317,7 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     p_rg[i] = t.rg;
     p_db[i] = t.dict_base;
     p_ds[i] = t.dict_size;
+    p_pl[i] = int32_t(t.val_len);
 
     for (size_t r = 0; r < t.def_runs.size(); r++) {
       const Run& rn = t.def_runs[r];
@@ -295,21 +337,43 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       ir.bitoff[k] = rn.bitoff;
       ir.vstart[k] = rn.vstart;
     }
-    if (!t.def_bytes.empty())
-      std::memcpy(a_def + i * def_pad, t.def_bytes.data(), t.def_bytes.size());
-    if (!t.idx_bytes.empty())
-      std::memcpy(a_idx + i * idx_pad, t.idx_bytes.data(), t.idx_bytes.size());
-    if (a_plain && !t.plain.empty())
-      std::memcpy(a_plain + i * nn_cap * w, t.plain.data(), t.plain.size());
-    if (a_bits && !t.bits.empty())
-      std::memcpy(a_bits + i * bool_pad, t.bits.data(), t.bits.size());
+    if (t.def_len)
+      std::memcpy(a_def + i * def_pad, t.def_ptr, size_t(t.def_len));
+    if (t.kind == 1 && t.val_len)
+      std::memcpy(a_idx + i * idx_pad, t.val_ptr, size_t(t.val_len));
+    if (a_plain && t.kind == 0 && !is_ba && !is_bool && t.val_len)
+      std::memcpy(a_plain + i * nn_cap * w, t.val_ptr, size_t(t.val_len));
+    if (a_bits && t.kind == 0 && t.val_len)
+      std::memcpy(a_bits + i * bool_pad, t.val_ptr, size_t(t.val_len));
+    if (a_payload && t.kind == 0 && t.val_len)
+      std::memcpy(a_payload + i * payload_pad, t.val_ptr, size_t(t.val_len));
   }
 
   // ── strings ───────────────────────────────────────────────────────────────
-  if (is_ba) {
+  if (is_ba && dict_n > 0) {
+    std::memcpy(store->alloc<int32_t>("dict_lens", {dict_n}), dict_lens.data(),
+                dict_lens.size() * sizeof(int32_t));
+    std::memcpy(store->alloc<int64_t>("dict_offs", {dict_n}), dict_offs.data(),
+                dict_offs.size() * sizeof(int64_t));
+    std::memcpy(
+        store->alloc<uint8_t>(
+            "dict_chars", {std::max<int64_t>(int64_t(dict_chars.size()), 1)}),
+        dict_chars.data(), dict_chars.size());
+    if (dict_pitch > 0) {
+      auto* padded = store->alloc<uint8_t>("dict_padded", {dict_n, dict_pitch});
+      for (int32_t v = 0; v < dict_n; v++)
+        std::memcpy(padded + int64_t(v) * dict_pitch,
+                    dict_chars.data() + dict_offs[size_t(v)],
+                    size_t(dict_lens[size_t(v)]));
+    }
+  }
+
+  if (want_strings) {
     auto* nn_start = store->alloc<int64_t>("str_nn_start", {N + 1});
-    auto* s_lens = store->alloc<int32_t>("str_lens", {std::max<int64_t>(nn_total, 1)});
-    auto* s_offs = store->alloc<int64_t>("str_offs", {std::max<int64_t>(nn_total, 1)});
+    auto* s_lens =
+        store->alloc<int32_t>("str_lens", {std::max<int64_t>(nn_total, 1)});
+    auto* s_offs =
+        store->alloc<int64_t>("str_offs", {std::max<int64_t>(nn_total, 1)});
     auto* s_chars = store->alloc<uint8_t>(
         "str_chars", {std::max<int64_t>(int64_t(str_chars.size()), 1)});
     std::memcpy(s_chars, str_chars.data(), str_chars.size());
@@ -328,28 +392,11 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     }
     nn_start[N] = at;
 
-    if (dict_n > 0) {
-      std::memcpy(store->alloc<int32_t>("dict_lens", {dict_n}),
-                  dict_lens.data(), dict_lens.size() * sizeof(int32_t));
-      std::memcpy(store->alloc<int64_t>("dict_offs", {dict_n}),
-                  dict_offs.data(), dict_offs.size() * sizeof(int64_t));
-      std::memcpy(store->alloc<uint8_t>(
-                      "dict_chars", {std::max<int64_t>(int64_t(dict_chars.size()), 1)}),
-                  dict_chars.data(), dict_chars.size());
-    }
-
     if (str_pitch > 0 && nn_total > 0) {
       auto* padded = store->alloc<uint8_t>("str_padded", {nn_total, str_pitch});
       for (int64_t v = 0; v < nn_total; v++)
         std::memcpy(padded + v * str_pitch, str_chars.data() + s_offs[v],
                     size_t(s_lens[v]));
-    }
-    if (dict_pitch > 0 && dict_n > 0) {
-      auto* padded = store->alloc<uint8_t>("dict_padded", {dict_n, dict_pitch});
-      for (int32_t v = 0; v < dict_n; v++)
-        std::memcpy(padded + int64_t(v) * dict_pitch,
-                    dict_chars.data() + dict_offs[size_t(v)],
-                    size_t(dict_lens[size_t(v)]));
     }
   }
 

@@ -35,6 +35,13 @@
 
 namespace dpq {
 
+// Optional pre-scan outputs.
+enum PrescanFlags : int64_t {
+  PS_HOST_STRINGS = 1,  // per-value host string tables (str_lens/offs/chars)
+  PS_PAYLOAD = 2,       // raw value-section bytes per page ("payload"),
+                        // for the fully device-side string kernels
+};
+
 // ── Leaf column descriptor ──────────────────────────────────────────────────
 
 struct Leaf {
@@ -245,9 +252,11 @@ class Reader {
   // The structural pre-scan: pack one column across row groups [rg0, rg1)
   // into a device-ready SoA batch.  `align` pads trailing dims; when
   // `pad_strings` > 0, BYTE_ARRAY values/dictionaries are additionally packed
-  // into fixed-pitch char matrices for the scan kernels.
+  // into fixed-pitch char matrices for the scan kernels.  `flags` selects
+  // optional outputs (combine PrescanFlags bits).
   std::unique_ptr<ArrayStore> prescan(int leaf_idx, int rg0, int rg1,
-                                      int64_t align, int64_t pad_strings) const;
+                                      int64_t align, int64_t pad_strings,
+                                      int64_t flags) const;
 
  private:
   void pread_full(int64_t off, size_t len, uint8_t* out) const {

@@ -201,11 +201,14 @@ class ParquetReader:
         rg1: int = -1,
         align: int = 128,
         pad_strings: int = 0,
+        flags: int = bindings.PS_HOST_STRINGS,
     ) -> DecodeBatch:
         idx = self.find_column(column) if isinstance(column, str) else column
         if idx < 0:
             raise KeyError(f"Column not found: {column}")
-        dims, arrays = bindings.native_prescan(self._h, idx, rg0, rg1, align, pad_strings)
+        dims, arrays = bindings.native_prescan(
+            self._h, idx, rg0, rg1, align, pad_strings, flags
+        )
         return DecodeBatch(dims, arrays)
 
     # ── decoded column reads ────────────────────────────────────────────────

@@ -26,7 +26,7 @@ from typing import Any
 
 import numpy as np
 
-from .expand import expand_hybrid, nonnull_mask_and_index
+from .expand import expand_hybrid, nonnull_mask_and_index, take2d
 
 # Arrays the core decode consumes (subset of the pre-scan batch contract).
 DECODE_ARRAYS = [
@@ -90,7 +90,7 @@ def decode_dict_indices(xp, arrays, nn_idx, nn_len: int):
         arrays["idx_run_vstart"], arrays["idx_bytes"],
         arrays["page_idx_bw"], nn_len,
     )
-    dict_idx = xp.take_along_axis(idx_stream, xp.clip(nn_idx, 0, nn_len - 1), axis=1)
+    dict_idx = take2d(xp, idx_stream, xp.clip(nn_idx, 0, nn_len - 1))
     ok = (dict_idx >= 0) & (dict_idx < arrays["page_dict_size"][:, None])
     return dict_idx, ok
 
@@ -117,14 +117,15 @@ def decode_fixed(
     plain_vals = None
     if mode in ("plain", "mixed"):
         if bool_bits is not None:
-            byte = xp.take_along_axis(
-                bool_bits.astype(xp.int32), gather_idx >> 3, axis=1
-            )
+            byte = take2d(xp, bool_bits.astype(xp.int32), gather_idx >> 3)
             plain_vals = [(byte >> (gather_idx & 7)) & 1]
+        elif max_def == 0 and plain_planes and plain_planes[0].shape[1] >= out_len:
+            # REQUIRED columns: the non-null rank IS the row index, so the
+            # "gather" is the identity — pure reinterpret, zero gathers
+            # (gathers cost ~10-25 ns/elem on TPU; this path is memcpy-speed).
+            plain_vals = [p[:, :out_len] for p in plain_planes]
         else:
-            plain_vals = [
-                xp.take_along_axis(p, gather_idx, axis=1) for p in plain_planes
-            ]
+            plain_vals = [take2d(xp, p, gather_idx) for p in plain_planes]
 
     dict_vals = None
     dict_ok = None

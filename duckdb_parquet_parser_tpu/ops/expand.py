@@ -37,6 +37,19 @@ def _scatter_add(xp, target, rows, cols, values):
     return target.at[rows, cols].add(values)
 
 
+def take2d(xp, a, idx):
+    """Gather along the last axis of a 2-D array via FLAT 1-D indexing.
+
+    Equivalent to take_along_axis(a, idx, axis=1) for in-range idx, but an
+    order of magnitude faster on TPU (XLA lowers 1-D gathers well; batched
+    2-D gathers poorly — measured on v5e).  idx must already be clipped to
+    [0, a.shape[1]-1].
+    """
+    n, m = a.shape
+    base = xp.arange(n, dtype=xp.int32)[:, None] * m
+    return xp.take(a.reshape(-1), base + idx)
+
+
 def expand_hybrid(
     xp: Any,
     run_kind,   # [N, R] i32 : 0 = repeated, 1 = literal
@@ -64,7 +77,7 @@ def expand_hybrid(
     )
     run_id = xp.clip(xp.cumsum(marks, axis=1) - 1, 0, n_runs - 1)
 
-    take = lambda a: xp.take_along_axis(a, run_id, axis=1)
+    take = lambda a: take2d(xp, a, run_id)
     kind_v = take(run_kind)
     value_v = take(run_value)
     bitoff_v = take(run_bitoff)
@@ -78,10 +91,11 @@ def expand_hybrid(
 
     in_range = (byte0 >= 0) & (byte0 <= s_pad - 4)
     b0 = xp.clip(byte0, 0, s_pad - 4)
-    w = xp.take_along_axis(section, b0, axis=1).astype(xp.uint32)
-    w = w | (xp.take_along_axis(section, b0 + 1, axis=1).astype(xp.uint32) << 8)
-    w = w | (xp.take_along_axis(section, b0 + 2, axis=1).astype(xp.uint32) << 16)
-    w = w | (xp.take_along_axis(section, b0 + 3, axis=1).astype(xp.uint32) << 24)
+    sec_i = section.astype(xp.int32)
+    w = take2d(xp, sec_i, b0).astype(xp.uint32)
+    w = w | (take2d(xp, sec_i, b0 + 1).astype(xp.uint32) << 8)
+    w = w | (take2d(xp, sec_i, b0 + 2).astype(xp.uint32) << 16)
+    w = w | (take2d(xp, sec_i, b0 + 3).astype(xp.uint32) << 24)
     mask = ((xp.uint32(1) << bw_col.astype(xp.uint32)) - xp.uint32(1))
     literal = ((w >> shift) & mask).astype(xp.int32)
     literal = xp.where(in_range, literal, 0)

@@ -1,0 +1,213 @@
+"""Device-side BYTE_ARRAY parsing — length prefixes and regex over RAW page
+payloads, with zero per-value host work.
+
+This is the full TPU-ification of the reference's string hot loops
+(reference: src/reader/parquet_reader.cpp:442-453 PLAIN prefix walk;
+src/reader/column_reader.cpp:249-253): the host uploads each page's raw value
+section (`payload` [N, P] u8, from the PS_PAYLOAD pre-scan) and the device
+does the rest:
+
+  * `string_offsets`  — per-value (offset, len) tables via a lax.scan over the
+    per-page value chain: all pages advance in lockstep, one value per step
+    (pages are ~1 KB ⇒ tens of values), each step a 4-byte gather per page.
+  * `match_payload_stream` — a streaming DFA that consumes one byte column
+    per step across all pages: each page lane tracks (prefix_left, len_accum,
+    bytes_left, dfa_state, values_done, accepts).  One table-gather of width
+    N per byte — no char matrix is ever materialized, so scan traffic equals
+    the raw page bytes.
+
+Both are xp-generic (numpy mirrors are the test oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def string_offsets(xp, payload, nn, cap: int):
+    """Parse PLAIN BYTE_ARRAY length prefixes on device.
+
+    payload: [N, P] u8 (raw value sections, zero-padded);
+    nn: [N] i32 value counts.  Returns (offs [N, cap] i32 — first char byte,
+    lens [N, cap] i32); entries beyond nn are zero.
+
+    All memory access is flat 1-D gathers (XLA:TPU lowers those well; 2-D
+    take_along_axis is an order of magnitude slower — measured).
+    """
+    n, p = payload.shape
+    flat = payload.reshape(-1).astype(xp.int32)
+    base = xp.arange(n, dtype=xp.int32) * p
+
+    def le32_at(off):  # absolute flat offsets [N] -> [N]
+        o = xp.clip(off, 0, n * p - 4)
+        b = lambda k: xp.take(flat, o + k)
+        return b(0) | (b(1) << 8) | (b(2) << 16) | (b(3) << 24)
+
+    if xp is np:
+        offs = np.zeros((n, cap), np.int32)
+        lens = np.zeros((n, cap), np.int32)
+        off = base.copy()
+        for k in range(cap):
+            ln = le32_at(off)
+            live = k < nn
+            offs[:, k] = np.where(live, off - base + 4, 0)
+            lens[:, k] = np.where(live, ln, 0)
+            off = np.where(live, off + 4 + ln, off)
+        return offs, lens
+
+    import jax
+
+    def step(off, k):
+        ln = le32_at(off)
+        live = k < nn
+        out_off = xp.where(live, off - base + 4, 0)
+        out_len = xp.where(live, ln, 0)
+        return xp.where(live, off + 4 + ln, off), (out_off, out_len)
+
+    _, (offs, lens) = jax.lax.scan(
+        step, base, xp.arange(cap, dtype=xp.int32)
+    )
+    return xp.transpose(offs), xp.transpose(lens)
+
+
+def match_payload_stream(xp, payload, payload_len, nn, table, accept,
+                         max_steps: int | None = None, use_mxu: bool = False):
+    """Streaming DFA over raw PLAIN BYTE_ARRAY payloads.
+
+    Returns (accept_counts [N] i32, values_seen [N] i32): number of values per
+    page whose bytes the DFA accepts, with value boundaries parsed from the
+    4-byte length prefixes on the fly.
+
+    use_mxu=True replaces the table-gather transition with one-hot matmuls on
+    the MXU (see mxu_dfa.py for the rationale: XLA gathers are ~10-25 ns/elem
+    on TPU, the matmul path is compute-bound and far faster).
+    """
+    n, p = payload.shape
+    steps = int(max_steps or p)
+    n_states = table.shape[0]
+    tflat = xp.asarray(table, dtype=xp.int32).reshape(-1)
+    acc_i = xp.asarray(accept).astype(xp.int32)
+    acc0 = int(np.asarray(accept)[0])  # accept of the empty string
+    payload_i = payload.astype(xp.int32)
+    nn = xp.asarray(nn, dtype=xp.int32)
+    payload_len = xp.asarray(payload_len, dtype=xp.int32)
+
+    if use_mxu and xp is not np:
+        import jax
+        import jax.numpy as jnp
+
+        t_np = np.asarray(table)
+        acc_np = np.asarray(accept)
+        # [256, S] next-state and accept-of-next-state, byte-indexed rows
+        t_t = jnp.asarray(t_np.T.astype(np.float32), jnp.bfloat16)
+        a_t = jnp.asarray(acc_np[t_np].T.astype(np.float32), jnp.bfloat16)
+        byte_iota = jnp.arange(256, dtype=jnp.int32)[None, :]
+        state_iota = jnp.arange(n_states, dtype=jnp.int32)[None, :]
+
+        def transition(state, c):
+            onehot = (c[:, None] == byte_iota).astype(jnp.bfloat16)
+            g = jax.lax.dot_general(
+                onehot, jnp.concatenate([t_t, a_t], axis=1),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)  # [N, 2S]
+            sel = state[:, None] == state_iota
+            nxt = jnp.sum(jnp.where(sel, g[:, :n_states], 0), axis=1)
+            acc_next = jnp.sum(jnp.where(sel, g[:, n_states:], 0), axis=1)
+            return nxt, acc_next
+    else:
+        def transition(state, c):
+            nxt = xp.take(tflat, xp.clip(state, 0, None) * 256 + c)
+            return nxt, xp.take(acc_i, nxt)
+
+    def make_step(get_col):
+        def step(carry, b):
+            prefix_left, len_accum, bytes_left, state, done, hits = carry
+            c = get_col(b)
+            active = (b < payload_len) & (done < nn)
+            in_prefix = prefix_left > 0
+
+            # prefix byte: accumulate little-endian length
+            la2 = len_accum | (c << (8 * (4 - prefix_left)))
+            pl2 = prefix_left - 1
+            prefix_done = in_prefix & (pl2 == 0) & active
+            zero_len = prefix_done & (la2 == 0)
+
+            # value byte: advance the DFA
+            st2, acc_st2 = transition(state, c)
+            bl2 = bytes_left - 1
+            value_done = (~in_prefix) & (bl2 == 0) & active
+
+            fin = zero_len | value_done
+            fin_accept = xp.where(zero_len, acc0, acc_st2)
+            hits = hits + xp.where(fin, fin_accept, 0)
+            done = done + fin.astype(xp.int32)
+
+            new_prefix_left = xp.where(
+                ~active, prefix_left,
+                xp.where(fin, 4, xp.where(in_prefix, pl2, prefix_left)))
+            new_len_accum = xp.where(
+                ~active, len_accum,
+                xp.where(fin, 0, xp.where(in_prefix, la2, len_accum)))
+            new_bytes_left = xp.where(
+                ~active, bytes_left,
+                xp.where(prefix_done & ~zero_len, la2,
+                         xp.where(in_prefix, bytes_left, bl2)))
+            new_state = xp.where(
+                ~active, state,
+                xp.where(prefix_done, 0, xp.where(in_prefix, state, st2)))
+            return (new_prefix_left, new_len_accum, new_bytes_left, new_state,
+                    done, hits), None
+
+        return step
+
+    zero = lambda: xp.zeros(n, xp.int32)
+    init = (xp.full(n, 4, xp.int32), zero(), zero(), zero(), zero(), zero())
+
+    if xp is np:
+        carry = init
+        step = make_step(lambda b: payload_i[:, b])
+        for b in range(steps):
+            carry, _ = step(carry, b)
+        return carry[5], carry[4]
+
+    import jax
+
+    cols = xp.transpose(payload_i)  # [P, N]
+    step = make_step(lambda b: cols[b])
+    carry, _ = jax.lax.scan(step, init, xp.arange(steps, dtype=xp.int32))
+    return carry[5], carry[4]
+
+
+def match_values_by_offset(xp, payload, offs, lens, table, accept,
+                           pitch: int):
+    """Per-value DFA with chars gathered from the payload on the fly
+    (pitch = max value length scan steps; all gathers flat 1-D).
+    Values longer than `pitch` would be truncated — callers must size pitch
+    from the true max length.  Returns [N, cap] bool accepts."""
+    n, cap = offs.shape
+    p = payload.shape[1]
+    tflat = xp.asarray(table, dtype=xp.int32).reshape(-1)
+    acc = xp.asarray(accept)
+    flat = payload.reshape(-1).astype(xp.int32)
+    gbase = (xp.arange(n, dtype=xp.int32) * p)[:, None] + offs  # [N, cap]
+    top = n * p - 1
+
+    if xp is np:
+        state = np.zeros((n, cap), np.int32)
+        for j in range(pitch):
+            c = flat[np.clip(gbase + j, 0, top)]
+            nxt = tflat[state * 256 + c]
+            state = np.where(j < lens, nxt, state)
+        return acc[state]
+
+    import jax
+
+    def step(state, j):
+        c = xp.take(flat, xp.clip(gbase + j, 0, top))
+        nxt = xp.take(tflat, state * 256 + c)
+        return xp.where(j < lens, nxt, state), None
+
+    state, _ = jax.lax.scan(
+        step, xp.zeros((n, cap), xp.int32), xp.arange(pitch, dtype=xp.int32)
+    )
+    return xp.take(acc, state)
