@@ -50,12 +50,24 @@ def _print_file_info(reader: ParquetReader) -> None:
 
 
 def _run_regex_scan(reader: ParquetReader, args) -> int:
+    from .host import bindings
+    from .ops.regex import UnsupportedPattern, compile_pattern
+    from .ops.scan import scan_batch_device
+
     pattern = like_to_regex(args.regex) if args.like else args.regex
-    batch = reader.prescan(args.regex_column, pad_strings=8)
-    xp = np
     if args.engine == "jax":
-        import jax.numpy as xp  # noqa: F811
-    result = scan_batch(batch, pattern, negate=args.neg_regex, xp=xp)
+        try:
+            compile_pattern(pattern)
+            batch = reader.prescan(
+                args.regex_column, pad_strings=8, flags=bindings.PS_PAYLOAD
+            )
+            result = scan_batch_device(batch, pattern, negate=args.neg_regex)
+        except UnsupportedPattern:
+            batch = reader.prescan(args.regex_column, pad_strings=8)
+            result = scan_batch(batch, pattern, negate=args.neg_regex, xp=np)
+    else:
+        batch = reader.prescan(args.regex_column, pad_strings=8)
+        result = scan_batch(batch, pattern, negate=args.neg_regex, xp=np)
     total_match = int(result.match_counts.sum())
     total_vals = int(result.value_counts.sum())
     mode = "NOT matching" if args.neg_regex else "matching"

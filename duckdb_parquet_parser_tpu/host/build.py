@@ -61,6 +61,7 @@ def build_library(force: bool = False, sanitize: bool = False) -> Path:
                 "-O3",
                 "-fPIC",
                 "-shared",
+                "-pthread",
                 "-Wall",
                 "-Wextra",
                 str(_NATIVE_DIR / "dpq_capi.cpp"),

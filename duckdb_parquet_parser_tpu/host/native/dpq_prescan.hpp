@@ -18,11 +18,16 @@
 //               str_chars, str_padded [nn_total, str_pitch]  (PS_HOST_STRINGS)
 //   dict      : dict_lens/dict_offs/dict_chars/dict_padded  (BYTE_ARRAY)
 //
-// Performance shape: every column chunk is read from disk ONCE (one pread per
-// chunk); per-page work is O(run headers) + bulk memcpy.  The per-value
-// string-prefix walk runs only under PS_HOST_STRINGS — the scan pipeline uses
-// PS_PAYLOAD and parses prefixes on the device instead.
+// Performance shape: every column chunk is read from disk ONCE; row groups
+// are independent, so chunks pre-scan on a thread pool and a merge pass
+// stitches the global dictionary/char bases.  Per-page work is O(run
+// headers) + bulk memcpy; the per-value string-prefix walk runs only under
+// PS_HOST_STRINGS — the scan pipeline uses PS_PAYLOAD and parses prefixes on
+// the device instead.
 #pragma once
+
+#include <atomic>
+#include <thread>
 
 #include "dpq_reader.hpp"
 
@@ -47,33 +52,34 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   const bool want_strings = is_ba && (flags & PS_HOST_STRINGS);
   const bool want_payload = is_ba && (flags & PS_PAYLOAD);
 
-  // per-page accumulators (value-section spans point into rg chunk buffers,
-  // which stay alive in `chunk_bufs` until the final packing pass)
+  // Per-page accumulators; value-section spans point into the owning row
+  // group's chunk buffer, which lives in its RgResult until final packing.
   struct PageTmp {
     int32_t num_values, nn, kind, idx_bw;
     int64_t row_start, gid;
-    int32_t rg, dict_base, dict_size;
+    int32_t rg, dict_base, dict_size;  // dict_base local to rg; fixed in merge
     std::vector<Run> def_runs, idx_runs;
-    const uint8_t* def_ptr = nullptr;   // def section
+    const uint8_t* def_ptr = nullptr;
     int64_t def_len = 0;
-    const uint8_t* val_ptr = nullptr;   // value section (after def/rep [+bw])
+    const uint8_t* val_ptr = nullptr;
     int64_t val_len = 0;
-    // strings (PLAIN BYTE_ARRAY pages, PS_HOST_STRINGS)
-    std::vector<int32_t> slens;
-    int64_t schar_start = 0;
+    std::vector<int32_t> slens;   // PS_HOST_STRINGS only
+    int64_t schar_start = 0;      // local to rg; fixed in merge
   };
-  std::vector<PageTmp> tmp;
-  tmp.reserve(256);
-  std::vector<std::vector<uint8_t>> chunk_bufs;
+  struct RgResult {
+    std::vector<PageTmp> pages;
+    std::vector<uint8_t> dict_fixed;
+    std::vector<int32_t> dict_lens;
+    std::vector<int64_t> dict_offs;   // local char offsets
+    std::vector<uint8_t> dict_chars;
+    std::vector<uint8_t> str_chars;
+    std::vector<uint8_t> chunk_buf;   // keeps PageTmp spans alive
+    int32_t dict_n = 0;
+    std::string error;
+  };
+  std::vector<RgResult> rg_results(size_t(std::max(rg1 - rg0, 0)));
 
-  std::vector<uint8_t> dict_fixed;
-  std::vector<int32_t> dict_lens;
-  std::vector<int64_t> dict_offs;
-  std::vector<uint8_t> dict_chars;
-  std::vector<uint8_t> str_chars;
-  int32_t dict_n = 0;
-
-  for (int rg = rg0; rg < rg1; rg++) {
+  auto process_rg = [&](int rg, RgResult& out) {
     const RowGroup& g = meta_.row_groups[size_t(rg)];
     if (size_t(lf.chunk_idx) >= g.columns.size() ||
         !g.columns[size_t(lf.chunk_idx)].meta)
@@ -82,19 +88,17 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     if (cm.codec != C_UNCOMPRESSED)
       throw Error("Only uncompressed parquet files are supported");
 
-    // one disk read per chunk
     int64_t chunk_start = cm.data_page_offset;
     if (cm.dictionary_page_offset)
       chunk_start = std::min(chunk_start, *cm.dictionary_page_offset);
     int64_t span = std::max<int64_t>(cm.total_compressed_size, 16);
-    chunk_bufs.emplace_back(size_t(span));
-    std::vector<uint8_t>& cbuf = chunk_bufs.back();
-    read_range(chunk_start, span, cbuf.data());
+    out.chunk_buf.resize(size_t(span));
+    read_range(chunk_start, span, out.chunk_buf.data());
     auto page_bytes = [&](const PageRec& pr) -> const uint8_t* {
       int64_t off = pr.data_off - chunk_start;
       if (off < 0 || off + pr.size > span)
         throw Error("page outside chunk span");
-      return cbuf.data() + off;
+      return out.chunk_buf.data() + off;
     };
 
     int32_t rg_dict_base = -1, rg_dict_size = 0;
@@ -106,29 +110,29 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       if (pr.kind == P_DICTIONARY) {
         // Dictionary values are PLAIN-encoded; BOOLEAN dictionaries use one
         // byte per value (reference: src/reader/column_reader.cpp:128-138).
-        rg_dict_base = dict_n;
+        rg_dict_base = out.dict_n;
         rg_dict_size = pr.num_values;
         Cursor cur(page_bytes(pr), size_t(pr.size));
         if (is_ba) {
-          dict_lens.reserve(dict_lens.size() + size_t(pr.num_values));
+          out.dict_lens.reserve(out.dict_lens.size() + size_t(pr.num_values));
           for (int32_t i = 0; i < pr.num_values; i++) {
             uint32_t len = cur.le<uint32_t>();
             const uint8_t* p = cur.bytes(len);
-            dict_lens.push_back(int32_t(len));
-            dict_offs.push_back(int64_t(dict_chars.size()));
-            dict_chars.insert(dict_chars.end(), p, p + len);
+            out.dict_lens.push_back(int32_t(len));
+            out.dict_offs.push_back(int64_t(out.dict_chars.size()));
+            out.dict_chars.insert(out.dict_chars.end(), p, p + len);
           }
         } else if (is_bool) {
           for (int32_t i = 0; i < pr.num_values; i++)
-            dict_fixed.push_back(cur.u8());
+            out.dict_fixed.push_back(cur.u8());
         } else if (w > 0) {
           const uint8_t* p = cur.bytes(size_t(pr.num_values) * size_t(w));
-          dict_fixed.insert(dict_fixed.end(), p,
-                            p + size_t(pr.num_values) * size_t(w));
+          out.dict_fixed.insert(out.dict_fixed.end(), p,
+                                p + size_t(pr.num_values) * size_t(w));
         } else {
           throw Error("unsupported dictionary value type");
         }
-        dict_n += pr.num_values;
+        out.dict_n += pr.num_values;
         continue;
       }
       if (pr.kind != P_DATA) continue;  // V2 / index pages carry no V1 payload
@@ -180,13 +184,13 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
         t.val_ptr = cur.bytes(size_t(t.val_len));
         if (want_strings) {
           Cursor vc(t.val_ptr, size_t(t.val_len));
-          t.schar_start = int64_t(str_chars.size());
+          t.schar_start = int64_t(out.str_chars.size());
           t.slens.reserve(size_t(t.nn));
           for (int32_t i = 0; i < t.nn; i++) {
             uint32_t len = vc.le<uint32_t>();
             const uint8_t* p = vc.bytes(len);
             t.slens.push_back(int32_t(len));
-            str_chars.insert(str_chars.end(), p, p + len);
+            out.str_chars.insert(out.str_chars.end(), p, p + len);
           }
         }
       } else if (w > 0) {
@@ -198,8 +202,57 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
                     physical_type_name(lf.type));
       }
 
-      tmp.push_back(std::move(t));
+      out.pages.push_back(std::move(t));
     }
+  };
+
+  // thread pool over row groups
+  {
+    const int n_jobs = rg1 - rg0;
+    unsigned hw = std::thread::hardware_concurrency();
+    int n_threads = int(std::min<unsigned>(hw ? hw : 4, 16));
+    n_threads = std::max(1, std::min(n_threads, n_jobs));
+    if (n_threads <= 1) {
+      for (int rg = rg0; rg < rg1; rg++) {
+        process_rg(rg, rg_results[size_t(rg - rg0)]);
+      }
+    } else {
+      std::atomic<int> next{0};
+      auto worker = [&]() {
+        for (;;) {
+          int j = next.fetch_add(1);
+          if (j >= n_jobs) return;
+          RgResult& out = rg_results[size_t(j)];
+          try {
+            process_rg(rg0 + j, out);
+          } catch (const std::exception& e) {
+            out.error = e.what();
+          }
+        }
+      };
+      std::vector<std::thread> threads;
+      for (int i = 0; i < n_threads; i++) threads.emplace_back(worker);
+      for (auto& th : threads) th.join();
+      for (const auto& res : rg_results)
+        if (!res.error.empty()) throw Error(res.error);
+    }
+  }
+
+  // ── merge: global bases for dictionaries and string chars ─────────────────
+  std::vector<const PageTmp*> tmp;
+  std::vector<int32_t> page_dict_base_fix;   // per tmp entry, global base
+  std::vector<int64_t> page_schar_fix;       // per tmp entry, global start
+  int32_t dict_n = 0;
+  int64_t dict_chars_total = 0, str_chars_total = 0;
+  for (auto& res : rg_results) {
+    for (auto& t : res.pages) {
+      tmp.push_back(&t);
+      page_dict_base_fix.push_back(t.dict_base >= 0 ? t.dict_base + dict_n : -1);
+      page_schar_fix.push_back(t.schar_start + str_chars_total);
+    }
+    dict_n += res.dict_n;
+    dict_chars_total += int64_t(res.dict_chars.size());
+    str_chars_total += int64_t(res.str_chars.size());
   }
 
   // ── dims ──────────────────────────────────────────────────────────────────
@@ -207,7 +260,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   int64_t vmax = 1, nn_cap = 1, def_rmax = 1, idx_rmax = 1;
   int64_t def_pad = 0, idx_pad = 0, payload_max = 0;
   int64_t nn_total = 0, max_slen = 0, max_dlen = 0;
-  for (const auto& t : tmp) {
+  for (const PageTmp* tp : tmp) {
+    const PageTmp& t = *tp;
     vmax = std::max<int64_t>(vmax, t.num_values);
     nn_cap = std::max<int64_t>(nn_cap, t.nn);
     def_rmax = std::max<int64_t>(def_rmax, int64_t(t.def_runs.size()));
@@ -218,14 +272,17 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     nn_total += int64_t(t.slens.size());
     for (int32_t l : t.slens) max_slen = std::max<int64_t>(max_slen, l);
   }
-  for (int32_t l : dict_lens) max_dlen = std::max<int64_t>(max_dlen, l);
+  for (const auto& res : rg_results)
+    for (int32_t l : res.dict_lens) max_dlen = std::max<int64_t>(max_dlen, l);
   vmax = round_up(vmax, 8);
   nn_cap = round_up(nn_cap, 8);
   def_pad = round_up(std::max<int64_t>(def_pad, 4) + 4, align);  // +4 slack so
   idx_pad = round_up(std::max<int64_t>(idx_pad, 4) + 4, align);  // 4B windows
   const int64_t bool_pad = is_bool ? round_up((nn_cap + 7) / 8, align) : 0;
+  // +260 slack: the device extraction kernels read fixed windows (up to 256
+  // bytes) starting at any value offset
   const int64_t payload_pad =
-      want_payload ? round_up(std::max<int64_t>(payload_max, 4) + 4, align) : 0;
+      want_payload ? round_up(payload_max + 260, align) : 0;
 
   auto store = std::make_unique<ArrayStore>();
   auto& dims = store->dims;
@@ -240,8 +297,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   dims["bool_pad"] = bool_pad;
   dims["dict_n"] = dict_n;
   dims["nn_total"] = nn_total;
-  dims["chars_total"] = int64_t(str_chars.size());
-  dims["dict_chars_total"] = int64_t(dict_chars.size());
+  dims["chars_total"] = str_chars_total;
+  dims["dict_chars_total"] = dict_chars_total;
   dims["payload_pad"] = payload_pad;
   dims["type"] = lf.type;
   dims["max_def"] = lf.max_def;
@@ -298,13 +355,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   uint8_t* a_payload = nullptr;
   if (want_payload) a_payload = store->alloc<uint8_t>("payload", {N, payload_pad});
 
-  if (dict_n > 0 && !is_ba)
-    std::memcpy(store->alloc<uint8_t>("dict_fixed",
-                                      {dict_n, is_bool ? 1 : int64_t(w)}),
-                dict_fixed.data(), dict_fixed.size());
-
   for (int64_t i = 0; i < N; i++) {
-    const PageTmp& t = tmp[size_t(i)];
+    const PageTmp& t = *tmp[size_t(i)];
     p_nv[i] = t.num_values;
     p_nn[i] = t.nn;
     p_kind[i] = t.kind;
@@ -315,7 +367,7 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     p_row[i] = t.row_start;
     p_gid[i] = t.gid;
     p_rg[i] = t.rg;
-    p_db[i] = t.dict_base;
+    p_db[i] = page_dict_base_fix[size_t(i)];
     p_ds[i] = t.dict_size;
     p_pl[i] = int32_t(t.val_len);
 
@@ -349,25 +401,41 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       std::memcpy(a_payload + i * payload_pad, t.val_ptr, size_t(t.val_len));
   }
 
-  // ── strings ───────────────────────────────────────────────────────────────
+  // ── dictionaries (concatenated across row groups) ─────────────────────────
+  if (dict_n > 0 && !is_ba) {
+    auto* dst = store->alloc<uint8_t>("dict_fixed",
+                                      {dict_n, is_bool ? 1 : int64_t(w)});
+    size_t at = 0;
+    for (const auto& res : rg_results) {
+      std::memcpy(dst + at, res.dict_fixed.data(), res.dict_fixed.size());
+      at += res.dict_fixed.size();
+    }
+  }
   if (is_ba && dict_n > 0) {
-    std::memcpy(store->alloc<int32_t>("dict_lens", {dict_n}), dict_lens.data(),
-                dict_lens.size() * sizeof(int32_t));
-    std::memcpy(store->alloc<int64_t>("dict_offs", {dict_n}), dict_offs.data(),
-                dict_offs.size() * sizeof(int64_t));
-    std::memcpy(
-        store->alloc<uint8_t>(
-            "dict_chars", {std::max<int64_t>(int64_t(dict_chars.size()), 1)}),
-        dict_chars.data(), dict_chars.size());
+    auto* d_lens = store->alloc<int32_t>("dict_lens", {dict_n});
+    auto* d_offs = store->alloc<int64_t>("dict_offs", {dict_n});
+    auto* d_chars = store->alloc<uint8_t>(
+        "dict_chars", {std::max<int64_t>(dict_chars_total, 1)});
+    int64_t ent = 0, chars_at = 0;
+    for (const auto& res : rg_results) {
+      for (size_t k = 0; k < res.dict_lens.size(); k++) {
+        d_lens[ent] = res.dict_lens[k];
+        d_offs[ent] = res.dict_offs[k] + chars_at;
+        ent++;
+      }
+      std::memcpy(d_chars + chars_at, res.dict_chars.data(),
+                  res.dict_chars.size());
+      chars_at += int64_t(res.dict_chars.size());
+    }
     if (dict_pitch > 0) {
       auto* padded = store->alloc<uint8_t>("dict_padded", {dict_n, dict_pitch});
       for (int32_t v = 0; v < dict_n; v++)
-        std::memcpy(padded + int64_t(v) * dict_pitch,
-                    dict_chars.data() + dict_offs[size_t(v)],
-                    size_t(dict_lens[size_t(v)]));
+        std::memcpy(padded + int64_t(v) * dict_pitch, d_chars + d_offs[v],
+                    size_t(d_lens[v]));
     }
   }
 
+  // ── host string tables (PS_HOST_STRINGS) ──────────────────────────────────
   if (want_strings) {
     auto* nn_start = store->alloc<int64_t>("str_nn_start", {N + 1});
     auto* s_lens =
@@ -375,14 +443,20 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     auto* s_offs =
         store->alloc<int64_t>("str_offs", {std::max<int64_t>(nn_total, 1)});
     auto* s_chars = store->alloc<uint8_t>(
-        "str_chars", {std::max<int64_t>(int64_t(str_chars.size()), 1)});
-    std::memcpy(s_chars, str_chars.data(), str_chars.size());
-
+        "str_chars", {std::max<int64_t>(str_chars_total, 1)});
+    {
+      int64_t chars_at = 0;
+      for (const auto& res : rg_results) {
+        std::memcpy(s_chars + chars_at, res.str_chars.data(),
+                    res.str_chars.size());
+        chars_at += int64_t(res.str_chars.size());
+      }
+    }
     int64_t at = 0;
     for (int64_t i = 0; i < N; i++) {
       nn_start[i] = at;
-      const PageTmp& t = tmp[size_t(i)];
-      int64_t off = t.schar_start;
+      const PageTmp& t = *tmp[size_t(i)];
+      int64_t off = page_schar_fix[size_t(i)];
       for (size_t k = 0; k < t.slens.size(); k++) {
         s_lens[at] = t.slens[k];
         s_offs[at] = off;
@@ -395,7 +469,7 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     if (str_pitch > 0 && nn_total > 0) {
       auto* padded = store->alloc<uint8_t>("str_padded", {nn_total, str_pitch});
       for (int64_t v = 0; v < nn_total; v++)
-        std::memcpy(padded + v * str_pitch, str_chars.data() + s_offs[v],
+        std::memcpy(padded + v * str_pitch, s_chars + s_offs[v],
                     size_t(s_lens[v]));
     }
   }

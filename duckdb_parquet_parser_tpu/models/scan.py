@@ -46,24 +46,33 @@ class ScanEngine:
         self, column: str, pattern: str, *, negate: bool = False,
         like: bool = False, engine: str = "jax",
     ) -> PageMatchResult | DistributedScanResult:
+        from ..host import bindings
         from ..ops.regex import like_to_regex
+        from ..ops.scan import scan_batch_device
 
         pat = like_to_regex(pattern) if like else pattern
-        batch = self.reader.prescan(column, pad_strings=8)
+        try:
+            dfa = compile_pattern(pat)
+        except UnsupportedPattern:
+            dfa = None
+        if dfa is None:
+            batch = self.reader.prescan(column, pad_strings=8)
+            return scan_batch_fallback(batch, pat, negate=negate)
 
         if self.mesh is not None:
-            try:
-                dfa = compile_pattern(pat)
-            except UnsupportedPattern:
-                return scan_batch_fallback(batch, pat, negate=negate)
+            batch = self.reader.prescan(column, pad_strings=8)
             n_dev = int(np.prod(list(self.mesh.shape.values())))
             padded = pad_pages(batch, n_dev)
             return distributed_scan(self.mesh, padded, dfa, negate=negate)
 
         if engine == "jax":
-            import jax.numpy as jnp
-
-            return scan_batch(batch, pat, negate=negate, xp=jnp)
+            # payload path: raw page bytes upload, device-side prefix parse +
+            # MXU DFA — no host string walk
+            batch = self.reader.prescan(
+                column, pad_strings=8, flags=bindings.PS_PAYLOAD
+            )
+            return scan_batch_device(batch, pat, negate=negate)
+        batch = self.reader.prescan(column, pad_strings=8)
         return scan_batch(batch, pat, negate=negate, xp=np)
 
     # ── chunked inverted index ──────────────────────────────────────────────

@@ -65,8 +65,12 @@ def planes_to_array(planes, dtype: np.dtype) -> np.ndarray:
     return flat[..., :itemsize].copy().view(dtype).reshape(stack.shape[:-1])
 
 
-def decode_levels(xp, arrays, max_def: int, out_len: int):
-    """Expanded definition levels + nonnull mask + non-null rank."""
+def decode_levels(xp, arrays, max_def: int, out_len: int,
+                  def_literal: bool = True):
+    """Expanded definition levels + nonnull mask + non-null rank.
+
+    `def_literal=False` (host knows the batch has no bit-packed def runs —
+    the common case for writer-produced files) skips bit extraction."""
     num_values = arrays["page_num_values"]
     if max_def > 0:
         levels = expand_hybrid(
@@ -74,21 +78,22 @@ def decode_levels(xp, arrays, max_def: int, out_len: int):
             arrays["def_run_kind"], arrays["def_run_count"],
             arrays["def_run_value"], arrays["def_run_bitoff"],
             arrays["def_run_vstart"], arrays["def_bytes"],
-            arrays["page_def_bw"], out_len,
+            arrays["page_def_bw"], out_len, has_literal=def_literal,
         )
     else:
         levels = xp.zeros((num_values.shape[0], out_len), xp.int32)
     return nonnull_mask_and_index(xp, levels, num_values, max_def, out_len)
 
 
-def decode_dict_indices(xp, arrays, nn_idx, nn_len: int):
+def decode_dict_indices(xp, arrays, nn_idx, nn_len: int,
+                        idx_literal: bool = True):
     """Per-row dictionary index and its validity ([N, V] i32, [N, V] bool)."""
     idx_stream = expand_hybrid(
         xp,
         arrays["idx_run_kind"], arrays["idx_run_count"],
         arrays["idx_run_value"], arrays["idx_run_bitoff"],
         arrays["idx_run_vstart"], arrays["idx_bytes"],
-        arrays["page_idx_bw"], nn_len,
+        arrays["page_idx_bw"], nn_len, has_literal=idx_literal,
     )
     dict_idx = take2d(xp, idx_stream, xp.clip(nn_idx, 0, nn_len - 1))
     ok = (dict_idx >= 0) & (dict_idx < arrays["page_dict_size"][:, None])
@@ -106,12 +111,14 @@ def decode_fixed(
     out_len: int,
     nn_len: int,
     mode: str,      # "plain" | "dict" | "mixed"
+    def_literal: bool = True,
+    idx_literal: bool = True,
 ):
     """Decode a batch of fixed-width (or boolean) pages.
 
     Returns (planes: list of [N, V] i32, nonnull: [N, V] bool).
     """
-    nonnull, nn_idx = decode_levels(xp, arrays, max_def, out_len)
+    nonnull, nn_idx = decode_levels(xp, arrays, max_def, out_len, def_literal)
     gather_idx = xp.clip(nn_idx, 0, max(nn_len - 1, 0))
 
     plain_vals = None
@@ -130,7 +137,8 @@ def decode_fixed(
     dict_vals = None
     dict_ok = None
     if mode in ("dict", "mixed"):
-        dict_idx, dict_ok = decode_dict_indices(xp, arrays, nn_idx, nn_len)
+        dict_idx, dict_ok = decode_dict_indices(xp, arrays, nn_idx, nn_len,
+                                                idx_literal)
         dn = dict_planes[0].shape[0] if dict_planes else 1
         base = arrays["page_dict_base"][:, None]
         gidx = xp.clip(base + xp.clip(dict_idx, 0, None), 0, dn - 1)
@@ -157,18 +165,28 @@ def decode_fixed(
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("max_def", "out_len", "nn_len", "mode", "has_bool"),
+    static_argnames=("max_def", "out_len", "nn_len", "mode", "has_bool",
+                     "def_literal", "idx_literal"),
 )
 def _decode_fixed_jit(arrays, plain_planes, dict_planes, bool_bits,
-                      max_def, out_len, nn_len, mode, has_bool):
+                      max_def, out_len, nn_len, mode, has_bool,
+                      def_literal, idx_literal):
     import jax.numpy as jnp
 
     planes, nonnull = decode_fixed(
         jnp, arrays, plain_planes, dict_planes,
         bool_bits if has_bool else None,
         max_def=max_def, out_len=out_len, nn_len=nn_len, mode=mode,
+        def_literal=def_literal, idx_literal=idx_literal,
     )
     return planes, nonnull
+
+
+def batch_has_literal(arrays, prefix: str) -> bool:
+    """Host-side: does any page carry a literal (bit-packed) run?"""
+    kind = np.asarray(arrays[f"{prefix}_run_kind"])
+    count = np.asarray(arrays[f"{prefix}_run_count"])
+    return bool(((kind == 1) & (count > 0)).any())
 
 
 def decode_fixed_jax(arrays, plain_planes, dict_planes, bool_bits, *,
@@ -179,4 +197,6 @@ def decode_fixed_jax(arrays, plain_planes, dict_planes, bool_bits, *,
         core, tuple(plain_planes), tuple(dict_planes),
         bool_bits if bool_bits is not None else np.zeros((1, 1), np.uint8),
         max_def, out_len, nn_len, mode, bool_bits is not None,
+        batch_has_literal(arrays, "def") if max_def > 0 else False,
+        batch_has_literal(arrays, "idx") if mode != "plain" else False,
     )

@@ -50,6 +50,12 @@ def take2d(xp, a, idx):
     return xp.take(a.reshape(-1), base + idx)
 
 
+# Select-based expansion beats gather-based when the run table is narrow
+# (XLA:TPU gathers are ~10-25 ns/element; R accumulation passes on the VPU
+# are far cheaper for small R).
+SELECT_RUNS_MAX = 48
+
+
 def expand_hybrid(
     xp: Any,
     run_kind,   # [N, R] i32 : 0 = repeated, 1 = literal
@@ -60,30 +66,58 @@ def expand_hybrid(
     section,    # [N, S] u8  : raw section bytes (zero padded; S >= max+4)
     bw,         # [N]    i32 : bit width per page (0..24)
     out_len: int,
+    *,
+    has_literal: bool = True,   # any literal (bit-packed) runs in the batch?
+    method: str = "auto",       # "gather" | "select" | "auto"
 ):
     """Expands hybrid runs to per-value integers. Returns [N, out_len] i32."""
     n_pages, n_runs = run_count.shape
     s_pad = section.shape[1]
-
-    active = run_count > 0
-    rows = xp.broadcast_to(xp.arange(n_pages, dtype=xp.int32)[:, None], (n_pages, n_runs))
-    cols = xp.where(active, xp.clip(run_vstart, 0, out_len - 1), 0)
-    marks = _scatter_add(
-        xp,
-        xp.zeros((n_pages, out_len), xp.int32),
-        rows,
-        cols,
-        active.astype(xp.int32),
-    )
-    run_id = xp.clip(xp.cumsum(marks, axis=1) - 1, 0, n_runs - 1)
-
-    take = lambda a: take2d(xp, a, run_id)
-    kind_v = take(run_kind)
-    value_v = take(run_value)
-    bitoff_v = take(run_bitoff)
-    vstart_v = take(run_vstart)
+    if method == "auto":
+        method = "select" if (xp is not np and n_runs <= SELECT_RUNS_MAX) else "gather"
 
     v_iota = xp.arange(out_len, dtype=xp.int32)[None, :]
+    active = run_count > 0
+
+    if method == "select":
+        # run assignment + attribute selection as R accumulation passes
+        run_id = xp.zeros((n_pages, out_len), xp.int32)
+        for r in range(1, n_runs):
+            started = active[:, r : r + 1] & (v_iota >= run_vstart[:, r : r + 1])
+            run_id = run_id + started.astype(xp.int32)
+        kind_v = xp.zeros((n_pages, out_len), xp.int32)
+        value_v = xp.zeros((n_pages, out_len), xp.int32)
+        bitoff_v = xp.zeros((n_pages, out_len), xp.int32)
+        vstart_v = xp.zeros((n_pages, out_len), xp.int32)
+        for r in range(n_runs):
+            here = run_id == r
+            kind_v = xp.where(here, run_kind[:, r : r + 1], kind_v)
+            value_v = xp.where(here, run_value[:, r : r + 1], value_v)
+            if has_literal:
+                bitoff_v = xp.where(here, run_bitoff[:, r : r + 1], bitoff_v)
+                vstart_v = xp.where(here, run_vstart[:, r : r + 1], vstart_v)
+    else:
+        rows = xp.broadcast_to(
+            xp.arange(n_pages, dtype=xp.int32)[:, None], (n_pages, n_runs)
+        )
+        cols = xp.where(active, xp.clip(run_vstart, 0, out_len - 1), 0)
+        marks = _scatter_add(
+            xp,
+            xp.zeros((n_pages, out_len), xp.int32),
+            rows,
+            cols,
+            active.astype(xp.int32),
+        )
+        run_id = xp.clip(xp.cumsum(marks, axis=1) - 1, 0, n_runs - 1)
+        take = lambda a: take2d(xp, a, run_id)
+        kind_v = take(run_kind)
+        value_v = take(run_value)
+        bitoff_v = take(run_bitoff)
+        vstart_v = take(run_vstart)
+
+    if not has_literal:
+        return value_v
+
     bw_col = bw[:, None]
     bitpos = bitoff_v + (v_iota - vstart_v) * bw_col
     byte0 = bitpos >> 3

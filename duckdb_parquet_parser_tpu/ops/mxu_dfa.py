@@ -1,21 +1,20 @@
-"""MXU-native DFA matching — regex as matrix multiplication.
+"""MXU-native DFA transitions — regex as matrix multiplication.
 
 XLA:TPU gathers run at ~10-25 ns/element (measured on v5e), so a classic
 table-walk DFA (`state = T[state, byte]`, one gather per byte per lane) caps
-around a few million rows/s.  This kernel removes every gather:
+around a few million rows/s.  These transitions remove every gather:
 
-  per step over char position j:
-    C    = onehot(byte_j)            [L, 256]  (VPU compares)
-    G    = C @ T^T                   [L, S]    (MXU matmul — G[l,s] is the
-                                               next state IF the lane were
-                                               in state s)
-    S1h' = (S1h @ ...) via select:   next one-hot built from G and the
-                                     current state VALUE with one more
-                                     comparison round
+  1. byte -> class one-hot via interval compares (byte-class compression:
+     bytes with identical transition columns collapse; real patterns need
+     ~5-20 classes) — a handful of VPU compares per lane;
+  2. G = class_onehot @ [T^T | A^T]   (MXU matmul, [L,C] @ [C,2S]): G[l,s]
+     is the next state IF the lane were in state s, and the accept bit of
+     that next state;
+  3. select row `state` of G (VPU compare + masked sum).
 
 State values are small integers (S < 256), exact in bfloat16, so the matmul
-is exact.  Cost per step ~ L*256*(1 + S) MACs -> hundreds of millions of
-rows/s for typical automata, entirely on the MXU/VPU.
+is exact.  Used by ops/strings.match_payload_stream (streaming page form)
+and dfa_match_mxu (per-value form).
 """
 
 from __future__ import annotations
@@ -23,14 +22,56 @@ from __future__ import annotations
 import numpy as np
 
 
-def dfa_match_mxu(xp, chars, lens, table, accept):
+def make_mxu_transition(table: np.ndarray, accept: np.ndarray):
+    """Returns transition(state [L] i32, byte [L] i32) -> (next [L] i32,
+    accept_of_next [L] i32), gather-free, for jnp tracing."""
+    import jax
+    import jax.numpy as jnp
+
+    from .regex import DFA
+
+    t_np = np.asarray(table)
+    acc_np = np.asarray(accept)
+    n_states = t_np.shape[0]
+    bc = DFA(t_np, acc_np, "").byte_classes()
+
+    t_t = jnp.asarray(bc.table.T.astype(np.float32), jnp.bfloat16)      # [C,S]
+    a_t = jnp.asarray(acc_np[bc.table].T.astype(np.float32), jnp.bfloat16)
+    both = jnp.concatenate([t_t, a_t], axis=1)                          # [C,2S]
+    state_iota = jnp.arange(n_states, dtype=jnp.int32)[None, :]
+    intervals = list(
+        zip(bc.interval_lo.tolist(), bc.interval_hi.tolist(),
+            bc.interval_class.tolist())
+    )
+    c_count = bc.n_classes
+
+    def class_onehot(c):
+        cols = [None] * c_count
+        for lo, hi, cl in intervals:
+            m = (c == lo) if lo == hi else ((c >= lo) & (c <= hi))
+            cols[cl] = m if cols[cl] is None else (cols[cl] | m)
+        return jnp.stack(cols, axis=1).astype(jnp.bfloat16)  # [L, C]
+
+    def transition(state, c):
+        g = jax.lax.dot_general(
+            class_onehot(c), both, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [L, 2S]
+        sel = state[:, None] == state_iota
+        nxt = jnp.sum(jnp.where(sel, g[:, :n_states], 0), axis=1)
+        acc_next = jnp.sum(jnp.where(sel, g[:, n_states:], 0), axis=1)
+        return nxt, acc_next
+
+    return transition
+
+
+def dfa_match_mxu(xp, chars, lens, table, accept, unroll: int = 8):
     """MXU DFA over fixed-pitch char matrices.
 
     chars: [L, P] u8 (zero padded); lens: [L] i32;
     table: [S, 256] i32; accept: [S] bool.  Returns [L] bool.
-    numpy path mirrors the math (used by tests); jnp path rides the MXU.
+    numpy path mirrors the table-walk math (used by tests).
     """
-    n_states = table.shape[0]
     if xp is np:
         state = np.zeros(chars.shape[0], np.int32)
         for j in range(chars.shape[1]):
@@ -41,28 +82,18 @@ def dfa_match_mxu(xp, chars, lens, table, accept):
     import jax
     import jax.numpy as jnp
 
-    l, pitch = chars.shape
-    # T^T as bf16 [256, S]: column s = next state for each byte if in state s.
-    t_t = jnp.asarray(np.asarray(table).T.astype(np.float32), dtype=jnp.bfloat16)
-    acc = jnp.asarray(accept)
+    transition = make_mxu_transition(table, accept)
+    acc = jnp.asarray(np.asarray(accept))
     lens = jnp.asarray(lens, dtype=jnp.int32)
     cols = jnp.transpose(jnp.asarray(chars)).astype(jnp.int32)  # [P, L]
-    byte_iota = jnp.arange(256, dtype=jnp.int32)[None, :]
-    state_iota = jnp.arange(n_states, dtype=jnp.int32)[None, :]
 
     def step(state, xs):
         j, col = xs
-        onehot = (col[:, None] == byte_iota).astype(jnp.bfloat16)  # [L, 256]
-        g = jax.lax.dot_general(
-            onehot, t_t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [L, S] — exact small integers
-        g_i = g.astype(jnp.int32)
-        # select the row of G matching the lane's actual state
-        sel = (state[:, None] == state_iota)
-        nxt = jnp.sum(jnp.where(sel, g_i, 0), axis=1)
+        nxt, _ = transition(state, col)
         return jnp.where(j < lens, nxt, state), None
 
-    state0 = jnp.zeros(l, jnp.int32)
-    state, _ = jax.lax.scan(step, state0, (jnp.arange(pitch), cols))
+    state0 = jnp.zeros(chars.shape[0], jnp.int32)
+    state, _ = jax.lax.scan(
+        step, state0, (jnp.arange(cols.shape[0]), cols), unroll=unroll
+    )
     return jnp.take(acc, state)  # one final gather of L elements

@@ -282,6 +282,51 @@ class DFA:
             s = int(self.table[s, b])
         return bool(self.accept[s])
 
+    def byte_classes(self) -> "ByteClasses":
+        """Byte-class compression (the classic lexer-generator trick): bytes
+        whose transition columns are identical across all states form one
+        class; real patterns need ~5-20 classes, so the device matcher can
+        one-hot over classes instead of all 256 byte values."""
+        cols = self.table.T  # [256, S]
+        _, inverse = np.unique(cols, axis=0, return_inverse=True)
+        class_of = inverse.astype(np.int32)  # [256]
+        n_classes = int(class_of.max()) + 1
+        # class table: [S, C]
+        reps = np.zeros(n_classes, np.int32)
+        for b in range(256):
+            reps[class_of[b]] = b
+        class_table = self.table[:, reps]  # [S, C]
+        # interval list per class: runs of consecutive equal class ids
+        lo, hi, cls = [], [], []
+        start = 0
+        for b in range(1, 257):
+            if b == 256 or class_of[b] != class_of[start]:
+                lo.append(start)
+                hi.append(b - 1)
+                cls.append(int(class_of[start]))
+                start = b
+        return ByteClasses(
+            class_of=class_of,
+            table=class_table,
+            n_classes=n_classes,
+            interval_lo=np.array(lo, np.int32),
+            interval_hi=np.array(hi, np.int32),
+            interval_class=np.array(cls, np.int32),
+        )
+
+
+@dataclass
+class ByteClasses:
+    """Byte-class view of a DFA: `table[s, c]` over C << 256 classes, plus
+    the interval decomposition of byte->class used by the device matcher."""
+
+    class_of: np.ndarray       # [256] i32
+    table: np.ndarray          # [S, C] i32
+    n_classes: int
+    interval_lo: np.ndarray    # [K] i32 (inclusive)
+    interval_hi: np.ndarray    # [K] i32 (inclusive)
+    interval_class: np.ndarray # [K] i32
+
 
 def like_to_regex(pattern: str) -> str:
     """SQL LIKE -> regex ('%' any run, '_' any byte), anchored both ends."""
@@ -297,8 +342,44 @@ def like_to_regex(pattern: str) -> str:
     return "".join(out)
 
 
+def minimize_dfa(dfa: DFA) -> DFA:
+    """DFA minimization by Moore partition refinement (vectorized: each round
+    splits blocks by the signature (own block, blocks of all 256 successors)
+    via np.unique over rows).  Fewer states shrink the device matcher's
+    per-step select/matmul cost linearly."""
+    part = dfa.accept.astype(np.int64)
+    n_blocks = 2 if dfa.accept.any() and not dfa.accept.all() else 1
+    while True:
+        sig = np.concatenate([part[:, None], part[dfa.table]], axis=1)
+        _, new_part = np.unique(sig, axis=0, return_inverse=True)
+        new_blocks = int(new_part.max()) + 1
+        if new_blocks == n_blocks:
+            part = new_part
+            break
+        part, n_blocks = new_part, new_blocks
+
+    # renumber so the start state's block is 0
+    remap = np.full(n_blocks, -1, np.int64)
+    order = [int(part[0])]
+    seen = {int(part[0])}
+    for b in part:
+        if int(b) not in seen:
+            seen.add(int(b))
+            order.append(int(b))
+    for new_id, old_id in enumerate(order):
+        remap[old_id] = new_id
+    part = remap[part]
+
+    reps = np.zeros(n_blocks, np.int64)
+    reps[part] = np.arange(len(part))  # any representative per block
+    table = part[dfa.table[reps]].astype(np.int32)
+    accept = dfa.accept[reps]
+    return DFA(table, accept, dfa.pattern)
+
+
 def compile_pattern(pattern: str) -> DFA:
-    """Compile to a search-semantics DFA (raises UnsupportedPattern)."""
+    """Compile to a minimized search-semantics DFA (raises
+    UnsupportedPattern)."""
     pat = pattern
     anchored_start = pat.startswith("^")
     if anchored_start:
@@ -378,4 +459,4 @@ def compile_pattern(pattern: str) -> DFA:
             cache[t] = row[b]
         table_rows[sid] = row
 
-    return DFA(np.stack(table_rows), np.array(accepts, bool), pattern)
+    return minimize_dfa(DFA(np.stack(table_rows), np.array(accepts, bool), pattern))

@@ -158,6 +158,79 @@ def scan_batch(batch, pattern: str, *, negate: bool = False, xp=np) -> PageMatch
     )
 
 
+def scan_batch_device(batch, pattern: str, *, negate: bool = False,
+                      use_mxu: bool = True) -> PageMatchResult:
+    """Fully device-side scan over a PS_PAYLOAD batch: PLAIN pages stream raw
+    payload bytes through the (MXU) DFA — no host string walk, no char-matrix
+    materialization; dictionary pages match each dict entry once and map
+    accepts through the expanded index stream."""
+    import jax
+    import jax.numpy as jnp
+
+    from .regex import compile_pattern as _compile
+    from .strings import match_payload_stream
+
+    try:
+        dfa = _compile(pattern)
+    except UnsupportedPattern:
+        return scan_batch_fallback(batch, pattern, negate=negate)
+
+    arrays = batch.arrays
+    if "payload" not in arrays:
+        raise ValueError("batch was prescanned without PS_PAYLOAD")
+    n = batch.n_pages
+    is_dict_np = arrays["page_kind"] == 1
+    has_dict = bool(is_dict_np.any())
+
+    dict_match = (
+        np.asarray(
+            dfa_match(np, arrays["dict_padded"], arrays["dict_lens"],
+                      dfa.table, dfa.accept)
+        )
+        if has_dict and "dict_padded" in arrays
+        else np.zeros(1, bool)
+    )
+
+    core = {k: jnp.asarray(v) for k, v in arrays.items() if k in _decode.DECODE_ARRAYS}
+    max_def, nn_cap = batch.max_def, batch.nn_cap
+
+    @jax.jit
+    def step(payload, plen, nn, kind, dict_match_d, dict_base, dict_size):
+        is_dict = kind == 1
+        # PLAIN pages: streaming DFA over raw payload (dict pages masked out)
+        hits, _seen = match_payload_stream(
+            jnp, payload, jnp.where(is_dict, 0, plen),
+            jnp.where(is_dict, 0, nn), dfa.table, dfa.accept, use_mxu=use_mxu,
+        )
+        plain_counts = (nn - hits) if negate else hits
+
+        # dictionary pages
+        nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, batch.vmax)
+        dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap)
+        g = jnp.clip(dict_base[:, None] + jnp.clip(dict_idx, 0, None),
+                     0, dict_match_d.shape[0] - 1)
+        accept = (jnp.take(dict_match_d, g) ^ negate) & ok & nonnull
+        dict_counts = jnp.sum(accept, axis=1)
+        dict_values = jnp.sum(ok & nonnull, axis=1)
+
+        counts = jnp.where(is_dict, dict_counts, plain_counts)
+        values = jnp.where(is_dict, dict_values, nn)
+        return counts, values
+
+    counts, values = step(
+        jnp.asarray(arrays["payload"]), jnp.asarray(arrays["page_payload_len"]),
+        jnp.asarray(arrays["page_nn"]), jnp.asarray(arrays["page_kind"]),
+        jnp.asarray(dict_match), jnp.asarray(arrays["page_dict_base"]),
+        jnp.asarray(arrays["page_dict_size"]),
+    )
+    _ = n
+    return PageMatchResult(
+        page_gid=arrays["page_gid"].copy(),
+        match_counts=np.asarray(counts, np.int64),
+        value_counts=np.asarray(values, np.int64),
+    )
+
+
 def scan_batch_fallback(batch, pattern: str, *, negate: bool = False) -> PageMatchResult:
     """Host fallback (full `re` semantics) producing identical survivor sets
     for patterns the DFA subset cannot express."""

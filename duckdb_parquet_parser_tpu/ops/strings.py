@@ -93,27 +93,9 @@ def match_payload_stream(xp, payload, payload_len, nn, table, accept,
     payload_len = xp.asarray(payload_len, dtype=xp.int32)
 
     if use_mxu and xp is not np:
-        import jax
-        import jax.numpy as jnp
+        from .mxu_dfa import make_mxu_transition
 
-        t_np = np.asarray(table)
-        acc_np = np.asarray(accept)
-        # [256, S] next-state and accept-of-next-state, byte-indexed rows
-        t_t = jnp.asarray(t_np.T.astype(np.float32), jnp.bfloat16)
-        a_t = jnp.asarray(acc_np[t_np].T.astype(np.float32), jnp.bfloat16)
-        byte_iota = jnp.arange(256, dtype=jnp.int32)[None, :]
-        state_iota = jnp.arange(n_states, dtype=jnp.int32)[None, :]
-
-        def transition(state, c):
-            onehot = (c[:, None] == byte_iota).astype(jnp.bfloat16)
-            g = jax.lax.dot_general(
-                onehot, jnp.concatenate([t_t, a_t], axis=1),
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)  # [N, 2S]
-            sel = state[:, None] == state_iota
-            nxt = jnp.sum(jnp.where(sel, g[:, :n_states], 0), axis=1)
-            acc_next = jnp.sum(jnp.where(sel, g[:, n_states:], 0), axis=1)
-            return nxt, acc_next
+        transition = make_mxu_transition(table, accept)
     else:
         def transition(state, c):
             nxt = xp.take(tflat, xp.clip(state, 0, None) * 256 + c)
@@ -174,7 +156,9 @@ def match_payload_stream(xp, payload, payload_len, nn, table, accept,
 
     cols = xp.transpose(payload_i)  # [P, N]
     step = make_step(lambda b: cols[b])
-    carry, _ = jax.lax.scan(step, init, xp.arange(steps, dtype=xp.int32))
+    carry, _ = jax.lax.scan(
+        step, init, xp.arange(steps, dtype=xp.int32), unroll=8
+    )
     return carry[5], carry[4]
 
 

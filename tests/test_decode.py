@@ -232,3 +232,36 @@ def test_batch_slice_pages(mixed_path):
     half = b.slice_pages(0, b.n_pages // 2)
     assert half.n_pages == b.n_pages // 2
     assert half.total_rows + b.slice_pages(b.n_pages // 2, b.n_pages).total_rows == len(whole)
+
+
+@pytest.mark.parametrize("col", ["i64_opt", "flag", "code", "f64"])
+def test_expand_select_matches_gather(mixed_path, col):
+    """Select-based expansion (small run tables) must equal gather-based."""
+    import jax.numpy as jnp
+
+    r = ParquetReader(mixed_path)
+    b = r.prescan(col)
+    kw = dict(max_def=b.max_def, out_len=b.vmax, nn_len=b.nn_cap, mode=b.mode)
+    from duckdb_parquet_parser_tpu.ops import expand as E
+
+    planes_np, nn_np = D.decode_fixed(
+        np, b.arrays, b.plain_planes, b.dict_planes, b.bool_bits, **kw
+    )
+    # force select path by lifting the threshold
+    old = E.SELECT_RUNS_MAX
+    try:
+        E.SELECT_RUNS_MAX = 10**9
+        arrays_j = {k: jnp.asarray(v) for k, v in b.arrays.items()
+                    if k in D.DECODE_ARRAYS}
+        planes_j, nn_j = D.decode_fixed(
+            jnp, arrays_j,
+            [jnp.asarray(p) for p in b.plain_planes],
+            [jnp.asarray(p) for p in b.dict_planes],
+            jnp.asarray(b.bool_bits) if b.bool_bits is not None else None,
+            **kw,
+        )
+    finally:
+        E.SELECT_RUNS_MAX = old
+    assert np.array_equal(np.asarray(nn_j), nn_np)
+    for pj, pn in zip(planes_j, planes_np):
+        assert np.array_equal(np.asarray(pj), pn)
