@@ -231,7 +231,8 @@ def bench_engine(path: Path, reps: int) -> dict:
         def f(c, p):
             def body(i, acc):
                 c2 = dict(c)
-                c2["page_def_bw"] = c["page_def_bw"] + (i % 2)  # perturb
+                # live perturbation (defeats loop hoisting): flips def levels
+                c2["def_run_value"] = c["def_run_value"] ^ (i % 2)
                 planes, nonnull = D.decode_fixed(jnp, c2, list(p), [], None, **kw)
                 return acc + jnp.sum(nonnull.astype(jnp.int32)) + jnp.sum(
                     planes[0] & 1) + jnp.sum(planes[1] & 1)

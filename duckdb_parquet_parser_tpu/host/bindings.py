@@ -170,10 +170,9 @@ def native_prescan(
             nbytes = ct.c_int64()
             ptr = lib().dpq_batch_view(b, name.encode(), ct.byref(nbytes))
             dtype = _DTYPES[spec["dtype"]]
-            # copy out of the native buffer so the batch can be freed
-            arr = np.frombuffer(
-                ct.string_at(ptr, nbytes.value), dtype=dtype
-            ).reshape(spec["shape"]).copy()
+            # single copy out of the native buffer (so the batch can be freed)
+            view = (ct.c_ubyte * nbytes.value).from_address(ptr)
+            arr = np.frombuffer(view, dtype=dtype).reshape(spec["shape"]).copy()
             arrays[name] = arr
         return manifest["dims"], arrays
     finally:

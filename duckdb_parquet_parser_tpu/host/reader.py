@@ -21,6 +21,7 @@ from .schema import (
     ConvertedType,
     FieldRepetitionType,
     PageIndexEntry,
+    PageType,
     ParquetType,
     RawPage,
 )
@@ -77,12 +78,24 @@ class DecodedColumn:
         return out
 
 
+@dataclass
+class PageResult:
+    """Per-page decode result (parity: reference PageResult,
+    include/reader/column_reader.hpp)."""
+
+    page_num: int
+    type: PageType
+    num_values: int
+    values: DecodedColumn | None  # None for dictionary pages
+
+
 class ParquetReader:
     """Opens an uncompressed Parquet file and serves schema, pages, decoded
     columns, and device decode batches."""
 
     def __init__(self, path: str | None = None):
         self._h = None
+        self._path: str | None = None
         self._meta = None
         self._columns: list[ColumnInfo] = []
         self._by_name: dict[str, int] = {}
@@ -99,6 +112,7 @@ class ParquetReader:
             self._h = bindings.native_open(str(path))
         except bindings.NativeError:
             return False
+        self._path = str(path)
         self._meta = bindings.native_meta(self._h)
         self._columns = []
         for c in self._meta["columns"]:
@@ -233,6 +247,45 @@ class ParquetReader:
         if info.type == ParquetType.BYTE_ARRAY:
             return _materialize_strings(batch)
         return _materialize_fixed(batch)
+
+    def read_pages(self, column: str | int, row_group_idx: int = 0) -> list["PageResult"]:
+        """Per-page decode results for one column chunk (parity: reference
+        ColumnReader::read_pages, src/reader/column_reader.cpp:73-126).
+        Dictionary pages appear with empty values; page numbering is per
+        chunk and counts dictionary pages."""
+        idx = self.find_column(column) if isinstance(column, str) else column
+        if idx < 0:
+            raise KeyError(f"Column not found: {column}")
+        info = self._columns[idx]
+        batch = self.prescan(idx, row_group_idx, row_group_idx + 1)
+        if info.type == ParquetType.BYTE_ARRAY:
+            decoded = _materialize_strings(batch)
+        else:
+            decoded = _materialize_fixed(batch)
+
+        # per-chunk page numbering including the dictionary page
+        sel = (self._pages["rg"] == row_group_idx) & (
+            self._pages["col"] == info.column_index
+        )
+        kinds = self._pages["kind"][sel]
+        nvals = self._pages["num_values"][sel]
+
+        out: list[PageResult] = []
+        at = 0
+        for page_num, (kind, nv) in enumerate(zip(kinds, nvals)):
+            if kind == PageType.DICTIONARY_PAGE:
+                out.append(PageResult(page_num, PageType.DICTIONARY_PAGE, int(nv), None))
+                continue
+            if kind != PageType.DATA_PAGE:
+                continue  # unknown page types consume a page_num, no entry
+            vals = DecodedColumn(
+                decoded.type,
+                decoded.values[at : at + nv],
+                decoded.valid[at : at + nv],
+            )
+            out.append(PageResult(page_num, PageType.DATA_PAGE, int(nv), vals))
+            at += nv
+        return out
 
     # ── raw page API (global data-page ids) ─────────────────────────────────
 

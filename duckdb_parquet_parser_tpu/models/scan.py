@@ -77,20 +77,31 @@ class ScanEngine:
 
     # ── chunked inverted index ──────────────────────────────────────────────
 
-    def build_index(self, column: str, chunk_size: int = 4096) -> IndexBuildResult:
-        batch = self.reader.prescan(column)
-        pos, lens, offs, chars = _string_stream(batch)
-        index = build_index(pos, lens, self.reader.num_rows(), chunk_size)
+    def build_index(self, column: str, chunk_size: int = 4096,
+                    checkpoint_dir: str | None = None) -> IndexBuildResult:
+        from ..utils import checkpoints
 
-        owners = None
-        if self.mesh is not None:
-            n_dev = int(np.prod(list(self.mesh.shape.values())))
-            # skew-aware chunk ownership by chunk byte weight
-            sizes = np.diff(
-                np.concatenate([index.chunk_starts, [len(lens)]])
+        if checkpoint_dir:
+            cached = checkpoints.load_index(
+                checkpoint_dir, self.reader._path, column, chunk_size
             )
-            owners = balanced_chunk_owners(sizes, n_dev)
-        return IndexBuildResult(index=index, chunk_owners=owners)
+            if cached is not None:
+                return IndexBuildResult(index=cached)
+
+        if self.mesh is not None:
+            from ..parallel.index_build import distributed_index_build
+
+            res = distributed_index_build(self.mesh, self.reader, column, chunk_size)
+            out = IndexBuildResult(index=res.index, chunk_owners=res.chunk_owners)
+        else:
+            batch = self.reader.prescan(column)
+            pos, lens, _offs, _chars = _string_stream(batch)
+            out = IndexBuildResult(
+                index=build_index(pos, lens, self.reader.num_rows(), chunk_size)
+            )
+        if checkpoint_dir:
+            checkpoints.save_index(checkpoint_dir, self.reader._path, column, out.index)
+        return out
 
 
 # ── graft entry support: jittable kernels over a self-contained example ─────

@@ -65,6 +65,64 @@ def make_mxu_transition(table: np.ndarray, accept: np.ndarray):
     return transition
 
 
+SELECT_TERMS_MAX = 600  # C*S bound for the select transition
+
+
+def make_select_transition(table: np.ndarray, accept: np.ndarray):
+    """Pure-VPU transition for small automata: next = Σ_{c,s} (class==c &
+    state==s) * T[s,c], unrolled over the (class, state) product with
+    zero-target terms skipped.  No matmul => no per-step MXU latency; wins
+    over the matmul transition when C*S is small (a few hundred terms)."""
+    import jax.numpy as jnp
+
+    from .regex import DFA
+
+    t_np = np.asarray(table)
+    acc_np = np.asarray(accept)
+    n_states = t_np.shape[0]
+    bc = DFA(t_np, acc_np, "").byte_classes()
+    t2 = bc.table  # [S, C]
+    intervals = list(
+        zip(bc.interval_lo.tolist(), bc.interval_hi.tolist(),
+            bc.interval_class.tolist())
+    )
+    acc_i = acc_np.astype(np.int32)
+
+    def transition(state, c):
+        cls_masks = [None] * bc.n_classes
+        for lo, hi, cl in intervals:
+            m = (c == lo) if lo == hi else ((c >= lo) & (c <= hi))
+            cls_masks[cl] = m if cls_masks[cl] is None else (cls_masks[cl] | m)
+        st_masks = [state == s for s in range(n_states)]
+        nxt = jnp.zeros_like(state)
+        for s in range(n_states):
+            for cl in range(bc.n_classes):
+                target = int(t2[s, cl])
+                if target == 0:
+                    continue  # state 0 contributes nothing
+                nxt = nxt + jnp.where(st_masks[s] & cls_masks[cl], target, 0)
+        acc_next = jnp.zeros_like(state)
+        for s in range(1, n_states):
+            if acc_i[s]:
+                acc_next = acc_next + (nxt == s).astype(jnp.int32)
+        if acc_i[0]:
+            acc_next = acc_next + (nxt == 0).astype(jnp.int32)
+        return nxt, acc_next
+
+    return transition
+
+
+def make_transition(table: np.ndarray, accept: np.ndarray):
+    """Picks the best gather-free transition for the automaton size."""
+    from .regex import DFA
+
+    t_np = np.asarray(table)
+    bc = DFA(t_np, np.asarray(accept), "").byte_classes()
+    if bc.n_classes * t_np.shape[0] <= SELECT_TERMS_MAX:
+        return make_select_transition(table, accept)
+    return make_mxu_transition(table, accept)
+
+
 def dfa_match_mxu(xp, chars, lens, table, accept, unroll: int = 8):
     """MXU DFA over fixed-pitch char matrices.
 

@@ -93,9 +93,9 @@ def match_payload_stream(xp, payload, payload_len, nn, table, accept,
     payload_len = xp.asarray(payload_len, dtype=xp.int32)
 
     if use_mxu and xp is not np:
-        from .mxu_dfa import make_mxu_transition
+        from .mxu_dfa import make_transition
 
-        transition = make_mxu_transition(table, accept)
+        transition = make_transition(table, accept)
     else:
         def transition(state, c):
             nxt = xp.take(tflat, xp.clip(state, 0, None) * 256 + c)

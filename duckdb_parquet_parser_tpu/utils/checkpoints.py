@@ -26,7 +26,8 @@ def checkpoint_path(ckpt_dir: str, file_path: str, column: str,
 def save_index(ckpt_dir: str, file_path: str, column: str, index) -> Path:
     out = checkpoint_path(ckpt_dir, file_path, column, index.chunk_size)
     out.parent.mkdir(parents=True, exist_ok=True)
-    tmp = out.with_suffix(".npz.tmp")
+    # np.savez appends .npz to names lacking it — keep the temp name compliant
+    tmp = out.with_name(out.name + ".tmp.npz")
     np.savez_compressed(
         tmp,
         meta=json.dumps(

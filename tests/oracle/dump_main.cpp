@@ -53,6 +53,21 @@ int main(int argc, char** argv) {
     for (const auto& v : vals) std::cout << v.to_string() << "\n";
     return 0;
   }
+  if (mode == "read-pages") {
+    // per-page decode results via ColumnReader::read_pages
+    const auto& col_info = reader.column(std::string(argv[3]));
+    size_t rg = argc > 4 ? std::stoul(argv[4]) : 0;
+    const auto& chunk = reader.metadata().row_groups[rg].columns[size_t(col_info.column_index)];
+    ColumnReader cr(
+        [&reader](size_t o, size_t l) { return reader.read_range(o, l); },
+        chunk, col_info.type, col_info.max_def_level, col_info.max_rep_level);
+    for (const auto& pr : cr.read_pages()) {
+      std::cout << "page " << pr.page_num << " type " << int(pr.type)
+                << " n " << pr.num_values << "\n";
+      for (const auto& v : pr.values) std::cout << v.to_string() << "\n";
+    }
+    return 0;
+  }
   if (mode == "iter") {
     // NOTE: only (pos, len) are printed.  The reference's next() returns a
     // char* into page_strings_, which its own auto-refill invalidates for the
