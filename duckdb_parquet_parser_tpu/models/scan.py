@@ -75,6 +75,69 @@ class ScanEngine:
         batch = self.reader.prescan(column, pad_strings=8)
         return scan_batch(batch, pat, negate=negate, xp=np)
 
+    def scan_batched(
+        self, column: str, pattern: str, *, negate: bool = False,
+        batch_pages: int = 16384,
+    ) -> PageMatchResult:
+        """Large-file scan with the overlap engine: pages slice into
+        fixed-shape batches; upload and compute overlap via JAX async
+        dispatch (batch i+1 transfers while batch i computes), one compiled
+        program for every batch (SURVEY.md §2.1 'overlap engine')."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..host import bindings
+        from ..ops.strings import match_payload_stream
+        from ..utils.metrics import get_metrics
+
+        dfa = compile_pattern(pattern)
+        with get_metrics().timed("prescan", column=column) as box:
+            batch = self.reader.prescan(
+                column, pad_strings=8, flags=bindings.PS_PAYLOAD
+            )
+            box["pages"] = batch.n_pages
+
+        n = batch.n_pages
+        bp = min(batch_pages, max(n, 1))
+
+        @jax.jit
+        def step(payload, plen, nn):
+            hits, _ = match_payload_stream(
+                jnp, payload, plen, nn, dfa.table, dfa.accept, use_mxu=True
+            )
+            return (nn - hits) if negate else hits
+
+        arrays = batch.arrays
+        pending = []
+        with get_metrics().timed("scan_dispatch", batches=-(-n // bp)):
+            for lo in range(0, n, bp):
+                hi = min(lo + bp, n)
+                payload = arrays["payload"][lo:hi]
+                plen = arrays["page_payload_len"][lo:hi]
+                nn = arrays["page_nn"][lo:hi]
+                if hi - lo < bp:  # pad the tail batch to the compiled shape
+                    pad = bp - (hi - lo)
+                    payload = np.pad(payload, ((0, pad), (0, 0)))
+                    plen = np.pad(plen, (0, pad))
+                    nn = np.pad(nn, (0, pad))
+                # async: device_put + dispatch return immediately; the next
+                # batch's transfer overlaps this batch's compute
+                pending.append(step(*jax.device_put((payload, plen, nn))))
+
+        counts = np.concatenate([np.asarray(p) for p in pending])[:n]
+        # dictionary pages (if any) take the dict fast path
+        is_dict = arrays["page_kind"] == 1
+        if bool(is_dict.any()):
+            from ..ops.scan import scan_batch_device
+
+            dict_res = scan_batch_device(batch, pattern, negate=negate)
+            counts = np.where(is_dict, dict_res.match_counts, counts)
+        return PageMatchResult(
+            page_gid=arrays["page_gid"].copy(),
+            match_counts=counts.astype(np.int64),
+            value_counts=arrays["page_nn"].astype(np.int64),
+        )
+
     # ── chunked inverted index ──────────────────────────────────────────────
 
     def build_index(self, column: str, chunk_size: int = 4096,

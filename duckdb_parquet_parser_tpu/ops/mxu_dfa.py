@@ -24,7 +24,12 @@ import numpy as np
 
 def make_mxu_transition(table: np.ndarray, accept: np.ndarray):
     """Returns transition(state [L] i32, byte [L] i32) -> (next [L] i32,
-    accept_of_next [L] i32), gather-free, for jnp tracing."""
+    accept_of_next [L] i32), gather-free, for jnp tracing.
+
+    The byte one-hot is built over the K byte-class INTERVALS with two
+    broadcast compares (one vector op each) — no per-class mask assembly —
+    and the interval->class mapping folds into the transition table
+    (rows indexed by interval instead of class)."""
     import jax
     import jax.numpy as jnp
 
@@ -35,26 +40,19 @@ def make_mxu_transition(table: np.ndarray, accept: np.ndarray):
     n_states = t_np.shape[0]
     bc = DFA(t_np, acc_np, "").byte_classes()
 
-    t_t = jnp.asarray(bc.table.T.astype(np.float32), jnp.bfloat16)      # [C,S]
-    a_t = jnp.asarray(acc_np[bc.table].T.astype(np.float32), jnp.bfloat16)
-    both = jnp.concatenate([t_t, a_t], axis=1)                          # [C,2S]
+    # interval-indexed tables: row k = class(interval k)'s transition column
+    t_k = bc.table[:, bc.interval_class].T.astype(np.float32)        # [K, S]
+    a_k = acc_np[bc.table][:, bc.interval_class].T.astype(np.float32)
+    both = jnp.asarray(np.concatenate([t_k, a_k], axis=1), jnp.bfloat16)
+    lo = jnp.asarray(bc.interval_lo, jnp.int32)[None, :]             # [1, K]
+    hi = jnp.asarray(bc.interval_hi, jnp.int32)[None, :]
     state_iota = jnp.arange(n_states, dtype=jnp.int32)[None, :]
-    intervals = list(
-        zip(bc.interval_lo.tolist(), bc.interval_hi.tolist(),
-            bc.interval_class.tolist())
-    )
-    c_count = bc.n_classes
-
-    def class_onehot(c):
-        cols = [None] * c_count
-        for lo, hi, cl in intervals:
-            m = (c == lo) if lo == hi else ((c >= lo) & (c <= hi))
-            cols[cl] = m if cols[cl] is None else (cols[cl] | m)
-        return jnp.stack(cols, axis=1).astype(jnp.bfloat16)  # [L, C]
 
     def transition(state, c):
+        cb = c[:, None]
+        onehot = ((cb >= lo) & (cb <= hi)).astype(jnp.bfloat16)      # [L, K]
         g = jax.lax.dot_general(
-            class_onehot(c), both, (((1,), (0,)), ((), ())),
+            onehot, both, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)  # [L, 2S]
         sel = state[:, None] == state_iota
@@ -65,7 +63,10 @@ def make_mxu_transition(table: np.ndarray, accept: np.ndarray):
     return transition
 
 
-SELECT_TERMS_MAX = 600  # C*S bound for the select transition
+# C*S bound for the select transition.  Disabled by default: measured on
+# v5e, the matmul transition wins at realistic lane widths (>= tens of
+# thousands of page lanes); select only helps tiny batches.
+SELECT_TERMS_MAX = 0
 
 
 def make_select_transition(table: np.ndarray, accept: np.ndarray):
