@@ -225,7 +225,8 @@ def bench_engine(path: Path, reps: int) -> dict:
              if k in D.DECODE_ARRAYS}
     planes2 = tuple(jax.device_put(p) for p in b2.plain_planes)
     kw = dict(max_def=b2.max_def, out_len=b2.vmax, nn_len=b2.nn_cap,
-              mode="plain", def_literal=D.batch_has_literal(b2.arrays, "def"))
+              mode="plain", def_literal=D.batch_has_literal(b2.arrays, "def"),
+              max_null_shift=D.max_nulls_per_page(b2.arrays))
 
     def make_dec(reps_n):
         def f(c, p):
@@ -257,6 +258,11 @@ def main():
         args.rows, args.reps = 200_000, 3
 
     path = gen_fixture(args.rows)
+    # warm the page cache so both sides measure decode work, not disk
+    # (the reference's repetition loop benefits identically)
+    with open(path, "rb") as f:
+        while f.read(1 << 24):
+            pass
     ref = bench_reference(path, max(args.reps, 1))
     eng = bench_engine(path, args.reps)
 

@@ -26,7 +26,7 @@ from typing import Any
 
 import numpy as np
 
-from .expand import expand_hybrid, nonnull_mask_and_index, take2d
+from .expand import expand_hybrid, nonnull_mask_and_index, take2d, take2d_shift
 
 # Arrays the core decode consumes (subset of the pre-scan batch contract).
 DECODE_ARRAYS = [
@@ -86,7 +86,7 @@ def decode_levels(xp, arrays, max_def: int, out_len: int,
 
 
 def decode_dict_indices(xp, arrays, nn_idx, nn_len: int,
-                        idx_literal: bool = True):
+                        idx_literal: bool = True, max_null_shift: int = -1):
     """Per-row dictionary index and its validity ([N, V] i32, [N, V] bool)."""
     idx_stream = expand_hybrid(
         xp,
@@ -95,7 +95,11 @@ def decode_dict_indices(xp, arrays, nn_idx, nn_len: int,
         arrays["idx_run_vstart"], arrays["idx_bytes"],
         arrays["page_idx_bw"], nn_len, has_literal=idx_literal,
     )
-    dict_idx = take2d(xp, idx_stream, xp.clip(nn_idx, 0, nn_len - 1))
+    if 0 <= max_null_shift <= 64 and xp is not np:
+        dict_idx = take2d_shift(xp, idx_stream, nn_idx, max_null_shift,
+                                nn_idx.shape[1])
+    else:
+        dict_idx = take2d(xp, idx_stream, xp.clip(nn_idx, 0, nn_len - 1))
     ok = (dict_idx >= 0) & (dict_idx < arrays["page_dict_size"][:, None])
     return dict_idx, ok
 
@@ -113,6 +117,8 @@ def decode_fixed(
     mode: str,      # "plain" | "dict" | "mixed"
     def_literal: bool = True,
     idx_literal: bool = True,
+    max_null_shift: int = -1,  # host-known max nulls/page; >=0 enables the
+                               # shift-based (gather-free) null scatter
 ):
     """Decode a batch of fixed-width (or boolean) pages.
 
@@ -131,6 +137,11 @@ def decode_fixed(
             # "gather" is the identity — pure reinterpret, zero gathers
             # (gathers cost ~10-25 ns/elem on TPU; this path is memcpy-speed).
             plain_vals = [p[:, :out_len] for p in plain_planes]
+        elif 0 <= max_null_shift <= 64 and xp is not np:
+            plain_vals = [
+                take2d_shift(xp, p, nn_idx, max_null_shift, out_len)
+                for p in plain_planes
+            ]
         else:
             plain_vals = [take2d(xp, p, gather_idx) for p in plain_planes]
 
@@ -138,17 +149,23 @@ def decode_fixed(
     dict_ok = None
     if mode in ("dict", "mixed"):
         dict_idx, dict_ok = decode_dict_indices(xp, arrays, nn_idx, nn_len,
-                                                idx_literal)
+                                                idx_literal,
+                                                max_null_shift=max_null_shift)
         dn = dict_planes[0].shape[0] if dict_planes else 1
         base = arrays["page_dict_base"][:, None]
         gidx = xp.clip(base + xp.clip(dict_idx, 0, None), 0, dn - 1)
         dict_vals = [xp.take(p, gidx) for p in dict_planes] if dict_planes else None
 
+    # masked cells are zeroed so every decode method (gather / shift / select)
+    # produces bit-identical outputs
+    def finish(planes, valid):
+        return [xp.where(valid, p, 0) for p in planes], valid
+
     if mode == "plain":
-        return plain_vals, nonnull
+        return finish(plain_vals, nonnull)
     is_dict = arrays["page_kind"][:, None] == 1
     if mode == "dict":
-        return dict_vals, nonnull & dict_ok
+        return finish(dict_vals, nonnull & dict_ok)
     # mixed: per-page select
     n_planes = len(plain_vals) if plain_vals else (len(dict_vals) if dict_vals else 0)
     planes = []
@@ -157,7 +174,7 @@ def decode_fixed(
         d = dict_vals[j] if dict_vals else xp.zeros_like(p)
         planes.append(xp.where(is_dict, d, p))
     nn = xp.where(is_dict, nonnull & dict_ok, nonnull) if dict_ok is not None else nonnull
-    return planes, nn
+    return finish(planes, nn)
 
 
 # ── JAX entry point ─────────────────────────────────────────────────────────
@@ -166,11 +183,11 @@ def decode_fixed(
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("max_def", "out_len", "nn_len", "mode", "has_bool",
-                     "def_literal", "idx_literal"),
+                     "def_literal", "idx_literal", "max_null_shift"),
 )
 def _decode_fixed_jit(arrays, plain_planes, dict_planes, bool_bits,
                       max_def, out_len, nn_len, mode, has_bool,
-                      def_literal, idx_literal):
+                      def_literal, idx_literal, max_null_shift):
     import jax.numpy as jnp
 
     planes, nonnull = decode_fixed(
@@ -178,6 +195,7 @@ def _decode_fixed_jit(arrays, plain_planes, dict_planes, bool_bits,
         bool_bits if has_bool else None,
         max_def=max_def, out_len=out_len, nn_len=nn_len, mode=mode,
         def_literal=def_literal, idx_literal=idx_literal,
+        max_null_shift=max_null_shift,
     )
     return planes, nonnull
 
@@ -199,4 +217,12 @@ def decode_fixed_jax(arrays, plain_planes, dict_planes, bool_bits, *,
         max_def, out_len, nn_len, mode, bool_bits is not None,
         batch_has_literal(arrays, "def") if max_def > 0 else False,
         batch_has_literal(arrays, "idx") if mode != "plain" else False,
+        max_nulls_per_page(arrays) if max_def > 0 else -1,
     )
+
+
+def max_nulls_per_page(arrays) -> int:
+    """Host-side: max nulls in any page (bounds the shift-based scatter)."""
+    nv = np.asarray(arrays["page_num_values"])
+    nn = np.asarray(arrays["page_nn"])
+    return int((nv - nn).max()) if len(nv) else 0

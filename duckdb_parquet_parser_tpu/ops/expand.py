@@ -37,6 +37,31 @@ def _scatter_add(xp, target, rows, cols, values):
     return target.at[rows, cols].add(values)
 
 
+def take2d_shift(xp, plane, nn_idx, max_shift: int, out_len: int):
+    """Null-scatter gather as piecewise shifts.
+
+    For null-materialization gathers the index is `nn_idx[v] = v - nulls_
+    before(v)`, so `plane[nn_idx]` equals a right-shift of the plane by the
+    running null count: out = Σ_k (shift==k) · plane>>k with k bounded by the
+    page's null count.  Shifts are contiguous copies — no gather at all
+    (XLA:TPU gathers cost ~10-25 ns/element; this is HBM-bandwidth instead).
+    """
+    n = plane.shape[0]
+    v_iota = xp.arange(out_len, dtype=xp.int32)[None, :]
+    shift = v_iota - nn_idx  # [N, V] — nulls before v, in [0, max_shift]
+    base = plane[:, :out_len] if plane.shape[1] >= out_len else xp.concatenate(
+        [plane, xp.zeros((n, out_len - plane.shape[1]), plane.dtype)], axis=1
+    )
+    out = xp.where(shift == 0, base, 0)
+    shifted = base
+    for k in range(1, max_shift + 1):
+        shifted = xp.concatenate(
+            [xp.zeros((n, 1), plane.dtype), shifted[:, :-1]], axis=1
+        )
+        out = xp.where(shift == k, shifted, out)
+    return out
+
+
 def take2d(xp, a, idx):
     """Gather along the last axis of a 2-D array via FLAT 1-D indexing.
 
