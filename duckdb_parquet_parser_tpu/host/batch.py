@@ -23,6 +23,7 @@ _PER_PAGE_ARRAYS = [
     "def_run_vstart", "idx_run_kind", "idx_run_count", "idx_run_value",
     "idx_run_bitoff", "idx_run_vstart",
     "def_bytes", "idx_bytes", "plain_fixed", "bool_bits",
+    "payload", "page_payload_len",
 ]
 
 _NUMPY_DTYPES = {

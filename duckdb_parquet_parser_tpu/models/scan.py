@@ -60,7 +60,10 @@ class ScanEngine:
             return scan_batch_fallback(batch, pat, negate=negate)
 
         if self.mesh is not None:
-            batch = self.reader.prescan(column, pad_strings=8)
+            batch = self.reader.prescan(
+                column, pad_strings=8,
+                flags=bindings.PS_HOST_STRINGS | bindings.PS_PAYLOAD,
+            )
             n_dev = int(np.prod(list(self.mesh.shape.values())))
             padded = pad_pages(batch, n_dev)
             return distributed_scan(self.mesh, padded, dfa, negate=negate)
@@ -196,8 +199,12 @@ def build_example_batch(tmpdir: str, *, rows: int = 400, n_unique=None):
     w.write_row_group({"s": [None if rng.random() < 0.1 else v for v in vals[rows:]]})
     w.close()
 
+    from ..host import bindings as _b
+
     reader = ParquetReader(path)
-    return reader, reader.prescan("s", pad_strings=8)
+    return reader, reader.prescan(
+        "s", pad_strings=8, flags=_b.PS_HOST_STRINGS | _b.PS_PAYLOAD
+    )
 
 
 def single_chip_forward(batch, dfa: DFA):

@@ -18,6 +18,7 @@ stream — O(dict + values) instead of O(bytes).
 
 from __future__ import annotations
 
+import functools as _functools
 import re as _re
 from dataclasses import dataclass
 
@@ -158,17 +159,53 @@ def scan_batch(batch, pattern: str, *, negate: bool = False, xp=np) -> PageMatch
     )
 
 
+@_functools.lru_cache(maxsize=64)
+def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
+                      max_def, negate, use_mxu):
+    """jit-compiled single-device scan step, cached per automaton + batch
+    shape class (the DFA tables must be compile-time constants for the
+    gather-free transition builders)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .strings import match_payload_stream
+
+    table = np.frombuffer(table_bytes, np.int32).reshape(table_shape)
+    accept = np.frombuffer(accept_bytes, bool)
+
+    def step(core, payload, plen, dict_match_d):
+        is_dict = core["page_kind"] == 1
+        nn = core["page_nn"]
+        hits, _seen = match_payload_stream(
+            jnp, payload, jnp.where(is_dict, 0, plen),
+            jnp.where(is_dict, 0, nn), table, accept, use_mxu=use_mxu,
+        )
+        plain_counts = (nn - hits) if negate else hits
+
+        nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)
+        dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap)
+        g = jnp.clip(core["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),
+                     0, dict_match_d.shape[0] - 1)
+        accept_d = (jnp.take(dict_match_d, g) ^ negate) & ok & nonnull
+        dict_counts = jnp.sum(accept_d, axis=1)
+        dict_values = jnp.sum(ok & nonnull, axis=1)
+
+        counts = jnp.where(is_dict, dict_counts, plain_counts)
+        values = jnp.where(is_dict, dict_values, nn)
+        return counts, values
+
+    return jax.jit(step)
+
+
 def scan_batch_device(batch, pattern: str, *, negate: bool = False,
                       use_mxu: bool = True) -> PageMatchResult:
     """Fully device-side scan over a PS_PAYLOAD batch: PLAIN pages stream raw
     payload bytes through the (MXU) DFA — no host string walk, no char-matrix
     materialization; dictionary pages match each dict entry once and map
     accepts through the expanded index stream."""
-    import jax
     import jax.numpy as jnp
 
     from .regex import compile_pattern as _compile
-    from .strings import match_payload_stream
 
     try:
         dfa = _compile(pattern)
@@ -192,36 +229,15 @@ def scan_batch_device(batch, pattern: str, *, negate: bool = False,
     )
 
     core = {k: jnp.asarray(v) for k, v in arrays.items() if k in _decode.DECODE_ARRAYS}
-    max_def, nn_cap = batch.max_def, batch.nn_cap
-
-    @jax.jit
-    def step(payload, plen, nn, kind, dict_match_d, dict_base, dict_size):
-        is_dict = kind == 1
-        # PLAIN pages: streaming DFA over raw payload (dict pages masked out)
-        hits, _seen = match_payload_stream(
-            jnp, payload, jnp.where(is_dict, 0, plen),
-            jnp.where(is_dict, 0, nn), dfa.table, dfa.accept, use_mxu=use_mxu,
-        )
-        plain_counts = (nn - hits) if negate else hits
-
-        # dictionary pages
-        nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, batch.vmax)
-        dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap)
-        g = jnp.clip(dict_base[:, None] + jnp.clip(dict_idx, 0, None),
-                     0, dict_match_d.shape[0] - 1)
-        accept = (jnp.take(dict_match_d, g) ^ negate) & ok & nonnull
-        dict_counts = jnp.sum(accept, axis=1)
-        dict_values = jnp.sum(ok & nonnull, axis=1)
-
-        counts = jnp.where(is_dict, dict_counts, plain_counts)
-        values = jnp.where(is_dict, dict_values, nn)
-        return counts, values
-
+    table = np.ascontiguousarray(dfa.table, np.int32)
+    step = _device_scan_step(
+        table.tobytes(), table.shape,
+        np.ascontiguousarray(dfa.accept, bool).tobytes(),
+        batch.vmax, batch.nn_cap, batch.max_def, bool(negate), bool(use_mxu),
+    )
     counts, values = step(
-        jnp.asarray(arrays["payload"]), jnp.asarray(arrays["page_payload_len"]),
-        jnp.asarray(arrays["page_nn"]), jnp.asarray(arrays["page_kind"]),
-        jnp.asarray(dict_match), jnp.asarray(arrays["page_dict_base"]),
-        jnp.asarray(arrays["page_dict_size"]),
+        core, jnp.asarray(arrays["payload"]),
+        jnp.asarray(arrays["page_payload_len"]), jnp.asarray(dict_match),
     )
     _ = n
     return PageMatchResult(

@@ -21,7 +21,13 @@ Both are xp-generic (numpy mirrors are the test oracle).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+# lax.scan unroll factor for the streaming matcher (tunable; measured sweet
+# spot on v5e is 8-16)
+SCAN_UNROLL = int(os.environ.get("DPQ_SCAN_UNROLL", "8"))
 
 
 def string_offsets(xp, payload, nn, cap: int):
@@ -157,7 +163,7 @@ def match_payload_stream(xp, payload, payload_len, nn, table, accept,
     cols = xp.transpose(payload_i)  # [P, N]
     step = make_step(lambda b: cols[b])
     carry, _ = jax.lax.scan(
-        step, init, xp.arange(steps, dtype=xp.int32), unroll=8
+        step, init, xp.arange(steps, dtype=xp.int32), unroll=SCAN_UNROLL
     )
     return carry[5], carry[4]
 

@@ -6,6 +6,10 @@ and per-dictionary-entry match bits replicate (they are small by
 construction: pages are ~1 KB, dictionaries <= non-null/5 entries).  The only
 collectives are a `psum` for global totals and the padded `all_to_all` of the
 inverted-index entry exchange — both ride ICI/DCN as XLA chooses.
+
+The local kernel is the same fast path as single-chip: the streaming MXU DFA
+over raw page payloads (ops/strings.py) for PLAIN pages and the replicated
+dict-match + index-stream expansion for dictionary pages.
 """
 
 from __future__ import annotations
@@ -20,59 +24,59 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops import decode as _decode
 from ..ops.scan import dfa_match
+from ..ops.strings import match_payload_stream
 from .mesh import PAGES_AXIS
 from .shuffle import all_to_all_exchange
 
 shard_map = jax.shard_map
 
 
-def _local_match_counts(core, chars_pm, lens_pm, dict_match, dfa_table,
-                        dfa_accept, *, vmax, max_def, negate):
+def _local_match_counts(core, payload, plen, dict_match, *, table, accept,
+                        vmax, nn_cap, max_def, negate):
     """Per-page accept counts + totals on the local page shard (pure jnp)."""
-    n_local, cap, pitch = chars_pm.shape
-
-    nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)
     is_dict = core["page_kind"] == 1
+    nn = core["page_nn"]
 
-    # PLAIN pages: match the packed per-page entries
-    flat_match = dfa_match(
-        jnp, chars_pm.reshape(n_local * cap, pitch),
-        lens_pm.reshape(n_local * cap), dfa_table, dfa_accept,
-    ).reshape(n_local, cap)
-    flat_match = flat_match ^ negate
-    entry_valid = jnp.arange(cap, dtype=jnp.int32)[None, :] < core["page_nn"][:, None]
-    plain_counts = jnp.sum(flat_match & entry_valid, axis=1)
+    # PLAIN pages: streaming DFA over raw payload (dict pages masked out)
+    hits, _seen = match_payload_stream(
+        jnp, payload, jnp.where(is_dict, 0, plen), jnp.where(is_dict, 0, nn),
+        table, accept, use_mxu=True,
+    )
+    plain_counts = (nn - hits) if negate else hits
 
-    # dictionary pages: map replicated dict match bits through the idx stream
-    dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, cap)
+    # dictionary pages: replicated dict match bits through the idx stream
+    nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)
+    dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap)
     dn = dict_match.shape[0]
     g = jnp.clip(core["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None), 0, dn - 1)
-    accept = (jnp.take(dict_match, g) ^ negate) & ok & nonnull
-    dict_counts = jnp.sum(accept, axis=1)
+    accept_d = (jnp.take(dict_match, g) ^ negate) & ok & nonnull
+    dict_counts = jnp.sum(accept_d, axis=1)
 
     counts = jnp.where(is_dict, dict_counts, plain_counts).astype(jnp.int32)
-    values = jnp.where(is_dict, jnp.sum(ok & nonnull, axis=1),
-                       core["page_nn"]).astype(jnp.int32)
-    totals = jax.lax.psum(
-        jnp.stack([jnp.sum(counts), jnp.sum(values)]), PAGES_AXIS
-    )
+    values = jnp.where(is_dict, jnp.sum(ok & nonnull, axis=1), nn).astype(jnp.int32)
+    totals = jax.lax.psum(jnp.stack([jnp.sum(counts), jnp.sum(values)]), PAGES_AXIS)
     return counts, values, totals
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("mesh", "vmax", "max_def", "negate"))
-def _scan_step(mesh, core, chars_pm, lens_pm, dict_match, dfa_table,
-               dfa_accept, *, vmax, max_def, negate):
-    spec_pages = {k: P(PAGES_AXIS) for k in core}
+@functools.lru_cache(maxsize=64)
+def _make_scan_step(mesh, core_keys, vmax, nn_cap, max_def, negate,
+                    table_bytes, table_shape, accept_bytes):
+    # The DFA tables are COMPILE-TIME constants: the transition builder
+    # (byte classes, intervals) needs concrete values, so the step function
+    # is cached per (mesh, shapes, automaton).
+    table = np.frombuffer(table_bytes, np.int32).reshape(table_shape)
+    accept = np.frombuffer(accept_bytes, bool)
+    spec_pages = {k: P(PAGES_AXIS) for k in core_keys}
     fn = shard_map(
-        functools.partial(_local_match_counts, vmax=vmax, max_def=max_def,
+        functools.partial(_local_match_counts, table=table, accept=accept,
+                          vmax=vmax, nn_cap=nn_cap, max_def=max_def,
                           negate=negate),
         mesh=mesh,
-        in_specs=(spec_pages, P(PAGES_AXIS), P(PAGES_AXIS), P(), P(), P()),
+        in_specs=(spec_pages, P(PAGES_AXIS), P(PAGES_AXIS), P()),
         out_specs=(P(PAGES_AXIS), P(PAGES_AXIS), P()),
         check_vma=False,
     )
-    return fn(core, chars_pm, lens_pm, dict_match, dfa_table, dfa_accept)
+    return jax.jit(fn)
 
 
 @dataclass
@@ -95,36 +99,38 @@ def core_arrays(batch) -> dict:
     return {k: batch.arrays[k] for k in _decode.DECODE_ARRAYS if k in batch.arrays}
 
 
-def distributed_scan(mesh, batch, dfa, *, negate: bool = False,
-                     chars_pm=None, lens_pm=None) -> DistributedScanResult:
+def distributed_scan(mesh, batch, dfa, *, negate: bool = False) -> DistributedScanResult:
     """Runs the regex page-pruning scan sharded over `mesh`.
 
     `batch` must be page-padded to a multiple of the device count
-    (parallel.partition.pad_pages) and prescanned with pad_strings > 0.
-    """
-    from .partition import strings_page_major
-
-    if chars_pm is None:
-        chars_pm, lens_pm = strings_page_major(batch)
+    (parallel.partition.pad_pages) and prescanned with PS_PAYLOAD
+    (pad_strings > 0 so dictionary tables are packed)."""
+    arrays = batch.arrays
+    if "payload" not in arrays:
+        raise ValueError("distributed_scan needs a PS_PAYLOAD batch")
 
     # replicated dictionary match bits
-    if int(batch.dims.get("dict_n", 0)) > 0 and "dict_padded" in batch.arrays:
+    if int(batch.dims.get("dict_n", 0)) > 0 and "dict_padded" in arrays:
         dict_match = np.asarray(
-            dfa_match(np, batch.arrays["dict_padded"], batch.arrays["dict_lens"],
+            dfa_match(np, arrays["dict_padded"], arrays["dict_lens"],
                       dfa.table, dfa.accept)
         )
     else:
         dict_match = np.zeros(1, bool)
 
     core = {k: jnp.asarray(v) for k, v in core_arrays(batch).items()}
-    counts, values, totals = _scan_step(
-        mesh, core, jnp.asarray(chars_pm), jnp.asarray(lens_pm),
-        jnp.asarray(dict_match), jnp.asarray(dfa.table),
-        jnp.asarray(dfa.accept),
-        vmax=batch.vmax, max_def=batch.max_def, negate=negate,
+    table = np.ascontiguousarray(dfa.table, np.int32)
+    step = _make_scan_step(
+        mesh, tuple(sorted(core)), batch.vmax, batch.nn_cap, batch.max_def,
+        negate, table.tobytes(), table.shape,
+        np.ascontiguousarray(dfa.accept, bool).tobytes(),
+    )
+    counts, values, totals = step(
+        core, jnp.asarray(arrays["payload"]),
+        jnp.asarray(arrays["page_payload_len"]), jnp.asarray(dict_match),
     )
     return DistributedScanResult(
-        page_gid=batch.arrays["page_gid"].copy(),
+        page_gid=arrays["page_gid"].copy(),
         match_counts=np.asarray(counts, np.int64),
         value_counts=np.asarray(values, np.int64),
         totals=np.asarray(totals, np.int64),
@@ -148,6 +154,6 @@ def _exchange_step(mesh, send):
 
 def exchange_entries(mesh, send_buffer: np.ndarray) -> np.ndarray:
     """Runs the padded all_to_all: send_buffer [D, D, cap, ...] (src-major)
-    -> received [D*D*cap? see shuffle.all_to_all_exchange] rows per dest."""
+    -> received rows per destination (see shuffle.all_to_all_exchange)."""
     out = _exchange_step(mesh, jnp.asarray(send_buffer))
     return np.asarray(out)

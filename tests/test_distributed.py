@@ -44,8 +44,12 @@ def batch_and_path(request, tmp_path_factory):
         d / "f.parquet", rng, n=1800, null_p=0.2,
         n_unique=None if request.param == "plain" else 13,
     )
+    from duckdb_parquet_parser_tpu.host import bindings
+
     r = ParquetReader(path)
-    return r, r.prescan("s", pad_strings=8)
+    return r, r.prescan(
+        "s", pad_strings=8, flags=bindings.PS_HOST_STRINGS | bindings.PS_PAYLOAD
+    )
 
 
 @pytest.mark.parametrize("pattern,negate", [("alpha", False), ("o[a-z]t", True)])
