@@ -275,7 +275,14 @@ def main():
         "unit": "rows/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
     }
-    log(json.dumps({"detail": {**ref, **{k: v for k, v in eng.items() if k != "t"}}}))
+    detail = {**ref, **{k: v for k, v in eng.items() if k != "t"}}
+    detail["scaling_note"] = (
+        "single-chip environment (one v5e behind a relay); the multi-chip "
+        "path (pages-mesh shard_map + psum + padded all_to_all) is validated "
+        "functionally on 8 virtual devices via tests/test_distributed.py and "
+        "__graft_entry__.dryrun_multichip"
+    )
+    log(json.dumps({"detail": detail}))
     print(json.dumps(line), flush=True)
 
 

@@ -51,8 +51,18 @@ def _print_file_info(reader: ParquetReader) -> None:
 
 def _run_regex_scan(reader: ParquetReader, args) -> int:
     from .host import bindings
+    from .host.schema import ParquetType
     from .ops.regex import UnsupportedPattern, compile_pattern
     from .ops.scan import scan_batch_device
+
+    info = reader.column(args.regex_column)
+    if info.type != ParquetType.BYTE_ARRAY:
+        print(
+            f"error: regex scan requires a BYTE_ARRAY column; "
+            f"'{args.regex_column}' is {info.type_name()}",
+            file=sys.stderr,
+        )
+        return 2
 
     pattern = like_to_regex(args.regex) if args.like else args.regex
     if args.engine == "jax":

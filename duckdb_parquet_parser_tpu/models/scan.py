@@ -19,7 +19,6 @@ from ..ops.scan import PageMatchResult, scan_batch, scan_batch_fallback
 from ..parallel.mesh import make_mesh
 from ..parallel.partition import pad_pages
 from ..parallel.pipeline import DistributedScanResult, distributed_scan
-from ..parallel.shuffle import ExchangePlan, balanced_chunk_owners
 
 
 @dataclass
@@ -50,6 +49,14 @@ class ScanEngine:
         from ..ops.regex import like_to_regex
         from ..ops.scan import scan_batch_device
 
+        from ..host.schema import ParquetType
+
+        info = self.reader.column(column)
+        if info.type != ParquetType.BYTE_ARRAY:
+            raise TypeError(
+                f"regex scan requires a BYTE_ARRAY column; '{column}' is "
+                f"{info.type_name()}"
+            )
         pat = like_to_regex(pattern) if like else pattern
         try:
             dfa = compile_pattern(pat)
@@ -209,49 +216,46 @@ def build_example_batch(tmpdir: str, *, rows: int = 400, n_unique=None):
 
 def single_chip_forward(batch, dfa: DFA):
     """Returns (jittable_fn, example_args): one fused decode+match+count step
-    on a page batch — the compile-check surface for the driver."""
+    on a page batch — the engine's flagship forward step (raw-payload
+    streaming MXU DFA for PLAIN pages, dict fast path for the rest), the
+    compile-check surface for the driver."""
     import jax.numpy as jnp
 
-    from ..ops.scan import dfa_match as _dfa_match
     from ..ops import decode as _decode
-    from ..parallel.partition import strings_page_major
+    from ..ops.scan import dfa_match as _dfa_match
+    from ..ops.strings import match_payload_stream
 
-    chars_pm, lens_pm = strings_page_major(batch)
-    core = {k: jnp.asarray(v) for k, v in batch.arrays.items()
+    arrays = batch.arrays
+    core = {k: jnp.asarray(v) for k, v in arrays.items()
             if k in _decode.DECODE_ARRAYS}
-    if "dict_padded" in batch.arrays:
+    if "dict_padded" in arrays:
         dict_match_np = np.asarray(
-            _dfa_match(np, batch.arrays["dict_padded"], batch.arrays["dict_lens"],
+            _dfa_match(np, arrays["dict_padded"], arrays["dict_lens"],
                        dfa.table, dfa.accept))
     else:
         dict_match_np = np.zeros(1, bool)
 
-    vmax = batch.vmax
-    max_def = batch.max_def
+    vmax, nn_cap, max_def = batch.vmax, batch.nn_cap, batch.max_def
+    table, accept = dfa.table, dfa.accept
 
-    def forward(core, chars_pm, lens_pm, dict_match, table, accept):
-        # single-chip: same math as the sharded kernel minus the collective
-        n, cap, pitch = chars_pm.shape
-        nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)
+    def forward(core, payload, plen, dict_match):
+        # single-chip: same math as the sharded kernel minus the psum
         is_dict = core["page_kind"] == 1
-        match = _dfa_match(
-            jnp, chars_pm.reshape(n * cap, pitch), lens_pm.reshape(n * cap),
-            table, accept,
-        ).reshape(n, cap)
-        entry_valid = (
-            jnp.arange(cap, dtype=jnp.int32)[None, :] < core["page_nn"][:, None]
+        nn = core["page_nn"]
+        hits, _seen = match_payload_stream(
+            jnp, payload, jnp.where(is_dict, 0, plen),
+            jnp.where(is_dict, 0, nn), table, accept, use_mxu=True,
         )
-        plain_counts = jnp.sum(match & entry_valid, axis=1)
-        dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, cap)
+        nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)
+        dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap)
         g = jnp.clip(core["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),
                      0, dict_match.shape[0] - 1)
         dict_counts = jnp.sum(jnp.take(dict_match, g) & ok & nonnull, axis=1)
-        return jnp.where(is_dict, dict_counts, plain_counts)
+        return jnp.where(is_dict, dict_counts, hits)
 
     example_args = (
-        core, jnp.asarray(chars_pm), jnp.asarray(lens_pm),
-        jnp.asarray(dict_match_np), jnp.asarray(dfa.table),
-        jnp.asarray(dfa.accept),
+        core, jnp.asarray(arrays["payload"]),
+        jnp.asarray(arrays["page_payload_len"]), jnp.asarray(dict_match_np),
     )
     return forward, example_args
 

@@ -11,10 +11,12 @@ does the rest:
     per-page value chain: all pages advance in lockstep, one value per step
     (pages are ~1 KB ⇒ tens of values), each step a 4-byte gather per page.
   * `match_payload_stream` — a streaming DFA that consumes one byte column
-    per step across all pages: each page lane tracks (prefix_left, len_accum,
-    bytes_left, dfa_state, values_done, accepts).  One table-gather of width
-    N per byte — no char matrix is ever materialized, so scan traffic equals
-    the raw page bytes.
+    per step across all pages: each page lane tracks (prefix_left, ctr,
+    dfa_state, values_done, accepts), where ctr double-serves as the length
+    accumulator (inside a prefix) and the bytes-left countdown (inside a
+    value).  With use_mxu=True the transition is a gather-free one-hot
+    matmul (mxu_dfa.py); no char matrix is ever materialized, so scan
+    traffic equals the raw page bytes.
 
 Both are xp-generic (numpy mirrors are the test oracle).
 """
@@ -107,56 +109,53 @@ def match_payload_stream(xp, payload, payload_len, nn, table, accept,
             nxt = xp.take(tflat, xp.clip(state, 0, None) * 256 + c)
             return nxt, xp.take(acc_i, nxt)
 
+    # Carry layout: `ctr` serves double duty — inside a length prefix it
+    # accumulates the little-endian length; inside a value it counts bytes
+    # left.  They are never live simultaneously (at the prefix->value
+    # boundary the accumulated length IS the initial bytes-left), which
+    # drops two registers and several selects per byte.  Inactive lanes
+    # (past the section or the value count) may hold garbage ctr/state —
+    # harmless, since `active` gates every finalize.
     def make_step(get_col):
         def step(carry, b):
-            prefix_left, len_accum, bytes_left, state, done, hits = carry
+            prefix_left, ctr, state, done, hits = carry
             c = get_col(b)
             active = (b < payload_len) & (done < nn)
             in_prefix = prefix_left > 0
 
-            # prefix byte: accumulate little-endian length
-            la2 = len_accum | (c << (8 * (4 - prefix_left)))
+            # prefix byte: accumulate little-endian length into ctr
+            la2 = ctr | (c << (8 * (4 - prefix_left)))
             pl2 = prefix_left - 1
             prefix_done = in_prefix & (pl2 == 0) & active
             zero_len = prefix_done & (la2 == 0)
 
-            # value byte: advance the DFA
+            # value byte: advance the DFA, count down ctr
             st2, acc_st2 = transition(state, c)
-            bl2 = bytes_left - 1
+            bl2 = ctr - 1
             value_done = (~in_prefix) & (bl2 == 0) & active
 
             fin = zero_len | value_done
-            fin_accept = xp.where(zero_len, acc0, acc_st2)
-            hits = hits + xp.where(fin, fin_accept, 0)
+            hits = hits + xp.where(fin, xp.where(zero_len, acc0, acc_st2), 0)
             done = done + fin.astype(xp.int32)
 
             new_prefix_left = xp.where(
-                ~active, prefix_left,
-                xp.where(fin, 4, xp.where(in_prefix, pl2, prefix_left)))
-            new_len_accum = xp.where(
-                ~active, len_accum,
-                xp.where(fin, 0, xp.where(in_prefix, la2, len_accum)))
-            new_bytes_left = xp.where(
-                ~active, bytes_left,
-                xp.where(prefix_done & ~zero_len, la2,
-                         xp.where(in_prefix, bytes_left, bl2)))
+                fin, 4, xp.where(in_prefix, pl2, prefix_left))
+            new_ctr = xp.where(fin, 0, xp.where(in_prefix, la2, bl2))
             new_state = xp.where(
-                ~active, state,
-                xp.where(prefix_done, 0, xp.where(in_prefix, state, st2)))
-            return (new_prefix_left, new_len_accum, new_bytes_left, new_state,
-                    done, hits), None
+                prefix_done, 0, xp.where(in_prefix, state, st2))
+            return (new_prefix_left, new_ctr, new_state, done, hits), None
 
         return step
 
     zero = lambda: xp.zeros(n, xp.int32)
-    init = (xp.full(n, 4, xp.int32), zero(), zero(), zero(), zero(), zero())
+    init = (xp.full(n, 4, xp.int32), zero(), zero(), zero(), zero())
 
     if xp is np:
         carry = init
         step = make_step(lambda b: payload_i[:, b])
         for b in range(steps):
             carry, _ = step(carry, b)
-        return carry[5], carry[4]
+        return carry[4], carry[3]
 
     import jax
 
@@ -165,7 +164,7 @@ def match_payload_stream(xp, payload, payload_len, nn, table, accept,
     carry, _ = jax.lax.scan(
         step, init, xp.arange(steps, dtype=xp.int32), unroll=SCAN_UNROLL
     )
-    return carry[5], carry[4]
+    return carry[4], carry[3]
 
 
 def match_values_by_offset(xp, payload, offs, lens, table, accept,

@@ -6,7 +6,7 @@ parquet_writer.hpp:35 page size; here they are one dataclass + env overrides).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass, fields
 
 
 @dataclass
