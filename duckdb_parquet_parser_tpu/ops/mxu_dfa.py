@@ -69,6 +69,68 @@ def make_mxu_transition(table: np.ndarray, accept: np.ndarray):
 SELECT_TERMS_MAX = 0
 
 
+def make_hypothesis_transition(table: np.ndarray, accept: np.ndarray):
+    """Byte-batched MXU transition: returns (g_fn, select_fn, B).
+
+    The expensive part of the transition — G[l, s] = "next state if the lane
+    were in state s" — depends only on the BYTE, not the carried state, so
+    consecutive bytes batch into ONE matmul with a block-diagonal table:
+    [L, B*K] @ [B*K, B*2S].  The MXU pads K and N to 128, so a lone
+    [L,18]@[18,32] wastes ~28x of the array; B = min(128//K, 128//2S) byte
+    batching recovers it (measured: the difference between ~84M and much
+    faster rows/s).  The sequential part (select + value-boundary control)
+    stays per byte on the VPU.
+
+      g_fn(cols [B, N] i32) -> list of B arrays [N, 2S] i32
+      select_fn(state [N], g [N, 2S]) -> (next [N], accept_of_next [N])
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .regex import DFA
+
+    t_np = np.asarray(table)
+    acc_np = np.asarray(accept)
+    n_states = t_np.shape[0]
+    bc = DFA(t_np, acc_np, "").byte_classes()
+
+    t_k = bc.table[:, bc.interval_class].T.astype(np.float32)  # [K, S]
+    a_k = acc_np[bc.table][:, bc.interval_class].T.astype(np.float32)
+    both_np = np.concatenate([t_k, a_k], axis=1)  # [K, 2S]
+    k_count = both_np.shape[0]
+    two_s = both_np.shape[1]
+
+    b_bytes = max(1, min(128 // max(k_count, 1), 128 // max(two_s, 1)))
+    block = np.zeros((b_bytes * k_count, b_bytes * two_s), np.float32)
+    for t in range(b_bytes):
+        block[t * k_count:(t + 1) * k_count, t * two_s:(t + 1) * two_s] = both_np
+    block_bf16 = jnp.asarray(block, jnp.bfloat16)
+
+    lo = jnp.asarray(bc.interval_lo, jnp.int32)[None, :]  # [1, K]
+    hi = jnp.asarray(bc.interval_hi, jnp.int32)[None, :]
+    state_iota = jnp.arange(n_states, dtype=jnp.int32)[None, :]
+
+    def g_fn(cols):
+        onehots = []
+        for t in range(b_bytes):
+            cb = cols[t][:, None]
+            onehots.append(((cb >= lo) & (cb <= hi)).astype(jnp.bfloat16))
+        oh = jnp.concatenate(onehots, axis=1)  # [N, B*K]
+        g = jax.lax.dot_general(
+            oh, block_bf16, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [N, B*2S]
+        return [g[:, t * two_s:(t + 1) * two_s] for t in range(b_bytes)]
+
+    def select_fn(state, g):
+        sel = state[:, None] == state_iota
+        nxt = jnp.sum(jnp.where(sel, g[:, :n_states], 0), axis=1)
+        acc_next = jnp.sum(jnp.where(sel, g[:, n_states:], 0), axis=1)
+        return nxt, acc_next
+
+    return g_fn, select_fn, b_bytes
+
+
 def make_select_transition(table: np.ndarray, accept: np.ndarray):
     """Pure-VPU transition for small automata: next = Σ_{c,s} (class==c &
     state==s) * T[s,c], unrolled over the (class, state) product with

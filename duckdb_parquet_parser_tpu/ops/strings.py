@@ -100,14 +100,9 @@ def match_payload_stream(xp, payload, payload_len, nn, table, accept,
     nn = xp.asarray(nn, dtype=xp.int32)
     payload_len = xp.asarray(payload_len, dtype=xp.int32)
 
-    if use_mxu and xp is not np:
-        from .mxu_dfa import make_transition
-
-        transition = make_transition(table, accept)
-    else:
-        def transition(state, c):
-            nxt = xp.take(tflat, xp.clip(state, 0, None) * 256 + c)
-            return nxt, xp.take(acc_i, nxt)
+    def gather_transition(state, c):
+        nxt = xp.take(tflat, xp.clip(state, 0, None) * 256 + c)
+        return nxt, xp.take(acc_i, nxt)
 
     # Carry layout: `ctr` serves double duty — inside a length prefix it
     # accumulates the little-endian length; inside a value it counts bytes
@@ -116,53 +111,92 @@ def match_payload_stream(xp, payload, payload_len, nn, table, accept,
     # drops two registers and several selects per byte.  Inactive lanes
     # (past the section or the value count) may hold garbage ctr/state —
     # harmless, since `active` gates every finalize.
-    def make_step(get_col):
-        def step(carry, b):
-            prefix_left, ctr, state, done, hits = carry
-            c = get_col(b)
-            active = (b < payload_len) & (done < nn)
-            in_prefix = prefix_left > 0
+    def control_update(carry, b, c, st2, acc_st2):
+        """Value-boundary state machine for one byte (st2/acc_st2 = the DFA
+        transition result for this byte under the carried state)."""
+        prefix_left, ctr, state, done, hits = carry
+        active = (b < payload_len) & (done < nn)
+        in_prefix = prefix_left > 0
 
-            # prefix byte: accumulate little-endian length into ctr
-            la2 = ctr | (c << (8 * (4 - prefix_left)))
-            pl2 = prefix_left - 1
-            prefix_done = in_prefix & (pl2 == 0) & active
-            zero_len = prefix_done & (la2 == 0)
+        # prefix byte: accumulate little-endian length into ctr
+        la2 = ctr | (c << (8 * (4 - prefix_left)))
+        pl2 = prefix_left - 1
+        prefix_done = in_prefix & (pl2 == 0) & active
+        zero_len = prefix_done & (la2 == 0)
 
-            # value byte: advance the DFA, count down ctr
-            st2, acc_st2 = transition(state, c)
-            bl2 = ctr - 1
-            value_done = (~in_prefix) & (bl2 == 0) & active
+        # value byte: count down ctr
+        bl2 = ctr - 1
+        value_done = (~in_prefix) & (bl2 == 0) & active
 
-            fin = zero_len | value_done
-            hits = hits + xp.where(fin, xp.where(zero_len, acc0, acc_st2), 0)
-            done = done + fin.astype(xp.int32)
+        fin = zero_len | value_done
+        hits = hits + xp.where(fin, xp.where(zero_len, acc0, acc_st2), 0)
+        done = done + fin.astype(xp.int32)
 
-            new_prefix_left = xp.where(
-                fin, 4, xp.where(in_prefix, pl2, prefix_left))
-            new_ctr = xp.where(fin, 0, xp.where(in_prefix, la2, bl2))
-            new_state = xp.where(
-                prefix_done, 0, xp.where(in_prefix, state, st2))
-            return (new_prefix_left, new_ctr, new_state, done, hits), None
-
-        return step
+        new_prefix_left = xp.where(fin, 4, xp.where(in_prefix, pl2, prefix_left))
+        new_ctr = xp.where(fin, 0, xp.where(in_prefix, la2, bl2))
+        new_state = xp.where(prefix_done, 0, xp.where(in_prefix, state, st2))
+        return (new_prefix_left, new_ctr, new_state, done, hits)
 
     zero = lambda: xp.zeros(n, xp.int32)
     init = (xp.full(n, 4, xp.int32), zero(), zero(), zero(), zero())
 
     if xp is np:
         carry = init
-        step = make_step(lambda b: payload_i[:, b])
         for b in range(steps):
-            carry, _ = step(carry, b)
+            c = payload_i[:, b]
+            st2, acc_st2 = gather_transition(carry[2], c)
+            carry = control_update(carry, b, c, st2, acc_st2)
         return carry[4], carry[3]
 
     import jax
 
     cols = xp.transpose(payload_i)  # [P, N]
-    step = make_step(lambda b: cols[b])
+
+    # Byte-batched MXU transition: one block-diagonal matmul per B bytes.
+    # Default OFF — measured 10x SLOWER on v5e (the onehot concat + group
+    # reshape relayouts cost far more than the MXU padding they save).
+    if use_mxu and os.environ.get("DPQ_DFA_BYTE_BATCH") == "1":
+        from .mxu_dfa import make_hypothesis_transition
+
+        g_fn, select_fn, b_bytes = make_hypothesis_transition(table, accept)
+        steps_p = -(-steps // b_bytes) * b_bytes
+        if steps_p > cols.shape[0]:
+            cols = xp.concatenate(
+                [cols, xp.zeros((steps_p - cols.shape[0], n), cols.dtype)]
+            )
+        groups = cols[:steps_p].reshape(-1, b_bytes, n)
+        b_idx = xp.arange(steps_p, dtype=xp.int32).reshape(-1, b_bytes)
+
+        def gstep(carry, xs):
+            bs, cg = xs  # [B], [B, N]
+            # one MXU matmul computes the per-hypothesis transitions of all
+            # B bytes; only the select + boundary control stays sequential
+            g_list = g_fn(cg)
+            for t in range(b_bytes):
+                st2, acc_st2 = select_fn(carry[2], g_list[t])
+                carry = control_update(carry, bs[t], cg[t], st2, acc_st2)
+            return carry, None
+
+        carry, _ = jax.lax.scan(
+            gstep, init, (b_idx, groups), unroll=max(1, SCAN_UNROLL // b_bytes)
+        )
+        return carry[4], carry[3]
+
+    if use_mxu:
+        from .mxu_dfa import make_transition
+
+        transition = make_transition(table, accept)
+    else:
+        transition = gather_transition
+
+    def step(carry, xs):
+        b, c = xs
+        st2, acc_st2 = transition(carry[2], c)
+        return control_update(carry, b, c, st2, acc_st2), None
+
     carry, _ = jax.lax.scan(
-        step, init, xp.arange(steps, dtype=xp.int32), unroll=SCAN_UNROLL
+        step, init, (xp.arange(steps, dtype=xp.int32), cols[:steps]),
+        unroll=SCAN_UNROLL,
     )
     return carry[4], carry[3]
 
