@@ -170,9 +170,13 @@ def native_prescan(
             nbytes = ct.c_int64()
             ptr = lib().dpq_batch_view(b, name.encode(), ct.byref(nbytes))
             dtype = _DTYPES[spec["dtype"]]
-            # single copy out of the native buffer (so the batch can be freed)
-            view = (ct.c_ubyte * nbytes.value).from_address(ptr)
-            arr = np.frombuffer(view, dtype=dtype).reshape(spec["shape"]).copy()
+            # ct.string_at copies at memcpy speed (measured ~1.4 GB/s vs
+            # ~100 MB/s for any numpy-destination variant on this box);
+            # frombuffer then wraps the bytes object zero-copy.  The arrays
+            # are read-only views — consumers copy on write (np.pad etc.).
+            arr = np.frombuffer(
+                ct.string_at(ptr, nbytes.value), dtype=dtype
+            ).reshape(spec["shape"])
             arrays[name] = arr
         return manifest["dims"], arrays
     finally:

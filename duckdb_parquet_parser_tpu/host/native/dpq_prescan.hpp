@@ -27,6 +27,8 @@
 #pragma once
 
 #include <atomic>
+#include <chrono>
+#include <cstdio>
 #include <thread>
 
 #include "dpq_reader.hpp"
@@ -206,6 +208,13 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     }
   };
 
+  const bool timing = std::getenv("DPQ_PRESCAN_TIMING") != nullptr;
+  auto t_now = [] { return std::chrono::steady_clock::now(); };
+  auto t_ms = [](auto a, auto b) {
+    return std::chrono::duration<double, std::milli>(b - a).count();
+  };
+  auto t0 = t_now();
+
   // thread pool over row groups
   {
     const int n_jobs = rg1 - rg0;
@@ -237,6 +246,10 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
         if (!res.error.empty()) throw Error(res.error);
     }
   }
+
+  auto t1 = t_now();
+  if (timing)
+    std::fprintf(stderr, "[prescan] rg walk: %.1f ms\n", t_ms(t0, t1));
 
   // ── merge: global bases for dictionaries and string chars ─────────────────
   std::vector<const PageTmp*> tmp;
@@ -315,6 +328,10 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
           : 0;
   dims["str_pitch"] = str_pitch;
   dims["dict_pitch"] = dict_pitch;
+
+  auto t2 = t_now();
+  if (timing)
+    std::fprintf(stderr, "[prescan] dims/alloc prep: %.1f ms\n", t_ms(t1, t2));
 
   // ── per-page scalars ──────────────────────────────────────────────────────
   auto* p_nv = store->alloc<int32_t>("page_num_values", {N});
@@ -401,6 +418,10 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       std::memcpy(a_payload + i * payload_pad, t.val_ptr, size_t(t.val_len));
   }
 
+  auto t3 = t_now();
+  if (timing)
+    std::fprintf(stderr, "[prescan] page pack: %.1f ms\n", t_ms(t2, t3));
+
   // ── dictionaries (concatenated across row groups) ─────────────────────────
   if (dict_n > 0 && !is_ba) {
     auto* dst = store->alloc<uint8_t>("dict_fixed",
@@ -474,6 +495,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     }
   }
 
+  if (timing)
+    std::fprintf(stderr, "[prescan] total: %.1f ms\n", t_ms(t0, t_now()));
   return store;
 }
 

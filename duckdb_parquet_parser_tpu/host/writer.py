@@ -139,6 +139,12 @@ class ParquetWriter:
         if spec.type == ParquetType.BOOLEAN:
             arr = np.ascontiguousarray(np.asarray(data), dtype=np.uint8)
             width = 1
+        elif spec.type == ParquetType.INT96:
+            # 12-byte values as an [n, 12] u8 array (spark-style timestamps)
+            arr = np.ascontiguousarray(np.asarray(data, dtype=np.uint8))
+            if arr.ndim != 2 or arr.shape[1] != 12:
+                raise ValueError("INT96 data must be an [n, 12] uint8 array")
+            width = 12
         else:
             dtype = _FIXED_DTYPES[spec.type]
             arr = np.ascontiguousarray(np.asarray(data), dtype=dtype)

@@ -265,3 +265,28 @@ def test_expand_select_matches_gather(mixed_path, col):
     assert np.array_equal(np.asarray(nn_j), nn_np)
     for pj, pn in zip(planes_j, planes_np):
         assert np.array_equal(np.asarray(pj), pn)
+
+
+def test_heavy_nulls_gather_fallback(tmp_path, rng):
+    """>64 nulls per page exceeds the shift-scatter bound; the jnp path must
+    fall back to gathers and still match numpy."""
+    import jax.numpy as jnp
+
+    from duckdb_parquet_parser_tpu.host.schema import ParquetType
+    from duckdb_parquet_parser_tpu.host.writer import ColumnSpec, ParquetWriter
+
+    path = str(tmp_path / "heavy.parquet")
+    n = 2000
+    valid = (rng.random(n) > 0.9).astype(np.uint8)  # 90% null
+    w = ParquetWriter(path, [ColumnSpec("x", ParquetType.DOUBLE, optional=True)])
+    w.write_row_group({"x": (rng.random(n), valid)})
+    w.close()
+    r = ParquetReader(path)
+    b = r.prescan("x")
+    assert D.max_nulls_per_page(b.arrays) > 64
+    kw = dict(max_def=b.max_def, out_len=b.vmax, nn_len=b.nn_cap, mode="plain")
+    planes_np, nn_np = D.decode_fixed(np, b.arrays, b.plain_planes, [], None, **kw)
+    planes_j, nn_j = D.decode_fixed_jax(b.arrays, b.plain_planes, [], None, **kw)
+    assert np.array_equal(np.asarray(nn_j), nn_np)
+    for pj, pn in zip(planes_j, planes_np):
+        assert np.array_equal(np.asarray(pj), pn)

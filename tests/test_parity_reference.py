@@ -202,3 +202,45 @@ def test_fuzz_roundtrip_parity(tmp_path, oracle, seed):
         mine = r.read_column(spec.name).to_strings()
         ref = oracle(path, "column", spec.name).splitlines()
         assert mine == ref, f"seed={seed} col={spec.name}"
+
+
+def test_int96_parity(tmp_path, oracle, rng):
+    """INT96 (spark-style timestamps): 12-byte values decode and format
+    identically to the reference (reference: src/reader/column_reader.cpp:257-263)."""
+    from duckdb_parquet_parser_tpu.host.schema import ParquetType
+    from duckdb_parquet_parser_tpu.host.writer import ColumnSpec, ParquetWriter
+
+    path = str(tmp_path / "i96.parquet")
+    n = 400
+    raw = rng.integers(0, 256, (n, 12)).astype(np.uint8)
+    valid = (rng.random(n) > 0.2).astype(np.uint8)
+    w = ParquetWriter(
+        path,
+        [
+            ColumnSpec("ts", ParquetType.INT96, optional=True),
+            ColumnSpec("filler", ParquetType.INT64),
+        ],
+        key_value={"pad": "x" * 512},
+    )
+    w.write_row_group({"ts": (raw, valid), "filler": np.arange(n)})
+    w.close()
+    r = ParquetReader(path)
+    col = r.read_column("ts")
+    assert col.to_strings() == oracle(path, "column", "ts").splitlines()
+
+    # low-cardinality INT96 -> dictionary-encoded path
+    path2 = str(tmp_path / "i96d.parquet")
+    pool = rng.integers(0, 256, (4, 12)).astype(np.uint8)
+    data = pool[rng.integers(0, 4, n)]
+    w = ParquetWriter(
+        path2,
+        [
+            ColumnSpec("ts", ParquetType.INT96),
+            ColumnSpec("filler", ParquetType.INT64),
+        ],
+        key_value={"pad": "x" * 512},
+    )
+    w.write_row_group({"ts": data, "filler": np.arange(n)})
+    w.close()
+    r2 = ParquetReader(path2)
+    assert r2.read_column("ts").to_strings() == oracle(path2, "column", "ts").splitlines()
