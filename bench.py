@@ -190,11 +190,17 @@ def bench_engine(path: Path, reps: int) -> dict:
     t_upload = time.time() - t0
 
     # ── steady-state scan (marginal cost of one full re-scan) ───────────────
+    from duckdb_parquet_parser_tpu.ops.regex import substring_chain
+
+    chain = substring_chain(PATTERN)
+    log(f"matcher: {'bitap chain ' + str(chain) if chain else 'MXU DFA'}")
+
     def make_scan(reps_n):
         def f(p, pl, n):
             def body(i, acc):
                 hits, _ = match_payload_stream(
-                    jnp, p, pl, n + (i % 2), dfa.table, dfa.accept, use_mxu=True
+                    jnp, p, pl, n + (i % 2), dfa.table, dfa.accept,
+                    use_mxu=True, chain=chain,
                 )
                 return acc + jnp.sum(hits)
             return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
@@ -214,7 +220,7 @@ def bench_engine(path: Path, reps: int) -> dict:
 
     # pruned pages for the record (also validates the scan did real work)
     hits, _ = match_payload_stream(
-        jnp, pd, pld, nnd, dfa.table, dfa.accept, use_mxu=True
+        jnp, pd, pld, nnd, dfa.table, dfa.accept, use_mxu=True, chain=chain
     )
     out["pruned_pages"] = int((np.asarray(hits) == 0).sum())
     out["n_pages"] = batch.n_pages

@@ -328,6 +328,58 @@ class ByteClasses:
     interval_class: np.ndarray # [K] i32
 
 
+def substring_chain(pattern: str) -> list[bytes] | None:
+    """Detects '%lit1%lit2%...'-class patterns: an unanchored sequence of
+    literal needles joined by '.*'.  These get the Shift-And (bitap) fast
+    path — exact ordered-substring matching with a few int32 vector ops per
+    byte instead of a DFA transition.  Returns the needle list, or None when
+    the pattern is not a pure substring chain (or needles exceed 31 bytes,
+    the bitap word width)."""
+    pat = pattern
+    # '^.*' / '.*$' edges are equivalent to unanchored search (LIKE '%..%'
+    # translations arrive in this shape)
+    if pat.startswith("^.*"):
+        pat = pat[1:]
+    if pat.endswith(".*$") and not pat.endswith("\\.*$"):
+        pat = pat[:-1]
+    if pat.startswith("^") or (pat.endswith("$") and not pat.endswith("\\$")):
+        return None
+    segments = pat.split(".*")
+    needles: list[bytes] = []
+    for seg in segments:
+        if seg == "":
+            continue
+        lit = _literal_bytes(seg)
+        if lit is None or not (1 <= len(lit) <= 31):
+            return None
+        needles.append(lit)
+    if not needles or len(needles) > 8:
+        return None
+    return needles
+
+
+def _literal_bytes(seg: str) -> bytes | None:
+    """seg as a literal byte string, or None if it contains metacharacters."""
+    out = bytearray()
+    i = 0
+    while i < len(seg):
+        ch = seg[i]
+        if ch == "\\":
+            if i + 1 >= len(seg):
+                return None
+            nxt = seg[i + 1]
+            if nxt.isalnum():  # escape classes (\d, \w, ...) are not literal
+                return None
+            out.append(ord(nxt))
+            i += 2
+            continue
+        if ch in ".[](){}|*+?^$":
+            return None
+        out.append(ord(ch))
+        i += 1
+    return bytes(out)
+
+
 def like_to_regex(pattern: str) -> str:
     """SQL LIKE -> regex ('%' any run, '_' any byte), anchored both ends."""
     out = ["^"]

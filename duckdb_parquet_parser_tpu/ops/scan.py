@@ -161,7 +161,7 @@ def scan_batch(batch, pattern: str, *, negate: bool = False, xp=np) -> PageMatch
 
 @_functools.lru_cache(maxsize=64)
 def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
-                      max_def, negate, use_mxu):
+                      max_def, negate, use_mxu, chain_key):
     """jit-compiled single-device scan step, cached per automaton + batch
     shape class (the DFA tables must be compile-time constants for the
     gather-free transition builders)."""
@@ -172,6 +172,7 @@ def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
 
     table = np.frombuffer(table_bytes, np.int32).reshape(table_shape)
     accept = np.frombuffer(accept_bytes, bool)
+    chain = list(chain_key) if chain_key else None
 
     def step(core, payload, plen, dict_match_d):
         is_dict = core["page_kind"] == 1
@@ -179,6 +180,7 @@ def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
         hits, _seen = match_payload_stream(
             jnp, payload, jnp.where(is_dict, 0, plen),
             jnp.where(is_dict, 0, nn), table, accept, use_mxu=use_mxu,
+            chain=chain,
         )
         plain_counts = (nn - hits) if negate else hits
 
@@ -228,12 +230,16 @@ def scan_batch_device(batch, pattern: str, *, negate: bool = False,
         else np.zeros(1, bool)
     )
 
+    from .regex import substring_chain
+
     core = {k: jnp.asarray(v) for k, v in arrays.items() if k in _decode.DECODE_ARRAYS}
     table = np.ascontiguousarray(dfa.table, np.int32)
+    chain = substring_chain(pattern)
     step = _device_scan_step(
         table.tobytes(), table.shape,
         np.ascontiguousarray(dfa.accept, bool).tobytes(),
         batch.vmax, batch.nn_cap, batch.max_def, bool(negate), bool(use_mxu),
+        tuple(chain) if chain else None,
     )
     counts, values = step(
         core, jnp.asarray(arrays["payload"]),

@@ -78,8 +78,51 @@ def string_offsets(xp, payload, nn, cap: int):
     return xp.transpose(offs), xp.transpose(lens)
 
 
+def make_bitap_transition(xp, needles: list[bytes]):
+    """Shift-And (bitap) transition for substring-chain patterns
+    ('%lit1%lit2%' / 'lit1.*lit2').
+
+    Exact ordered-substring matching: register k is a bitset of the active
+    prefix lengths of needle k (all prefixes tracked simultaneously, so
+    self-overlapping needles are handled); needle k+1 starts seeding only
+    after needle k has completed.  Per byte this costs a handful of [N] int32
+    vector ops — an order of magnitude less intermediate traffic than the
+    general DFA transition's [N, K]/[N, 2S] tensors (the measured bound of
+    the matmul matcher).
+
+    Returns (transition(state_tuple, c) -> (next_tuple, accept [N] i32),
+    n_state_regs, accept_empty).
+    """
+    k_needles = len(needles)
+    specs = []
+    for nd in needles:
+        masks: dict[int, int] = {}
+        for pos, byte in enumerate(nd):
+            masks[byte] = masks.get(byte, 0) | (1 << pos)
+        specs.append((sorted(masks.items()), 1 << (len(nd) - 1)))
+
+    def transition(state, c):
+        regs, donebits = state[:-1], state[-1]
+        new_regs = []
+        new_done = donebits
+        for k, (mask_items, top_bit) in enumerate(specs):
+            mask = xp.zeros_like(c)
+            for byte, m in mask_items:
+                mask = mask | xp.where(c == byte, m, 0)
+            seed = 1 if k == 0 else ((donebits >> (k - 1)) & 1)
+            reg = ((regs[k] << 1) | seed) & mask
+            hit = ((reg & top_bit) != 0).astype(xp.int32)
+            new_done = new_done | (hit << k)
+            new_regs.append(reg)
+        accept = (new_done >> (k_needles - 1)) & 1
+        return tuple(new_regs) + (new_done,), accept
+
+    return transition, k_needles + 1, 0
+
+
 def match_payload_stream(xp, payload, payload_len, nn, table, accept,
-                         max_steps: int | None = None, use_mxu: bool = False):
+                         max_steps: int | None = None, use_mxu: bool = False,
+                         chain: list[bytes] | None = None):
     """Streaming DFA over raw PLAIN BYTE_ARRAY payloads.
 
     Returns (accept_counts [N] i32, values_seen [N] i32): number of values per
@@ -100,9 +143,30 @@ def match_payload_stream(xp, payload, payload_len, nn, table, accept,
     nn = xp.asarray(nn, dtype=xp.int32)
     payload_len = xp.asarray(payload_len, dtype=xp.int32)
 
-    def gather_transition(state, c):
+    def _wrap_scalar(trans):
+        """Adapts a scalar-state transition to the tuple-state interface."""
+        def transition(state, c):
+            nxt, acc = trans(state[0], c)
+            return (nxt,), acc
+        return transition
+
+    def gather_scalar(state, c):
         nxt = xp.take(tflat, xp.clip(state, 0, None) * 256 + c)
         return nxt, xp.take(acc_i, nxt)
+
+    # Transition selection: bitap fast path for substring chains, MXU one-hot
+    # matmul for general DFAs (jnp), table gather otherwise (numpy oracle).
+    accept_empty = acc0
+    if chain:
+        transition, n_state_regs, accept_empty = make_bitap_transition(xp, chain)
+    elif use_mxu and xp is not np:
+        from .mxu_dfa import make_transition
+
+        transition = _wrap_scalar(make_transition(table, accept))
+        n_state_regs = 1
+    else:
+        transition = _wrap_scalar(gather_scalar)
+        n_state_regs = 1
 
     # Carry layout: `ctr` serves double duty — inside a length prefix it
     # accumulates the little-endian length; inside a value it counts bytes
@@ -110,10 +174,12 @@ def match_payload_stream(xp, payload, payload_len, nn, table, accept,
     # boundary the accumulated length IS the initial bytes-left), which
     # drops two registers and several selects per byte.  Inactive lanes
     # (past the section or the value count) may hold garbage ctr/state —
-    # harmless, since `active` gates every finalize.
+    # harmless, since `active` gates every finalize.  The matcher state is a
+    # tuple of [N] i32 registers (1 for DFAs, needles+1 for bitap); zeros are
+    # the per-value initial state for every transition kind.
     def control_update(carry, b, c, st2, acc_st2):
-        """Value-boundary state machine for one byte (st2/acc_st2 = the DFA
-        transition result for this byte under the carried state)."""
+        """Value-boundary state machine for one byte (st2/acc_st2 = the
+        matcher transition result for this byte under the carried state)."""
         prefix_left, ctr, state, done, hits = carry
         active = (b < payload_len) & (done < nn)
         in_prefix = prefix_left > 0
@@ -129,65 +195,32 @@ def match_payload_stream(xp, payload, payload_len, nn, table, accept,
         value_done = (~in_prefix) & (bl2 == 0) & active
 
         fin = zero_len | value_done
-        hits = hits + xp.where(fin, xp.where(zero_len, acc0, acc_st2), 0)
+        hits = hits + xp.where(fin, xp.where(zero_len, accept_empty, acc_st2), 0)
         done = done + fin.astype(xp.int32)
 
         new_prefix_left = xp.where(fin, 4, xp.where(in_prefix, pl2, prefix_left))
         new_ctr = xp.where(fin, 0, xp.where(in_prefix, la2, bl2))
-        new_state = xp.where(prefix_done, 0, xp.where(in_prefix, state, st2))
+        new_state = tuple(
+            xp.where(prefix_done, 0, xp.where(in_prefix, old, new))
+            for old, new in zip(state, st2)
+        )
         return (new_prefix_left, new_ctr, new_state, done, hits)
 
     zero = lambda: xp.zeros(n, xp.int32)
-    init = (xp.full(n, 4, xp.int32), zero(), zero(), zero(), zero())
+    init = (xp.full(n, 4, xp.int32), zero(),
+            tuple(zero() for _ in range(n_state_regs)), zero(), zero())
 
     if xp is np:
         carry = init
         for b in range(steps):
             c = payload_i[:, b]
-            st2, acc_st2 = gather_transition(carry[2], c)
+            st2, acc_st2 = transition(carry[2], c)
             carry = control_update(carry, b, c, st2, acc_st2)
         return carry[4], carry[3]
 
     import jax
 
     cols = xp.transpose(payload_i)  # [P, N]
-
-    # Byte-batched MXU transition: one block-diagonal matmul per B bytes.
-    # Default OFF — measured 10x SLOWER on v5e (the onehot concat + group
-    # reshape relayouts cost far more than the MXU padding they save).
-    if use_mxu and os.environ.get("DPQ_DFA_BYTE_BATCH") == "1":
-        from .mxu_dfa import make_hypothesis_transition
-
-        g_fn, select_fn, b_bytes = make_hypothesis_transition(table, accept)
-        steps_p = -(-steps // b_bytes) * b_bytes
-        if steps_p > cols.shape[0]:
-            cols = xp.concatenate(
-                [cols, xp.zeros((steps_p - cols.shape[0], n), cols.dtype)]
-            )
-        groups = cols[:steps_p].reshape(-1, b_bytes, n)
-        b_idx = xp.arange(steps_p, dtype=xp.int32).reshape(-1, b_bytes)
-
-        def gstep(carry, xs):
-            bs, cg = xs  # [B], [B, N]
-            # one MXU matmul computes the per-hypothesis transitions of all
-            # B bytes; only the select + boundary control stays sequential
-            g_list = g_fn(cg)
-            for t in range(b_bytes):
-                st2, acc_st2 = select_fn(carry[2], g_list[t])
-                carry = control_update(carry, bs[t], cg[t], st2, acc_st2)
-            return carry, None
-
-        carry, _ = jax.lax.scan(
-            gstep, init, (b_idx, groups), unroll=max(1, SCAN_UNROLL // b_bytes)
-        )
-        return carry[4], carry[3]
-
-    if use_mxu:
-        from .mxu_dfa import make_transition
-
-        transition = make_transition(table, accept)
-    else:
-        transition = gather_transition
 
     def step(carry, xs):
         b, c = xs

@@ -32,7 +32,7 @@ shard_map = jax.shard_map
 
 
 def _local_match_counts(core, payload, plen, dict_match, *, table, accept,
-                        vmax, nn_cap, max_def, negate):
+                        chain, vmax, nn_cap, max_def, negate):
     """Per-page accept counts + totals on the local page shard (pure jnp)."""
     is_dict = core["page_kind"] == 1
     nn = core["page_nn"]
@@ -40,7 +40,7 @@ def _local_match_counts(core, payload, plen, dict_match, *, table, accept,
     # PLAIN pages: streaming DFA over raw payload (dict pages masked out)
     hits, _seen = match_payload_stream(
         jnp, payload, jnp.where(is_dict, 0, plen), jnp.where(is_dict, 0, nn),
-        table, accept, use_mxu=True,
+        table, accept, use_mxu=True, chain=chain,
     )
     plain_counts = (nn - hits) if negate else hits
 
@@ -60,7 +60,7 @@ def _local_match_counts(core, payload, plen, dict_match, *, table, accept,
 
 @functools.lru_cache(maxsize=64)
 def _make_scan_step(mesh, core_keys, vmax, nn_cap, max_def, negate,
-                    table_bytes, table_shape, accept_bytes):
+                    table_bytes, table_shape, accept_bytes, chain_key):
     # The DFA tables are COMPILE-TIME constants: the transition builder
     # (byte classes, intervals) needs concrete values, so the step function
     # is cached per (mesh, shapes, automaton).
@@ -69,6 +69,7 @@ def _make_scan_step(mesh, core_keys, vmax, nn_cap, max_def, negate,
     spec_pages = {k: P(PAGES_AXIS) for k in core_keys}
     fn = shard_map(
         functools.partial(_local_match_counts, table=table, accept=accept,
+                          chain=list(chain_key) if chain_key else None,
                           vmax=vmax, nn_cap=nn_cap, max_def=max_def,
                           negate=negate),
         mesh=mesh,
@@ -119,11 +120,15 @@ def distributed_scan(mesh, batch, dfa, *, negate: bool = False) -> DistributedSc
         dict_match = np.zeros(1, bool)
 
     core = {k: jnp.asarray(v) for k, v in core_arrays(batch).items()}
+    from ..ops.regex import substring_chain
+
     table = np.ascontiguousarray(dfa.table, np.int32)
+    chain = substring_chain(dfa.pattern) if dfa.pattern else None
     step = _make_scan_step(
         mesh, tuple(sorted(core)), batch.vmax, batch.nn_cap, batch.max_def,
         negate, table.tobytes(), table.shape,
         np.ascontiguousarray(dfa.accept, bool).tobytes(),
+        tuple(chain) if chain else None,
     )
     counts, values, totals = step(
         core, jnp.asarray(arrays["payload"]),

@@ -132,3 +132,54 @@ def test_empty_and_zero_length_values(tmp_path):
         )
         assert int(hits.sum()) == want_total, pattern
         assert int(seen.sum()) == sum(v is not None for v in vals)
+
+
+@pytest.mark.parametrize("pattern", [
+    "special.*requests", "aa", "aab", "aaa", "ab.*ab", "spe.*cial.*req", "q",
+])
+@pytest.mark.parametrize("xp", [np, jnp])
+def test_bitap_chain_matches_dfa(tmp_path_factory, pattern, xp):
+    """The Shift-And fast path must match the general DFA bit-exactly,
+    including self-overlapping needles and ordered multi-needle chains."""
+    from duckdb_parquet_parser_tpu.ops.regex import substring_chain
+
+    d = tmp_path_factory.mktemp("bitap")
+    vals = [
+        b"aaab", b"abab", b"aab", b"special xx requests", b"requests special",
+        b"", b"spespecial requests x", b"aaa", b"specialrequests",
+        b"xspecial", None, b"requests requests", b"q",
+    ] * 30
+    vals = [None if v is None else v + b"#%d" % i for i, v in enumerate(vals)]
+    path = str(d / "b.parquet")
+    w = ParquetWriter(
+        path, [ColumnSpec("s", ParquetType.BYTE_ARRAY, optional=True)],
+        key_value={"pad": "x" * 512},
+    )
+    w.write_row_group({"s": vals})
+    w.close()
+    r = ParquetReader(path)
+    dev = r.prescan("s", flags=bindings.PS_PAYLOAD)
+    chain = substring_chain(pattern)
+    assert chain is not None
+    dfa = compile_pattern(pattern)
+    args = (dev.arrays["payload"], dev.arrays["page_payload_len"],
+            dev.arrays["page_nn"], dfa.table, dfa.accept)
+    want, _ = match_payload_stream(np, *args)
+    got, seen = match_payload_stream(
+        xp, xp.asarray(args[0]), *args[1:], use_mxu=(xp is jnp), chain=chain
+    )
+    assert np.array_equal(np.asarray(got), want)
+    assert np.array_equal(np.asarray(seen), dev.arrays["page_nn"])
+
+
+def test_substring_chain_detection():
+    from duckdb_parquet_parser_tpu.ops.regex import substring_chain
+
+    assert substring_chain("special.*requests") == [b"special", b"requests"]
+    assert substring_chain("^.*foo.*$") == [b"foo"]          # LIKE '%foo%'
+    assert substring_chain("a\\.b") == [b"a.b"]
+    assert substring_chain("plain") == [b"plain"]
+    assert substring_chain(".*x.*") == [b"x"]
+    for not_chain in ["a.c", "a|b", "[ab]", "a+", "^anchored", "end$",
+                      "\\d+", "", ".*", "x" * 32]:
+        assert substring_chain(not_chain) is None, not_chain
