@@ -100,7 +100,10 @@ class ScanEngine:
         from ..ops.strings import match_payload_stream
         from ..utils.metrics import get_metrics
 
+        from ..ops.regex import substring_chain
+
         dfa = compile_pattern(pattern)
+        chain = substring_chain(pattern)
         with get_metrics().timed("prescan", column=column) as box:
             batch = self.reader.prescan(
                 column, pad_strings=8, flags=bindings.PS_PAYLOAD
@@ -113,7 +116,8 @@ class ScanEngine:
         @jax.jit
         def step(payload, plen, nn):
             hits, _ = match_payload_stream(
-                jnp, payload, plen, nn, dfa.table, dfa.accept, use_mxu=True
+                jnp, payload, plen, nn, dfa.table, dfa.accept, use_mxu=True,
+                chain=chain,
             )
             return (nn - hits) if negate else hits
 
