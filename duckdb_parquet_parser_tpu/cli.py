@@ -54,6 +54,10 @@ def _run_regex_scan(reader: ParquetReader, args) -> int:
     from .host.schema import ParquetType
     from .ops.regex import UnsupportedPattern, compile_pattern
     from .ops.scan import scan_batch_device
+    from .utils.jax_setup import enable_compile_cache
+
+    if args.engine == "jax":
+        enable_compile_cache()
 
     info = reader.column(args.regex_column)
     if info.type != ParquetType.BYTE_ARRAY:
