@@ -152,6 +152,11 @@ class ScanEngine:
             value_counts=arrays["page_nn"].astype(np.int64),
         )
 
+    def resident(self, column: str) -> "ResidentColumn":
+        """Uploads the column's page buffers to HBM once for repeated
+        queries (the serving pattern: scan throughput without re-upload)."""
+        return ResidentColumn(self.reader, column)
+
     # ── chunked inverted index ──────────────────────────────────────────────
 
     def build_index(self, column: str, chunk_size: int = 4096,
@@ -179,6 +184,75 @@ class ScanEngine:
         if checkpoint_dir:
             checkpoints.save_index(checkpoint_dir, self.reader._path, column, out.index)
         return out
+
+
+class ResidentColumn:
+    """A BYTE_ARRAY column resident in device memory, serving repeated regex
+    scans (decode + match re-run per query; only the raw page buffers are
+    cached — the production "load once, query many" path the benchmark
+    measures)."""
+
+    def __init__(self, reader: ParquetReader, column: str):
+        import jax
+
+        from ..host import bindings
+        from ..ops import decode as _decode
+        from ..ops.scan import dfa_match as _dfa_match
+        from ..utils.jax_setup import enable_compile_cache
+
+        enable_compile_cache()
+        self._batch = reader.prescan(
+            column, pad_strings=8, flags=bindings.PS_PAYLOAD
+        )
+        arrays = self._batch.arrays
+        self._core = {
+            k: jax.device_put(v) for k, v in arrays.items()
+            if k in _decode.DECODE_ARRAYS
+        }
+        self._payload = jax.device_put(arrays["payload"])
+        self._plen = jax.device_put(arrays["page_payload_len"])
+        self._gid = arrays["page_gid"].copy()
+        self._dfa_match = _dfa_match
+
+    @property
+    def n_pages(self) -> int:
+        return self._batch.n_pages
+
+    def scan(self, pattern: str, *, negate: bool = False,
+             like: bool = False) -> PageMatchResult:
+        import jax
+        import numpy as _np
+
+        from ..ops.regex import like_to_regex, substring_chain
+        from ..ops.scan import _device_scan_step
+
+        pat = like_to_regex(pattern) if like else pattern
+        dfa = compile_pattern(pat)
+        arrays = self._batch.arrays
+        if int(self._batch.dims.get("dict_n", 0)) > 0 and "dict_padded" in arrays:
+            dict_match = _np.asarray(
+                self._dfa_match(_np, arrays["dict_padded"], arrays["dict_lens"],
+                                dfa.table, dfa.accept)
+            )
+        else:
+            dict_match = _np.zeros(1, bool)
+
+        table = _np.ascontiguousarray(dfa.table, _np.int32)
+        chain = substring_chain(pat)
+        step = _device_scan_step(
+            table.tobytes(), table.shape,
+            _np.ascontiguousarray(dfa.accept, bool).tobytes(),
+            self._batch.vmax, self._batch.nn_cap, self._batch.max_def,
+            bool(negate), True, tuple(chain) if chain else None,
+        )
+        counts, values = step(
+            self._core, self._payload, self._plen, jax.device_put(dict_match)
+        )
+        return PageMatchResult(
+            page_gid=self._gid.copy(),
+            match_counts=_np.asarray(counts, _np.int64),
+            value_counts=_np.asarray(values, _np.int64),
+        )
 
 
 # ── graft entry support: jittable kernels over a self-contained example ─────

@@ -95,3 +95,20 @@ def test_cli_index_mode(strings_path):
 def test_cli_errors(strings_path, tmp_path):
     assert _run_cli(str(tmp_path / "missing.parquet")).returncode == 1
     assert _run_cli(str(strings_path), "--regex-column", "s").returncode == 2
+
+
+def test_resident_column_repeated_scans(strings_path):
+    eng = ScanEngine(strings_path)
+    res = eng.resident("s")
+    for pattern, like in [("alpha", False), ("%echo%", True), ("a.*z", False)]:
+        want = eng.scan("s", pattern, like=like)
+        got = res.scan(pattern, like=like)
+        assert np.array_equal(got.match_counts, want.match_counts), pattern
+        assert np.array_equal(
+            np.sort(got.pruned_pages()), np.sort(want.pruned_pages())
+        )
+    neg = res.scan("alpha", negate=True)
+    pos = res.scan("alpha")
+    assert np.array_equal(
+        neg.match_counts + pos.match_counts, pos.value_counts
+    )
