@@ -147,7 +147,7 @@ def test_no_nulls_required(tmp_path, oracle):
     assert vals.to_strings() == oracle(path, "column", "x").splitlines()
 
 
-@pytest.mark.parametrize("seed", [11, 22, 33, 44, 55])
+@pytest.mark.parametrize("seed", [11, 22, 33, 44, 55, 66, 77, 88, 99, 110])
 def test_fuzz_roundtrip_parity(tmp_path, oracle, seed):
     """Randomized schema/data sweeps: every column of every generated file
     must decode identically in the engine and the reference binary."""
