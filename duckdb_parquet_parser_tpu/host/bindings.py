@@ -47,7 +47,7 @@ def _load() -> ct.CDLL:
 
     lib.dpq_prescan.argtypes = [
         ct.c_void_p, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int64, ct.c_int64,
-        ct.c_int64, ct.c_char_p, ct.c_size_t,
+        ct.c_int64, ct.c_int64, ct.c_char_p, ct.c_size_t,
     ]
     lib.dpq_prescan.restype = ct.c_void_p
     lib.dpq_batch_free.argtypes = [ct.c_void_p]
@@ -154,30 +154,52 @@ PS_HOST_STRINGS = 1
 PS_PAYLOAD = 2
 
 
+class _BatchOwner:
+    """Owns a native ArrayStore handle; freed when the last numpy view dies.
+
+    Each returned array's base chain is  ndarray -> ctypes buffer -> owner,
+    so the native memory outlives every view without a single copy."""
+
+    __slots__ = ("_h",)
+
+    def __init__(self, h: int):
+        self._h = h
+
+    def __del__(self):  # pragma: no cover - exercised implicitly by GC
+        if self._h:
+            lib().dpq_batch_free(self._h)
+            self._h = 0
+
+
 def native_prescan(
     h: int, leaf: int, rg0: int, rg1: int, align: int, pad_strings: int,
-    flags: int = PS_HOST_STRINGS,
+    flags: int = PS_HOST_STRINGS, payload_align: int = 0,
 ) -> tuple[dict, dict[str, np.ndarray]]:
-    """Runs the structural pre-scan, returning (dims, arrays as numpy)."""
+    """Runs the structural pre-scan, returning (dims, arrays as numpy).
+
+    The arrays are ZERO-COPY read-only views over the native batch memory
+    (the round-1 `ct.string_at` copy cost ~1.4 GB/s over 100+ MB payload
+    matrices — pure overhead on the cold path).  Lifetime is tied to the
+    views via `_BatchOwner`."""
     err = _err_buf()
-    b = lib().dpq_prescan(h, leaf, rg0, rg1, align, pad_strings, flags, err, _ERRCAP)
+    b = lib().dpq_prescan(
+        h, leaf, rg0, rg1, align, pad_strings, flags, payload_align, err, _ERRCAP
+    )
     if not b:
         raise NativeError(err.value.decode("utf-8", "replace"))
-    try:
-        manifest = json.loads(_take_str(lib().dpq_batch_manifest(b)))
-        arrays: dict[str, np.ndarray] = {}
-        for name, spec in manifest["arrays"].items():
-            nbytes = ct.c_int64()
-            ptr = lib().dpq_batch_view(b, name.encode(), ct.byref(nbytes))
-            dtype = _DTYPES[spec["dtype"]]
-            # ct.string_at copies at memcpy speed (measured ~1.4 GB/s vs
-            # ~100 MB/s for any numpy-destination variant on this box);
-            # frombuffer then wraps the bytes object zero-copy.  The arrays
-            # are read-only views — consumers copy on write (np.pad etc.).
-            arr = np.frombuffer(
-                ct.string_at(ptr, nbytes.value), dtype=dtype
-            ).reshape(spec["shape"])
-            arrays[name] = arr
-        return manifest["dims"], arrays
-    finally:
-        lib().dpq_batch_free(b)
+    owner = _BatchOwner(b)
+    manifest = json.loads(_take_str(lib().dpq_batch_manifest(b)))
+    arrays: dict[str, np.ndarray] = {}
+    for name, spec in manifest["arrays"].items():
+        nbytes = ct.c_int64()
+        ptr = lib().dpq_batch_view(b, name.encode(), ct.byref(nbytes))
+        dtype = _DTYPES[spec["dtype"]]
+        if nbytes.value:
+            cbuf = (ct.c_uint8 * nbytes.value).from_address(ptr)
+            cbuf._owner = owner  # ctypes instances carry attributes
+            arr = np.frombuffer(cbuf, dtype=dtype).reshape(spec["shape"])
+            arr.flags.writeable = False
+        else:
+            arr = np.zeros(spec["shape"], dtype)
+        arrays[name] = arr
+    return manifest["dims"], arrays

@@ -123,11 +123,11 @@ int dpq_read_range(void* h, int64_t off, int64_t len, uint8_t* out, char* err,
 // ── Pre-scan batches ────────────────────────────────────────────────────────
 
 void* dpq_prescan(void* h, int32_t leaf_idx, int32_t rg0, int32_t rg1,
-                  int64_t align, int64_t pad_strings, int64_t flags, char* err,
-                  size_t errcap) {
+                  int64_t align, int64_t pad_strings, int64_t flags,
+                  int64_t payload_align, char* err, size_t errcap) {
   DPQ_TRY({
-    auto batch = static_cast<Reader*>(h)->prescan(leaf_idx, rg0, rg1, align,
-                                                  pad_strings, flags);
+    auto batch = static_cast<Reader*>(h)->prescan(
+        leaf_idx, rg0, rg1, align, pad_strings, flags, payload_align);
     return static_cast<void*>(batch.release());
   })
 }
@@ -145,7 +145,7 @@ int dpq_batch_read(void* b, const char* name, void* out, char* err,
     auto* store = static_cast<ArrayStore*>(b);
     auto it = store->arrays.find(name);
     if (it == store->arrays.end()) throw Error(std::string("no array: ") + name);
-    std::memcpy(out, it->second.bytes.data(), it->second.bytes.size());
+    std::memcpy(out, it->second.data(), it->second.nbytes);
     return 0;
   })
 }
@@ -158,8 +158,8 @@ const void* dpq_batch_view(void* b, const char* name, int64_t* nbytes) {
     if (nbytes) *nbytes = -1;
     return nullptr;
   }
-  if (nbytes) *nbytes = int64_t(it->second.bytes.size());
-  return it->second.bytes.data();
+  if (nbytes) *nbytes = int64_t(it->second.nbytes);
+  return it->second.data();
 }
 
 // ── Writer ──────────────────────────────────────────────────────────────────

@@ -38,7 +38,8 @@ namespace dpq {
 inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
                                                    int rg1, int64_t align,
                                                    int64_t pad_strings,
-                                                   int64_t flags) const {
+                                                   int64_t flags,
+                                                   int64_t payload_align) const {
   if (leaf_idx < 0 || size_t(leaf_idx) >= leaves_.size())
     throw Error("leaf index out of range");
   const Leaf& lf = leaves_[size_t(leaf_idx)];
@@ -75,9 +76,10 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     std::vector<int64_t> dict_offs;   // local char offsets
     std::vector<uint8_t> dict_chars;
     std::vector<uint8_t> str_chars;
-    std::vector<uint8_t> chunk_buf;   // keeps PageTmp spans alive
+    std::vector<uint8_t> chunk_buf;   // fallback copy when the chunk span
+                                      // leaves the file (else spans point
+                                      // straight into the mmap)
     int32_t dict_n = 0;
-    std::string error;
   };
   std::vector<RgResult> rg_results(size_t(std::max(rg1 - rg0, 0)));
 
@@ -94,13 +96,17 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     if (cm.dictionary_page_offset)
       chunk_start = std::min(chunk_start, *cm.dictionary_page_offset);
     int64_t span = std::max<int64_t>(cm.total_compressed_size, 16);
-    out.chunk_buf.resize(size_t(span));
-    read_range(chunk_start, span, out.chunk_buf.data());
+    const uint8_t* chunk_ptr = span_ptr(chunk_start, span);  // mmap zero-copy
+    if (!chunk_ptr) {  // chunk claims bytes beyond EOF: zero-filled copy path
+      out.chunk_buf.resize(size_t(span));
+      read_range(chunk_start, span, out.chunk_buf.data());
+      chunk_ptr = out.chunk_buf.data();
+    }
     auto page_bytes = [&](const PageRec& pr) -> const uint8_t* {
       int64_t off = pr.data_off - chunk_start;
       if (off < 0 || off + pr.size > span)
         throw Error("page outside chunk span");
-      return out.chunk_buf.data() + off;
+      return chunk_ptr + off;
     };
 
     int32_t rg_dict_base = -1, rg_dict_size = 0;
@@ -216,36 +222,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   auto t0 = t_now();
 
   // thread pool over row groups
-  {
-    const int n_jobs = rg1 - rg0;
-    unsigned hw = std::thread::hardware_concurrency();
-    int n_threads = int(std::min<unsigned>(hw ? hw : 4, 16));
-    n_threads = std::max(1, std::min(n_threads, n_jobs));
-    if (n_threads <= 1) {
-      for (int rg = rg0; rg < rg1; rg++) {
-        process_rg(rg, rg_results[size_t(rg - rg0)]);
-      }
-    } else {
-      std::atomic<int> next{0};
-      auto worker = [&]() {
-        for (;;) {
-          int j = next.fetch_add(1);
-          if (j >= n_jobs) return;
-          RgResult& out = rg_results[size_t(j)];
-          try {
-            process_rg(rg0 + j, out);
-          } catch (const std::exception& e) {
-            out.error = e.what();
-          }
-        }
-      };
-      std::vector<std::thread> threads;
-      for (int i = 0; i < n_threads; i++) threads.emplace_back(worker);
-      for (auto& th : threads) th.join();
-      for (const auto& res : rg_results)
-        if (!res.error.empty()) throw Error(res.error);
-    }
-  }
+  parallel_for(rg1 - rg0,
+               [&](int j) { process_rg(rg0 + j, rg_results[size_t(j)]); });
 
   auto t1 = t_now();
   if (timing)
@@ -295,7 +273,9 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   // +260 slack: the device extraction kernels read fixed windows (up to 256
   // bytes) starting at any value offset
   const int64_t payload_pad =
-      want_payload ? round_up(payload_max + 260, align) : 0;
+      want_payload
+          ? round_up(payload_max + 260, payload_align > 0 ? payload_align : align)
+          : 0;
 
   auto store = std::make_unique<ArrayStore>();
   auto& dims = store->dims;
@@ -372,7 +352,15 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   uint8_t* a_payload = nullptr;
   if (want_payload) a_payload = store->alloc<uint8_t>("payload", {N, payload_pad});
 
-  for (int64_t i = 0; i < N; i++) {
+  // Pack pass: each page writes a disjoint row of every plane, so split the
+  // page range across the pool (the pass is fault+memcpy bound — ~2x on this
+  // box; first-touch of the calloc'd planes happens here).
+  const int64_t PACK_BLOCK = 8192;
+  const int n_blocks = int((N + PACK_BLOCK - 1) / PACK_BLOCK);
+  parallel_for(n_blocks, [&](int blk) {
+  const int64_t i_lo = int64_t(blk) * PACK_BLOCK;
+  const int64_t i_hi = std::min(N, i_lo + PACK_BLOCK);
+  for (int64_t i = i_lo; i < i_hi; i++) {
     const PageTmp& t = *tmp[size_t(i)];
     p_nv[i] = t.num_values;
     p_nn[i] = t.nn;
@@ -417,6 +405,7 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     if (a_payload && t.kind == 0 && t.val_len)
       std::memcpy(a_payload + i * payload_pad, t.val_ptr, size_t(t.val_len));
   }
+  });
 
   auto t3 = t_now();
   if (timing)

@@ -24,12 +24,15 @@
 #pragma once
 
 #include <fcntl.h>
+#include <sys/mman.h>
 #include <unistd.h>
 
 #include <algorithm>
+#include <atomic>
 #include <map>
 #include <memory>
 #include <sstream>
+#include <thread>
 
 #include "dpq_meta.hpp"
 
@@ -77,13 +80,19 @@ enum DType : int32_t { DT_U8 = 1, DT_I32 = 2, DT_I64 = 3 };
 struct NamedArray {
   int32_t dtype = DT_U8;
   std::vector<int64_t> shape;
-  std::vector<uint8_t> bytes;
+  // calloc-backed so large padded planes are zeroed lazily by the kernel
+  // (first-touch) instead of an eager memset — measured tens of ms on the
+  // 100+ MB payload matrices of a 2M-row column.
+  std::unique_ptr<uint8_t, decltype(&std::free)> buf{nullptr, &std::free};
+  size_t nbytes = 0;
 
   int64_t numel() const {
     int64_t n = 1;
     for (auto d : shape) n *= d;
     return n;
   }
+  const uint8_t* data() const { return buf.get(); }
+  uint8_t* data() { return buf.get(); }
 };
 
 struct ArrayStore {
@@ -97,10 +106,12 @@ struct ArrayStore {
               : std::is_same<T, int32_t>::value ? DT_I32
                                                 : DT_I64;
     a.shape = std::move(shape);
-    a.bytes.assign(size_t(a.numel()) * sizeof(T), 0);
+    a.nbytes = size_t(a.numel()) * sizeof(T);
+    a.buf.reset(static_cast<uint8_t*>(std::calloc(std::max(a.nbytes, size_t(1)), 1)));
+    if (!a.buf) throw Error("out of memory allocating batch array " + name);
     auto [it, ok] = arrays.emplace(name, std::move(a));
     (void)ok;
-    return reinterpret_cast<T*>(it->second.bytes.data());
+    return reinterpret_cast<T*>(it->second.buf.get());
   }
 
   std::string manifest_json() const;
@@ -190,11 +201,48 @@ inline int64_t count_matching(const std::vector<Run>& runs, const uint8_t* d,
 
 inline int64_t round_up(int64_t v, int64_t m) { return (v + m - 1) / m * m; }
 
+// Tiny work-stealing-free thread pool: runs fn(0..n_jobs) across up to
+// hardware_concurrency threads (caller's thread included), rethrowing the
+// first job error.  Jobs must write to disjoint state.
+template <typename Fn>
+inline void parallel_for(int n_jobs, Fn&& fn, int max_threads = 16) {
+  if (n_jobs <= 0) return;
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = int(std::min<unsigned>(hw ? hw : 4, unsigned(max_threads)));
+  n_threads = std::max(1, std::min(n_threads, n_jobs));
+  if (n_threads <= 1) {
+    for (int j = 0; j < n_jobs; j++) fn(j);
+    return;
+  }
+  std::atomic<int> next{0};
+  std::vector<std::string> errors;
+  errors.resize(size_t(n_threads));
+  auto worker = [&](int tid) {
+    for (;;) {
+      int j = next.fetch_add(1);
+      if (j >= n_jobs) return;
+      try {
+        fn(j);
+      } catch (const std::exception& e) {
+        errors[size_t(tid)] = e.what();
+        return;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int i = 1; i < n_threads; i++) threads.emplace_back(worker, i);
+  worker(0);
+  for (auto& th : threads) th.join();
+  for (const auto& e : errors)
+    if (!e.empty()) throw Error(e);
+}
+
 // ── Reader ──────────────────────────────────────────────────────────────────
 
 class Reader {
  public:
   ~Reader() {
+    if (map_ && map_ != MAP_FAILED) ::munmap(const_cast<uint8_t*>(map_), file_size_);
     if (fd_ >= 0) ::close(fd_);
   }
 
@@ -205,6 +253,14 @@ class Reader {
     if (end < 0) throw Error("cannot stat file: " + path);
     file_size_ = size_t(end);
     if (file_size_ < 12) throw Error("file too small to be Parquet");
+
+    // mmap read-only: page payload spans become zero-copy pointers for the
+    // pre-scan/cold-scan (no ifstream buffers, no syscall per page header).
+    void* m = ::mmap(nullptr, file_size_, PROT_READ, MAP_PRIVATE, fd_, 0);
+    if (m != MAP_FAILED) {
+      map_ = static_cast<const uint8_t*>(m);
+      ::madvise(m, file_size_, MADV_WILLNEED);
+    }
 
     uint8_t head[4], tail[8];
     pread_full(0, 4, head);
@@ -241,10 +297,22 @@ class Reader {
   // into a zero-initialized vector (reference: src/reader/parquet_reader.cpp:173-178).
   void read_range(int64_t off, int64_t len, uint8_t* out) const {
     std::memset(out, 0, size_t(len));
-    if (off >= int64_t(file_size_)) return;
+    if (off >= int64_t(file_size_) || off < 0) return;
     int64_t avail = std::min(len, int64_t(file_size_) - off);
-    ssize_t got = ::pread(fd_, out, size_t(avail), off);
-    (void)got;
+    if (map_) {
+      std::memcpy(out, map_ + off, size_t(avail));
+    } else {
+      ssize_t got = ::pread(fd_, out, size_t(avail), off);
+      (void)got;
+    }
+  }
+
+  // Zero-copy pointer to [off, off+len) when fully inside the mapped file;
+  // nullptr means the caller must take the zero-filled read_range copy path.
+  const uint8_t* span_ptr(int64_t off, int64_t len) const {
+    if (!map_ || off < 0 || len < 0 || off + len > int64_t(file_size_))
+      return nullptr;
+    return map_ + off;
   }
 
   std::string meta_json() const;
@@ -253,10 +321,14 @@ class Reader {
   // into a device-ready SoA batch.  `align` pads trailing dims; when
   // `pad_strings` > 0, BYTE_ARRAY values/dictionaries are additionally packed
   // into fixed-pitch char matrices for the scan kernels.  `flags` selects
-  // optional outputs (combine PrescanFlags bits).
+  // optional outputs (combine PrescanFlags bits).  `payload_align` (when > 0)
+  // overrides `align` for the payload pitch so independent per-row-group
+  // prescans of the same file land on ONE compiled device shape (the
+  // streaming cold path's shape-bucketing knob).
   std::unique_ptr<ArrayStore> prescan(int leaf_idx, int rg0, int rg1,
                                       int64_t align, int64_t pad_strings,
-                                      int64_t flags) const;
+                                      int64_t flags,
+                                      int64_t payload_align = 0) const;
 
  private:
   void pread_full(int64_t off, size_t len, uint8_t* out) const {
@@ -320,75 +392,99 @@ class Reader {
   // sequential global ids in (row group, column, file order); dictionary
   // pages are recorded but unnumbered — identical numbering to the
   // reference's build_page_index (src/reader/parquet_reader.cpp:559-605).
+  //
+  // Chunk walks are independent, so they run on the thread pool over the
+  // mmap'd file; a sequential merge then assigns gids/row_starts in the
+  // reference's (row group, column, file order) — identical numbering, ~2x
+  // faster open on this box.
   void build_page_index() {
     pages_.clear();
     data_gids_.clear();
-    int64_t gid = 0;
 
     // absolute row offset of each row group
     rg_row_base_.assign(meta_.row_groups.size() + 1, 0);
     for (size_t i = 0; i < meta_.row_groups.size(); i++)
       rg_row_base_[i + 1] = rg_row_base_[i] + meta_.row_groups[i].num_rows;
 
+    struct ChunkJob {
+      int32_t rg, col;
+      const ColumnMeta* cm;
+      std::vector<PageRec> pages;
+    };
+    std::vector<ChunkJob> jobs;
     for (size_t rg = 0; rg < meta_.row_groups.size(); rg++) {
       const RowGroup& g = meta_.row_groups[rg];
-      for (size_t c = 0; c < g.columns.size(); c++) {
-        if (!g.columns[c].meta) continue;
-        const ColumnMeta& cm = *g.columns[c].meta;
+      for (size_t c = 0; c < g.columns.size(); c++)
+        if (g.columns[c].meta)
+          jobs.push_back({int32_t(rg), int32_t(c), &*g.columns[c].meta, {}});
+    }
 
-        int64_t start = cm.data_page_offset;
-        if (cm.dictionary_page_offset)
-          start = std::min(start, *cm.dictionary_page_offset);
+    parallel_for(int(jobs.size()), [&](int j) {
+      ChunkJob& job = jobs[size_t(j)];
+      const ColumnMeta& cm = *job.cm;
+      int64_t start = cm.data_page_offset;
+      if (cm.dictionary_page_offset)
+        start = std::min(start, *cm.dictionary_page_offset);
+      int64_t span = std::max<int64_t>(cm.total_compressed_size, 16);
 
-        // Read the chunk's byte span once and walk it in memory.
-        int64_t span = cm.total_compressed_size;
-        // Guard: span must at least reach the data pages; extend defensively.
-        span = std::max<int64_t>(span, 16);
-        std::vector<uint8_t> buf(static_cast<size_t>(span));
-        read_range(start, span, buf.data());
+      std::vector<uint8_t> fallback;  // copy path when span leaves the file
+      const uint8_t* buf = span_ptr(start, span);
+      if (!buf) {
+        fallback.resize(size_t(span));
+        read_range(start, span, fallback.data());
+        buf = fallback.data();
+      }
 
-        int64_t off = 0;
-        int64_t values_seen = 0;
-        int64_t rows_before = 0;
-        while (values_seen < cm.num_values) {
-          if (off >= span) {
-            // fall back to direct file reads if the chunk span was short
-            break;
-          }
-          TReader hr(buf.data() + off, size_t(span - off));
-          PageHead ph = read_page_head(hr);
-          int64_t header_size = int64_t(hr.tell());
-          int64_t data_off = start + off + header_size;
+      int64_t off = 0;
+      int64_t values_seen = 0;
+      int64_t rows_before = 0;
+      while (values_seen < cm.num_values) {
+        if (off >= span) break;  // short chunk span: stop like the reference
+        TReader hr(buf + off, size_t(span - off));
+        PageHead ph = read_page_head(hr);
+        int64_t header_size = int64_t(hr.tell());
 
-          PageRec rec;
-          rec.rg = int32_t(rg);
-          rec.chunk_col = int32_t(c);
-          rec.header_off = start + off;
-          rec.data_off = data_off;
-          rec.size = ph.compressed_size;
-          rec.kind = ph.kind;
-          if (ph.kind == P_DATA && ph.data) {
-            rec.num_values = ph.data->num_values;
-            rec.encoding = ph.data->encoding;
-            rec.gid = gid++;
-            rec.row_start = rg_row_base_[rg] + rows_before;
-            rows_before += ph.data->num_values;
-            values_seen += ph.data->num_values;
-          } else if (ph.kind == P_DATA_V2) {
-            rec.gid = gid++;  // numbered but contributes no values (parity)
-          } else if (ph.kind == P_DICTIONARY && ph.dict) {
-            rec.num_values = ph.dict->num_values;
-            rec.encoding = ph.dict->encoding;
-          }
-          if (rec.gid >= 0) data_gids_.push_back(int64_t(pages_.size()));
-          pages_.push_back(rec);
-          off += header_size + ph.compressed_size;
+        PageRec rec;
+        rec.rg = job.rg;
+        rec.chunk_col = job.col;
+        rec.header_off = start + off;
+        rec.data_off = start + off + header_size;
+        rec.size = ph.compressed_size;
+        rec.kind = ph.kind;
+        if (ph.kind == P_DATA && ph.data) {
+          rec.num_values = ph.data->num_values;
+          rec.encoding = ph.data->encoding;
+          rec.gid = 0;  // marks "numbered"; real gid assigned in the merge
+          rec.row_start = rows_before;
+          rows_before += ph.data->num_values;
+          values_seen += ph.data->num_values;
+        } else if (ph.kind == P_DATA_V2) {
+          rec.gid = 0;  // numbered but contributes no values (parity)
+        } else if (ph.kind == P_DICTIONARY && ph.dict) {
+          rec.num_values = ph.dict->num_values;
+          rec.encoding = ph.dict->encoding;
         }
+        job.pages.push_back(rec);
+        off += header_size + ph.compressed_size;
+      }
+    });
+
+    int64_t gid = 0;
+    for (auto& job : jobs) {
+      for (PageRec rec : job.pages) {
+        if (rec.gid >= 0) {
+          rec.gid = gid++;
+          if (rec.kind == P_DATA)
+            rec.row_start += rg_row_base_[size_t(rec.rg)];
+          data_gids_.push_back(int64_t(pages_.size()));
+        }
+        pages_.push_back(rec);
       }
     }
   }
 
   int fd_ = -1;
+  const uint8_t* map_ = nullptr;
   size_t file_size_ = 0;
   FileMeta meta_;
   std::vector<Leaf> leaves_;

@@ -216,12 +216,13 @@ class ParquetReader:
         align: int = 128,
         pad_strings: int = 0,
         flags: int = bindings.PS_HOST_STRINGS,
+        payload_align: int = 0,
     ) -> DecodeBatch:
         idx = self.find_column(column) if isinstance(column, str) else column
         if idx < 0:
             raise KeyError(f"Column not found: {column}")
         dims, arrays = bindings.native_prescan(
-            self._h, idx, rg0, rg1, align, pad_strings, flags
+            self._h, idx, rg0, rg1, align, pad_strings, flags, payload_align
         )
         return DecodeBatch(dims, arrays)
 
