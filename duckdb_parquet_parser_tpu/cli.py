@@ -9,8 +9,10 @@ Implements the reference README's CLI contract (reference: README.md:44-72):
   dpq-tpu index <file> <column> [--chunk-size N]
                                           chunked inverted index totals
 
-Extra engine knobs (not in the reference): --engine numpy|jax selects the
-decode/match backend, --like treats the pattern as a SQL LIKE expression.
+Extra engine knobs (not in the reference): --engine native|numpy|jax selects
+the match backend (native = fused one-shot cold scan, the default; jax = the
+device pipeline; numpy = the golden-model reference), --like treats the
+pattern as a SQL LIKE expression.
 """
 
 from __future__ import annotations
@@ -69,7 +71,14 @@ def _run_regex_scan(reader: ParquetReader, args) -> int:
         return 2
 
     pattern = like_to_regex(args.regex) if args.like else args.regex
-    if args.engine == "jax":
+    if args.engine == "native":
+        # one-shot default: the fused cold path (native/dpq_scan.hpp) answers
+        # straight off the file mapping — no batch packing, no device upload
+        from .models.scan import cold_scan
+
+        result = cold_scan(reader, args.regex_column, pattern,
+                           negate=args.neg_regex, exact_counts=True)
+    elif args.engine == "jax":
         try:
             compile_pattern(pattern)
             batch = reader.prescan(
@@ -126,7 +135,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="invert the match (NOT LIKE)")
     ap.add_argument("--like", action="store_true",
                     help="treat the pattern as a SQL LIKE expression")
-    ap.add_argument("--engine", choices=["numpy", "jax"], default="numpy")
+    ap.add_argument("--engine", choices=["native", "numpy", "jax"],
+                    default="native",
+                    help="native = fused one-shot cold path (default); "
+                    "jax = device pipeline; numpy = golden reference")
     args = ap.parse_args(argv)
 
     reader = ParquetReader()

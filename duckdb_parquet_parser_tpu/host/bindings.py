@@ -50,6 +50,12 @@ def _load() -> ct.CDLL:
         ct.c_int64, ct.c_int64, ct.c_char_p, ct.c_size_t,
     ]
     lib.dpq_prescan.restype = ct.c_void_p
+    lib.dpq_cold_scan.argtypes = [
+        ct.c_void_p, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32,
+        ct.c_int32, ct.c_char_p, ct.c_void_p, ct.c_int32, ct.c_void_p,
+        ct.c_void_p, ct.c_int32, ct.c_char_p, ct.c_size_t,
+    ]
+    lib.dpq_cold_scan.restype = ct.c_void_p
     lib.dpq_batch_free.argtypes = [ct.c_void_p]
     lib.dpq_batch_free.restype = None
     lib.dpq_batch_manifest.argtypes = [ct.c_void_p]
@@ -187,6 +193,11 @@ def native_prescan(
     )
     if not b:
         raise NativeError(err.value.decode("utf-8", "replace"))
+    return _wrap_batch(b)
+
+
+def _wrap_batch(b: int) -> tuple[dict, dict[str, np.ndarray]]:
+    """(dims, zero-copy numpy views) over a native ArrayStore handle."""
     owner = _BatchOwner(b)
     manifest = json.loads(_take_str(lib().dpq_batch_manifest(b)))
     arrays: dict[str, np.ndarray] = {}
@@ -203,3 +214,33 @@ def native_prescan(
             arr = np.zeros(spec["shape"], dtype)
         arrays[name] = arr
     return manifest["dims"], arrays
+
+
+def native_cold_scan(
+    h: int, leaf: int, rg0: int, rg1: int, *, negate: bool, exact: bool = True,
+    needles: list[bytes] | None = None,
+    table: np.ndarray | None = None, accept: np.ndarray | None = None,
+) -> tuple[dict, dict[str, np.ndarray]]:
+    """Fused cold-path regex scan (see native/dpq_scan.hpp); returns
+    (dims, {page_gid, match_counts, value_counts}).  exact=False turns
+    match_counts into 0/1 survivor indicators (same page sets, faster)."""
+    err = _err_buf()
+    if needles:
+        buf = b"".join(needles)
+        lens = np.array([len(x) for x in needles], np.int32)
+        b = lib().dpq_cold_scan(
+            h, leaf, rg0, rg1, int(negate), int(exact), buf,
+            lens.ctypes.data_as(ct.c_void_p), len(needles), None, None, 0,
+            err, _ERRCAP,
+        )
+    else:
+        t = np.ascontiguousarray(table, np.int32)
+        a = np.ascontiguousarray(accept, np.uint8)
+        b = lib().dpq_cold_scan(
+            h, leaf, rg0, rg1, int(negate), int(exact), None, None, 0,
+            t.ctypes.data_as(ct.c_void_p), a.ctypes.data_as(ct.c_void_p),
+            t.shape[0], err, _ERRCAP,
+        )
+    if not b:
+        raise NativeError(err.value.decode("utf-8", "replace"))
+    return _wrap_batch(b)

@@ -20,6 +20,7 @@ _SOURCES = [
     "dpq_meta.hpp",
     "dpq_reader.hpp",
     "dpq_prescan.hpp",
+    "dpq_scan.hpp",
     "dpq_writer.hpp",
     "dpq_capi.cpp",
 ]

@@ -9,6 +9,7 @@
 
 #include "dpq_prescan.hpp"
 #include "dpq_reader.hpp"
+#include "dpq_scan.hpp"
 #include "dpq_writer.hpp"
 
 using namespace dpq;
@@ -133,6 +134,36 @@ void* dpq_prescan(void* h, int32_t leaf_idx, int32_t rg0, int32_t rg1,
 }
 
 void dpq_batch_free(void* b) { delete static_cast<ArrayStore*>(b); }
+
+// Fused cold-path regex scan.  Chain mode when n_needles > 0 (needles packed
+// back-to-back in `needle_buf` with lengths in `needle_lens`); otherwise DFA
+// mode over (table [n_states, 256] i32, accept [n_states] u8).  Returns an
+// ArrayStore handle (page_gid / match_counts / value_counts) — same
+// manifest/view/free API as prescan batches.
+void* dpq_cold_scan(void* h, int32_t leaf_idx, int32_t rg0, int32_t rg1,
+                    int32_t neg, int32_t exact, const uint8_t* needle_buf,
+                    const int32_t* needle_lens, int32_t n_needles,
+                    const int32_t* table, const uint8_t* accept,
+                    int32_t n_states, char* err, size_t errcap) {
+  DPQ_TRY({
+    ColdPattern pat;
+    pat.neg = neg != 0;
+    pat.exact = exact != 0;
+    size_t at = 0;
+    for (int32_t i = 0; i < n_needles; i++) {
+      pat.needles.emplace_back(reinterpret_cast<const char*>(needle_buf) + at,
+                               size_t(needle_lens[i]));
+      at += size_t(needle_lens[i]);
+    }
+    pat.table = table;
+    pat.accept = accept;
+    pat.n_states = n_states;
+    if (pat.needles.empty() && (!table || !accept || n_states <= 0))
+      throw Error("cold_scan: no pattern (needles or DFA table required)");
+    auto out = static_cast<Reader*>(h)->cold_scan(leaf_idx, pat, rg0, rg1);
+    return static_cast<void*>(out.release());
+  })
+}
 
 char* dpq_batch_manifest(void* b) {
   return dup_str(static_cast<ArrayStore*>(b)->manifest_json());

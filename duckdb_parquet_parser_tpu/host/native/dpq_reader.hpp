@@ -29,6 +29,8 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
+#include <cstdio>
 #include <map>
 #include <memory>
 #include <sstream>
@@ -239,6 +241,8 @@ inline void parallel_for(int n_jobs, Fn&& fn, int max_threads = 16) {
 
 // ── Reader ──────────────────────────────────────────────────────────────────
 
+struct ColdPattern;  // defined in dpq_scan.hpp (cold-path regex scan)
+
 class Reader {
  public:
   ~Reader() {
@@ -256,7 +260,13 @@ class Reader {
 
     // mmap read-only: page payload spans become zero-copy pointers for the
     // pre-scan/cold-scan (no ifstream buffers, no syscall per page header).
-    void* m = ::mmap(nullptr, file_size_, PROT_READ, MAP_PRIVATE, fd_, 0);
+    // MAP_POPULATE prefaults the page tables in one batched kernel walk —
+    // measured ~2x cheaper than taking ~30k demand minor-faults during the
+    // page-index scan of a 100+ MB file.
+    void* m = ::mmap(nullptr, file_size_, PROT_READ, MAP_PRIVATE | MAP_POPULATE,
+                     fd_, 0);
+    if (m == MAP_FAILED)  // e.g. populate refused under memory pressure
+      m = ::mmap(nullptr, file_size_, PROT_READ, MAP_PRIVATE, fd_, 0);
     if (m != MAP_FAILED) {
       map_ = static_cast<const uint8_t*>(m);
       ::madvise(m, file_size_, MADV_WILLNEED);
@@ -278,7 +288,16 @@ class Reader {
     meta_ = read_file_meta(tr);
 
     build_leaves();
-    build_page_index();
+    if (std::getenv("DPQ_OPEN_TIMING")) {
+      auto t0 = std::chrono::steady_clock::now();
+      build_page_index();
+      auto t1 = std::chrono::steady_clock::now();
+      std::fprintf(stderr, "[open] page index: %.1f ms (%zu pages)\n",
+                   std::chrono::duration<double, std::milli>(t1 - t0).count(),
+                   pages_.size());
+    } else {
+      build_page_index();
+    }
   }
 
   const FileMeta& meta() const { return meta_; }
@@ -329,6 +348,11 @@ class Reader {
                                       int64_t align, int64_t pad_strings,
                                       int64_t flags,
                                       int64_t payload_align = 0) const;
+
+  // Fused cold-path regex scan (see dpq_scan.hpp): per-data-page match /
+  // value counts for one BYTE_ARRAY column, straight off the file mapping.
+  std::unique_ptr<ArrayStore> cold_scan(int leaf_idx, const ColdPattern& pat,
+                                        int rg0, int rg1) const;
 
  private:
   void pread_full(int64_t off, size_t len, uint8_t* out) const {

@@ -1,0 +1,462 @@
+// dpq_scan.hpp — the fused COLD-PATH regex scan: one streaming pass over the
+// mmap'd column chunks answering a one-shot page-pruning query at host speed
+// while the device copy warms in the background.
+//
+// Rationale (measured, see ops/pallas/README.md): a cold device scan pays
+// prescan + relay upload (~1.2 GB/s) + dispatch latency before the first
+// result; for a single query on a cold file the scalar reference parser wins
+// that race.  This pass eliminates every intermediate: no batch packing, no
+// padded planes, no upload — page headers, definition levels, and value
+// payloads are consumed straight out of the file mapping, chunk-parallel on
+// the host thread pool.
+//
+// Parity contract (bit-identical page sets vs the device engine):
+//   * per-value accept == ops/strings.py::match_payload_stream finalize
+//     rules: a value only participates when its length prefix AND bytes fit
+//     inside the value section; zero-length values score accept-of-empty.
+//   * dictionary pages == ops/scan.py::_device_scan_step: each dict value is
+//     matched once, then counts flow through the RLE/bit-packed index stream;
+//     out-of-range indices are excluded from counts AND value totals
+//     (reference ColumnReader turns them into NULLs:
+//     src/reader/column_reader.cpp:190-194).
+//   * negation inverts the per-value accept (README.md:60-64), with
+//     match_counts = nn - accepted so truncated values count as accepted,
+//     exactly like the device's (nn - hits).
+//
+// Matching modes:
+//   * substring chain ('%a%b%'-class): ordered memmem walk per value; pages
+//     are pre-screened with one memmem chain over the whole value section
+//     (a page cannot contain a matching value unless the concatenated
+//     section contains the needles in order) — pruned pages never walk
+//     values at all.
+//   * dense DFA table (from ops/regex.py): scalar table walk per value.
+#pragma once
+
+#include <cstring>
+
+#if defined(__SSE2__)
+#include <immintrin.h>
+#endif
+
+#include "dpq_reader.hpp"
+
+namespace dpq {
+
+struct ColdPattern {
+  std::vector<std::string> needles;  // chain mode when non-empty
+  const int32_t* table = nullptr;    // [n_states, 256] (DFA mode)
+  const uint8_t* accept = nullptr;   // [n_states]
+  int32_t n_states = 0;
+  bool neg = false;
+  // exact=false: match_counts become 0/1 survivor indicators and pages stop
+  // at the first deciding value (same surviving/pruned sets, ~2x faster on
+  // match-heavy data); exact=true reproduces the device engine's counts.
+  bool exact = true;
+
+  bool use_chain() const { return !needles.empty(); }
+  bool accept_empty() const {
+    if (use_chain()) return false;
+    return accept && n_states > 0 && accept[0] != 0;
+  }
+};
+
+// Substring search for short haystacks: memchr on the first needle byte +
+// memcmp confirm (glibc memmem's per-call two-way setup costs ~35 ns — more
+// than an entire value scan here).
+inline const uint8_t* find_sub(const uint8_t* h, size_t hl, const uint8_t* n,
+                               size_t nl) {
+  if (nl == 0) return h;
+  if (nl > hl) return nullptr;
+  const uint8_t c0 = n[0];
+  const uint8_t* p = h;
+  const uint8_t* last = h + (hl - nl);  // last admissible start
+  while (p <= last) {
+    p = static_cast<const uint8_t*>(::memchr(p, c0, size_t(last - p) + 1));
+    if (!p) return nullptr;
+    if (nl == 1 || ::memcmp(p + 1, n + 1, nl - 1) == 0) return p;
+    p++;
+  }
+  return nullptr;
+}
+
+// Ordered-needle chain over one byte span (shared by the per-value accept
+// and the page screen).
+inline bool chain_match(const std::vector<std::string>& needles,
+                        const uint8_t* s, size_t len) {
+  size_t pos = 0;
+  for (const auto& nd : needles) {
+    if (pos + nd.size() > len) return false;
+    const uint8_t* f =
+        find_sub(s + pos, len - pos,
+                 reinterpret_cast<const uint8_t*>(nd.data()), nd.size());
+    if (!f) return false;
+    pos = size_t(f - s) + nd.size();
+  }
+  return true;
+}
+
+// ALL occurrences of `nd` in [s, s+len), appended to `out` (overlapping
+// included).  SIMD first-two-byte filter (Muła's algorithm): one 16-lane
+// compare pair per 16 bytes, then memcmp confirm on candidate bigrams —
+// frequency of the bigram, not the first letter, gates the confirm rate, so
+// text-heavy data ('s' every ~8 bytes) stays vectorized.  The per-page occ
+// lists then drive the value-boundary chain walk in O(values + occs),
+// replacing per-value substring scans (measured ~4x on the confirm pass).
+// ── Bigram candidate masks ──────────────────────────────────────────────────
+//
+// One SIMD sweep per (page section, needle) fills a bitmask — bit i set iff
+// s[i..i+1] equals the needle's first two bytes.  No positions are
+// materialized and no per-candidate work happens at sweep time (measured:
+// position lists cost ~18 ns per occurrence — 30+ ms on a 2M-row column with
+// dense needles; raw masks are pure compare+store).  The value-boundary walk
+// then consumes mask bits lazily, confirming full needles with memcmp and
+// memoizing failed confirms by clearing their bits.
+
+#if defined(__SSE2__)
+inline bool have_avx512bw() {
+  static const bool ok = __builtin_cpu_supports("avx512bw");
+  return ok;
+}
+
+// Fills whole 64-byte blocks while 65 bytes are readable; returns the first
+// unprocessed byte index (a multiple of 64).
+__attribute__((target("avx512bw"))) inline size_t bigram_mask_avx512(
+    const uint8_t* s, size_t len, uint8_t c0, uint8_t c1, bool pair,
+    uint64_t* out) {
+  if (len < 66) return 0;
+  const __m512i f0 = _mm512_set1_epi8(char(c0));
+  const __m512i f1 = _mm512_set1_epi8(char(c1));
+  size_t i = 0;
+  for (; i + 65 <= len; i += 64) {
+    const __m512i b0 = _mm512_loadu_si512(s + i);
+    uint64_t m = _mm512_cmpeq_epi8_mask(b0, f0);
+    if (pair && m) {
+      const __m512i b1 = _mm512_loadu_si512(s + i + 1);
+      m &= _mm512_cmpeq_epi8_mask(b1, f1);
+    }
+    out[i >> 6] = m;
+  }
+  return i;
+}
+#endif
+
+inline void bigram_masks(const uint8_t* s, size_t len, const std::string& nd,
+                         std::vector<uint64_t>& out) {
+  const size_t nblocks = (len + 63) >> 6;
+  out.assign(nblocks, 0);
+  if (nd.empty() || nd.size() > len) return;
+  const uint8_t c0 = uint8_t(nd[0]);
+  const bool pair = nd.size() > 1;
+  const uint8_t c1 = pair ? uint8_t(nd[1]) : c0;
+  size_t tail = 0;
+#if defined(__SSE2__)
+  if (have_avx512bw()) {
+    tail = bigram_mask_avx512(s, len, c0, c1, pair, out.data());
+  } else if (len >= 18) {
+    const __m128i g0 = _mm_set1_epi8(char(c0));
+    const __m128i g1 = _mm_set1_epi8(char(c1));
+    size_t i = 0;
+    for (; i + 17 <= len; i += 16) {
+      const __m128i b0 =
+          _mm_loadu_si128(reinterpret_cast<const __m128i*>(s + i));
+      uint32_t m =
+          uint32_t(_mm_movemask_epi8(_mm_cmpeq_epi8(b0, g0)));
+      if (pair && m) {
+        const __m128i b1 =
+            _mm_loadu_si128(reinterpret_cast<const __m128i*>(s + i + 1));
+        m &= uint32_t(_mm_movemask_epi8(_mm_cmpeq_epi8(b1, g1)));
+      }
+      out[i >> 6] |= uint64_t(m) << (i & 63);
+    }
+    tail = i;
+  }
+#endif
+  for (size_t i = tail; i < len; i++)
+    if (s[i] == c0 && (!pair || (i + 1 < len && s[i + 1] == c1)))
+      out[i >> 6] |= 1ull << (i & 63);
+}
+
+// Raw accept of one value's bytes (before negation).
+inline bool cold_accept(const ColdPattern& p, const uint8_t* s, size_t len) {
+  if (p.use_chain()) return chain_match(p.needles, s, len);
+  int32_t st = 0;
+  for (size_t i = 0; i < len; i++) st = p.table[st * 256 + s[i]];
+  return p.accept[st] != 0;
+}
+
+
+inline std::unique_ptr<ArrayStore> Reader::cold_scan(
+    int leaf_idx, const ColdPattern& pat, int rg0, int rg1) const {
+  if (leaf_idx < 0 || size_t(leaf_idx) >= leaves_.size())
+    throw Error("leaf index out of range");
+  const Leaf& lf = leaves_[size_t(leaf_idx)];
+  if (lf.type != T_BYTE_ARRAY)
+    throw Error(std::string("regex scan requires a BYTE_ARRAY column; '") +
+                lf.name + "' is " + physical_type_name(lf.type));
+  const int n_rg = int(meta_.row_groups.size());
+  if (rg0 < 0) rg0 = 0;
+  if (rg1 < 0 || rg1 > n_rg) rg1 = n_rg;
+  const int def_bw = lf.max_def > 0 ? level_bit_width(lf.max_def) : 0;
+
+  struct PageOut {
+    int64_t gid;
+    int64_t counts;  // match_counts (post-negation)
+    int64_t values;  // participating values
+  };
+  struct RgOut {
+    std::vector<PageOut> pages;
+  };
+  std::vector<RgOut> rg_out(size_t(std::max(rg1 - rg0, 0)));
+
+  const bool timing = std::getenv("DPQ_SCAN_TIMING") != nullptr;
+  std::atomic<int64_t> ns_def{0}, ns_sweep{0}, ns_walk{0};
+  auto tick = [] { return std::chrono::steady_clock::now(); };
+  auto lap = [&](std::atomic<int64_t>& acc, auto t0) {
+    acc += std::chrono::duration_cast<std::chrono::nanoseconds>(tick() - t0)
+               .count();
+  };
+
+  parallel_for(rg1 - rg0, [&](int j) {
+    const int rg = rg0 + j;
+    RgOut& out = rg_out[size_t(j)];
+    const RowGroup& g = meta_.row_groups[size_t(rg)];
+    if (size_t(lf.chunk_idx) >= g.columns.size() ||
+        !g.columns[size_t(lf.chunk_idx)].meta)
+      throw Error("column chunk missing metadata");
+    const ColumnMeta& cm = *g.columns[size_t(lf.chunk_idx)].meta;
+    if (cm.codec != C_UNCOMPRESSED)
+      throw Error("Only uncompressed parquet files are supported");
+
+    int64_t chunk_start = cm.data_page_offset;
+    if (cm.dictionary_page_offset)
+      chunk_start = std::min(chunk_start, *cm.dictionary_page_offset);
+    int64_t span = std::max<int64_t>(cm.total_compressed_size, 16);
+    std::vector<uint8_t> fallback;
+    const uint8_t* chunk_ptr = span_ptr(chunk_start, span);
+    if (!chunk_ptr) {
+      fallback.resize(size_t(span));
+      read_range(chunk_start, span, fallback.data());
+      chunk_ptr = fallback.data();
+    }
+
+    // per-row-group dictionary accepts (pre-negation) — one match per entry
+    std::vector<uint8_t> dict_acc;
+    int32_t dict_n = 0;
+
+    std::vector<Run> runs;  // reused per page
+    const size_t K = pat.needles.size();
+    std::vector<std::vector<uint64_t>> masks(K);  // chain candidate bitmasks
+
+    for (size_t pi = 0; pi < pages_.size(); pi++) {
+      const PageRec& pr = pages_[pi];
+      if (pr.rg != rg || pr.chunk_col != lf.chunk_idx) continue;
+      int64_t off = pr.data_off - chunk_start;
+      if (off < 0 || off + pr.size > span) throw Error("page outside chunk span");
+      const uint8_t* d = chunk_ptr + off;
+
+      if (pr.kind == P_DICTIONARY) {
+        dict_acc.clear();
+        dict_acc.reserve(size_t(pr.num_values));
+        Cursor cur(d, size_t(pr.size));
+        for (int32_t i = 0; i < pr.num_values; i++) {
+          uint32_t len = cur.le<uint32_t>();
+          const uint8_t* p = cur.bytes(len);
+          dict_acc.push_back(cold_accept(pat, p, len) ? 1 : 0);
+        }
+        dict_n = pr.num_values;
+        continue;
+      }
+      if (pr.kind != P_DATA) continue;
+
+      Cursor cur(d, size_t(pr.size));
+      int64_t nn = pr.num_values;
+      if (lf.max_def > 0) {
+        auto t0 = tick();
+        uint32_t def_len = cur.le<uint32_t>();
+        const uint8_t* dp = cur.bytes(def_len);
+        runs.clear();
+        rle_prescan(dp, def_len, def_bw, pr.num_values, runs);
+        nn = count_matching(runs, dp, def_len, def_bw, lf.max_def);
+        if (timing) lap(ns_def, t0);
+      }
+      if (lf.max_rep > 0) {
+        uint32_t rep_len = cur.le<uint32_t>();
+        cur.bytes(rep_len);
+      }
+
+      const bool enc_dict =
+          pr.encoding == E_PLAIN_DICTIONARY || pr.encoding == E_RLE_DICTIONARY;
+      int64_t accepted = 0;   // pre-negation accepts among finalized values
+      int64_t values = nn;    // participating values
+
+      if (enc_dict) {
+        int idx_bw = cur.u8();
+        int64_t vlen = int64_t(cur.left());
+        const uint8_t* vp = cur.bytes(size_t(vlen));
+        runs.clear();
+        rle_prescan(vp, size_t(vlen), idx_bw, nn, runs);
+        int64_t in_range = 0;
+        for (const Run& rn : runs) {
+          if (rn.kind == 0) {
+            if (rn.value >= 0 && rn.value < dict_n) {
+              in_range += rn.count;
+              if (dict_acc[size_t(rn.value)]) accepted += rn.count;
+            }
+          } else {
+            for (int32_t i = 0; i < rn.count; i++) {
+              uint32_t v =
+                  bits_at(vp, size_t(vlen), rn.bitoff + int64_t(i) * idx_bw,
+                          idx_bw);
+              if (v < uint32_t(dict_n)) {
+                in_range++;
+                if (dict_acc[v]) accepted++;
+              }
+            }
+          }
+        }
+        values = in_range;
+        // dict pages: counts are over in-range values only (OOB == NULL)
+        int64_t counts = pat.neg ? in_range - accepted : accepted;
+        if (!pat.exact) counts = counts > 0 ? 1 : 0;
+        out.pages.push_back({pr.gid, counts, values});
+        continue;
+      }
+
+      // PLAIN page: length-prefix walk over the value section.
+      int64_t vlen = int64_t(cur.left());
+      const uint8_t* vp = cur.bytes(size_t(vlen));
+
+      if (pat.use_chain() && nn > 0) {
+        // One SIMD bigram-mask sweep per needle over the whole section (pure
+        // compare+store), with early-out when some needle has no candidate
+        // anywhere (the page then cannot contain a matching value); the
+        // value-boundary walk consumes mask bits lazily — greedy earliest
+        // CONFIRMED occurrence == the bitap register semantics — memoizing
+        // failed confirms by clearing their bits.
+        auto t0 = tick();
+        bool possible = true;
+        for (size_t k = 0; k < K && possible; k++) {
+          bigram_masks(vp, size_t(vlen), pat.needles[k], masks[k]);
+          uint64_t any = 0;
+          for (uint64_t w : masks[k]) any |= w;
+          possible = any != 0;
+        }
+        if (timing) {
+          lap(ns_sweep, t0);
+          t0 = tick();
+        }
+        if (possible) {
+          const int64_t nb = int64_t(masks[0].size());
+          // first confirmed candidate of needle k in [from, last_start]
+          auto next_conf = [&](size_t k, int64_t from,
+                               int64_t last_start) -> int64_t {
+            if (from > last_start) return -1;
+            const std::string& nd = pat.needles[k];
+            const size_t nl = nd.size();
+            auto& mk = masks[k];
+            int64_t blk = from >> 6;
+            const int64_t blk_hi = last_start >> 6;
+            uint64_t w = blk < nb ? mk[size_t(blk)] & (~0ull << (from & 63)) : 0;
+            for (;;) {
+              while (!w) {
+                if (++blk > blk_hi || blk >= nb) return -1;
+                w = mk[size_t(blk)];
+              }
+              const int64_t pos = blk * 64 + __builtin_ctzll(w);
+              if (pos > last_start) return -1;
+              if (nl <= 2 ||
+                  ::memcmp(vp + pos + 2, nd.data() + 2, nl - 2) == 0)
+                return pos;
+              const uint64_t low = w & (~w + 1);
+              mk[size_t(blk)] &= ~low;  // memoize failed confirm
+              w &= ~low;
+            }
+          };
+          int64_t pos = 0;
+          for (int64_t v = 0; v < nn; v++) {
+            if (pos + 4 > vlen) break;  // prefix never finalizes
+            uint32_t len;
+            std::memcpy(&len, vp + pos, 4);
+            const int64_t a = pos + 4;
+            const int64_t b = a + int64_t(len);
+            if (b > vlen) break;  // bytes never finalize
+            int64_t need = a;
+            bool m = true;
+            for (size_t k = 0; k < K; k++) {
+              const int64_t lk = int64_t(pat.needles[k].size());
+              const int64_t hit = next_conf(k, need, b - lk);
+              if (hit < 0) {
+                m = false;
+                break;
+              }
+              need = hit + lk;
+            }
+            if (m) {
+              accepted++;
+              if (!pat.exact && !pat.neg) break;  // survivor decided
+            } else if (!pat.exact && pat.neg) {
+              accepted = 0;  // ensure nn - accepted > 0 ==> indicator 1
+              break;
+            }
+            pos = b;
+          }
+        }
+        if (timing) lap(ns_walk, t0);
+        int64_t counts = pat.neg ? nn - accepted : accepted;
+        if (!pat.exact) counts = counts > 0 ? 1 : 0;
+        out.pages.push_back({pr.gid, counts, nn});
+        continue;
+      }
+
+      // DFA mode (or empty page): per-value table walk.
+      if (nn > 0) {
+        int64_t pos = 0;
+        for (int64_t v = 0; v < nn; v++) {
+          if (pos + 4 > vlen) break;  // prefix never finalizes
+          uint32_t len;
+          std::memcpy(&len, vp + pos, 4);
+          if (pos + 4 + int64_t(len) > vlen) break;  // bytes never finalize
+          if (len == 0 ? pat.accept_empty()
+                       : cold_accept(pat, vp + pos + 4, len)) {
+            accepted++;
+            if (!pat.exact && !pat.neg) break;  // survivor decided
+          } else if (!pat.exact && pat.neg) {
+            accepted = 0;  // indicator: some value fails the accept
+            break;
+          }
+          pos += 4 + int64_t(len);
+        }
+      }
+      int64_t counts = pat.neg ? nn - accepted : accepted;
+      if (!pat.exact) counts = counts > 0 ? 1 : 0;
+      out.pages.push_back({pr.gid, counts, nn});
+    }
+  });
+
+  if (timing)
+    std::fprintf(stderr,
+                 "[cold_scan] def: %.1f ms  sweep: %.1f ms  walk: %.1f ms "
+                 "(thread-summed)\n",
+                 double(ns_def.load()) / 1e6, double(ns_sweep.load()) / 1e6,
+                 double(ns_walk.load()) / 1e6);
+
+  int64_t n_pages = 0;
+  for (const auto& r : rg_out) n_pages += int64_t(r.pages.size());
+
+  auto store = std::make_unique<ArrayStore>();
+  store->dims["n_pages"] = n_pages;
+  auto* a_gid = store->alloc<int64_t>("page_gid", {n_pages});
+  auto* a_cnt = store->alloc<int64_t>("match_counts", {n_pages});
+  auto* a_val = store->alloc<int64_t>("value_counts", {n_pages});
+  int64_t at = 0;
+  for (const auto& r : rg_out)
+    for (const PageOut& p : r.pages) {
+      a_gid[at] = p.gid;
+      a_cnt[at] = p.counts;
+      a_val[at] = p.values;
+      at++;
+    }
+  return store;
+}
+
+}  // namespace dpq

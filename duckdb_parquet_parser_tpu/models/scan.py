@@ -75,6 +75,8 @@ class ScanEngine:
             padded = pad_pages(batch, n_dev)
             return distributed_scan(self.mesh, padded, dfa, negate=negate)
 
+        if engine == "native":
+            return self.cold_scan(column, pat, negate=negate)
         if engine == "jax":
             # payload path: raw page bytes upload, device-side prefix parse +
             # MXU DFA — no host string walk
@@ -84,6 +86,20 @@ class ScanEngine:
             return scan_batch_device(batch, pat, negate=negate)
         batch = self.reader.prescan(column, pad_strings=8)
         return scan_batch(batch, pat, negate=negate, xp=np)
+
+    def cold_scan(
+        self, column: str, pattern: str, *, negate: bool = False,
+        like: bool = False, exact_counts: bool = False,
+    ) -> PageMatchResult:
+        """One-shot scan on the fused native cold path (native/dpq_scan.hpp):
+        no batch packing, no device upload — the answer streams straight off
+        the file mapping.  Bit-identical surviving/pruned page sets to the
+        device engine; `exact_counts=True` additionally reproduces its
+        match_counts (default is a 0/1 survivor indicator, which lets pages
+        stop at the first deciding value).  Use `resident()` /
+        `scan_batched()` when the column will be queried repeatedly."""
+        return cold_scan(self.reader, column, pattern, negate=negate,
+                         like=like, exact_counts=exact_counts)
 
     def scan_batched(
         self, column: str, pattern: str, *, negate: bool = False,
@@ -184,6 +200,47 @@ class ScanEngine:
         if checkpoint_dir:
             checkpoints.save_index(checkpoint_dir, self.reader._path, column, out.index)
         return out
+
+
+def cold_scan(
+    reader: ParquetReader, column: str, pattern: str, *, negate: bool = False,
+    like: bool = False, exact_counts: bool = False,
+) -> PageMatchResult:
+    """Free-function form of ScanEngine.cold_scan over an open reader (the
+    CLI's default one-shot path)."""
+    from ..host import bindings
+    from ..host.schema import ParquetType
+    from ..ops.regex import like_to_regex, substring_chain
+
+    info = reader.column(column)
+    if info.type != ParquetType.BYTE_ARRAY:
+        raise TypeError(
+            f"regex scan requires a BYTE_ARRAY column; '{column}' is "
+            f"{info.type_name()}"
+        )
+    pat = like_to_regex(pattern) if like else pattern
+    chain = substring_chain(pat)
+    if chain:
+        _dims, arrays = bindings.native_cold_scan(
+            reader._h, reader.find_column(column), 0, -1,
+            negate=negate, exact=exact_counts, needles=chain,
+        )
+    else:
+        try:
+            dfa = compile_pattern(pat)
+        except UnsupportedPattern:
+            batch = reader.prescan(column, pad_strings=8)
+            return scan_batch_fallback(batch, pat, negate=negate)
+        _dims, arrays = bindings.native_cold_scan(
+            reader._h, reader.find_column(column), 0, -1,
+            negate=negate, exact=exact_counts, table=dfa.table,
+            accept=dfa.accept.astype(np.uint8),
+        )
+    return PageMatchResult(
+        page_gid=arrays["page_gid"].copy(),
+        match_counts=arrays["match_counts"].copy(),
+        value_counts=arrays["value_counts"].copy(),
+    )
 
 
 class ResidentColumn:

@@ -1,0 +1,109 @@
+"""Fused native cold-path scan (host/native/dpq_scan.hpp) vs the engine.
+
+Contract: identical surviving/pruned page sets to every other matcher path
+(and identical match/value counts with exact_counts=True) across dict/plain
+encodings, nulls, negation, chain and DFA modes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from duckdb_parquet_parser_tpu.models.scan import ScanEngine
+from duckdb_parquet_parser_tpu.ops.scan import scan_batch
+
+from .fixtures import mixed_file, strings_file
+
+PATTERNS = [
+    ("alpha.*bravo", False),      # substring chain (bitap/memmem class)
+    ("alpha.*bravo", True),
+    ("charlie", False),           # single needle
+    ("a", False),                 # dense single byte
+    ("a", True),
+    ("[ad]el.a", False),          # general DFA (class + dot)
+    ("x{2,3}[a-f]+", False),      # counted repeats
+    ("^alpha", False),            # anchored (DFA mode)
+]
+
+
+@pytest.fixture(scope="module")
+def dict_file(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    return strings_file(
+        tmp_path_factory.mktemp("cold") / "dict.parquet", rng,
+        n=900, n_unique=12, null_p=0.15, rgs=3,
+    )
+
+
+@pytest.fixture(scope="module")
+def plain_file(tmp_path_factory):
+    rng = np.random.default_rng(12)
+    return strings_file(
+        tmp_path_factory.mktemp("cold") / "plain.parquet", rng,
+        n=900, n_unique=None, null_p=0.1, rgs=2,
+    )
+
+
+@pytest.mark.parametrize("pattern,neg", PATTERNS)
+@pytest.mark.parametrize("which", ["dict", "plain"])
+def test_cold_scan_parity(dict_file, plain_file, pattern, neg, which):
+    eng = ScanEngine(dict_file if which == "dict" else plain_file)
+    golden = eng.scan("s", pattern, negate=neg, engine="numpy")
+    exact = eng.cold_scan("s", pattern, negate=neg, exact_counts=True)
+    ind = eng.cold_scan("s", pattern, negate=neg)
+
+    np.testing.assert_array_equal(exact.page_gid, golden.page_gid)
+    np.testing.assert_array_equal(exact.match_counts, golden.match_counts)
+    np.testing.assert_array_equal(exact.value_counts, golden.value_counts)
+    # indicator mode: same page sets, counts clamped to {0, 1}
+    np.testing.assert_array_equal(
+        np.sort(ind.pruned_pages()), np.sort(golden.pruned_pages())
+    )
+    np.testing.assert_array_equal(
+        np.sort(ind.surviving_pages()), np.sort(golden.surviving_pages())
+    )
+    assert set(np.unique(ind.match_counts)) <= {0, 1}
+    np.testing.assert_array_equal(ind.value_counts, golden.value_counts)
+
+
+def test_cold_scan_mixed_columns(tmp_path):
+    rng = np.random.default_rng(13)
+    path = mixed_file(tmp_path / "mix.parquet", rng)
+    eng = ScanEngine(path)
+    for col in ["city", "comment"]:
+        for pattern, neg in [("alpha", False), ("o.*a", True), ("[a-m]{3}", False)]:
+            golden = eng.scan(col, pattern, negate=neg, engine="numpy")
+            exact = eng.cold_scan(col, pattern, negate=neg, exact_counts=True)
+            np.testing.assert_array_equal(exact.match_counts, golden.match_counts)
+            np.testing.assert_array_equal(exact.value_counts, golden.value_counts)
+
+
+def test_cold_scan_type_error(tmp_path):
+    rng = np.random.default_rng(14)
+    path = mixed_file(tmp_path / "mix.parquet", rng)
+    eng = ScanEngine(path)
+    with pytest.raises(TypeError, match="BYTE_ARRAY"):
+        eng.cold_scan("i64", "x")
+
+
+def test_cold_scan_like_and_fallback(plain_file):
+    eng = ScanEngine(plain_file)
+    # LIKE translation goes through the same path
+    a = eng.cold_scan("s", "%ab%cd%", like=True, exact_counts=True)
+    b = eng.scan("s", "^.*ab.*cd.*$", engine="numpy")
+    np.testing.assert_array_equal(a.match_counts, b.match_counts)
+    # patterns outside the DFA subset fall back to the host `re` matcher
+    c = eng.cold_scan("s", r"(ab)\1", exact_counts=True)
+    d = eng.scan("s", r"(ab)\1", engine="numpy")
+    np.testing.assert_array_equal(c.match_counts, d.match_counts)
+
+
+def test_cold_scan_empty_and_full_match(plain_file):
+    eng = ScanEngine(plain_file)
+    # '.*' accepts every value including empty: every page survives
+    r = eng.cold_scan("s", ".*", exact_counts=True)
+    np.testing.assert_array_equal(r.match_counts, r.value_counts)
+    # negated '.*' matches nothing: every page is reported
+    rn = eng.cold_scan("s", ".*", negate=True, exact_counts=True)
+    assert (rn.match_counts == 0).all()
