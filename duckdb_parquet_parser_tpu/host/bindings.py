@@ -163,17 +163,20 @@ PS_PAYLOAD = 2
 class _BatchOwner:
     """Owns a native ArrayStore handle; freed when the last numpy view dies.
 
-    Each returned array's base chain is  ndarray -> ctypes buffer -> owner,
-    so the native memory outlives every view without a single copy."""
+    Each returned array's base chain is  ndarray -> ndarray(base) -> ctypes
+    buffer -> owner, so the native memory outlives every view without a
+    single copy.  The free function is captured at construction — module
+    globals may already be torn down when interpreter-exit GC runs."""
 
-    __slots__ = ("_h",)
+    __slots__ = ("_h", "_free")
 
     def __init__(self, h: int):
         self._h = h
+        self._free = lib().dpq_batch_free
 
     def __del__(self):  # pragma: no cover - exercised implicitly by GC
         if self._h:
-            lib().dpq_batch_free(self._h)
+            self._free(self._h)
             self._h = 0
 
 

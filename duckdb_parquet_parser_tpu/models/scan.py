@@ -116,10 +116,16 @@ class ScanEngine:
         from ..ops.strings import match_payload_stream
         from ..utils.metrics import get_metrics
 
+        from ..ops.bitprog import BitprogUnsupported, compile_bitprog
         from ..ops.regex import substring_chain
 
         dfa = compile_pattern(pattern)
-        chain = substring_chain(pattern)
+        try:
+            prog = compile_bitprog(pattern)
+            chain = None
+        except BitprogUnsupported:
+            prog = None
+            chain = substring_chain(pattern)
         with get_metrics().timed("prescan", column=column) as box:
             batch = self.reader.prescan(
                 column, pad_strings=8, flags=bindings.PS_PAYLOAD
@@ -133,7 +139,7 @@ class ScanEngine:
         def step(payload, plen, nn):
             hits, _ = match_payload_stream(
                 jnp, payload, plen, nn, dfa.table, dfa.accept, use_mxu=True,
-                chain=chain,
+                chain=chain, prog=prog,
             )
             return (nn - hits) if negate else hits
 
@@ -294,13 +300,19 @@ class ResidentColumn:
         else:
             dict_match = _np.zeros(1, bool)
 
+        from ..ops.bitprog import BitprogUnsupported, compile_bitprog
+
         table = _np.ascontiguousarray(dfa.table, _np.int32)
-        chain = substring_chain(pat)
+        try:
+            compile_bitprog(pat)
+            prog_pattern, chain = pat, None
+        except BitprogUnsupported:
+            prog_pattern, chain = None, substring_chain(pat)
         step = _device_scan_step(
             table.tobytes(), table.shape,
             _np.ascontiguousarray(dfa.accept, bool).tobytes(),
             self._batch.vmax, self._batch.nn_cap, self._batch.max_def,
-            bool(negate), True, tuple(chain) if chain else None,
+            bool(negate), True, tuple(chain) if chain else None, prog_pattern,
         )
         counts, values = step(
             self._core, self._payload, self._plen, jax.device_put(dict_match)

@@ -1,0 +1,516 @@
+"""Bit-parallel NFA programs — general regex at bitap speed on the VPU.
+
+The round-1 matcher had a 3-4x split: substring chains ran at ~300M rows/s
+via Shift-And (bitap) registers, everything else fell to the MXU one-hot
+matmul DFA at 84-104M (ops/pallas/README.md).  This module closes that gap by
+generalizing bitap to the full *extended Shift-And* family (Glushkov NFA
+simulation, cf. Navarro & Raffinot's "Flexible Pattern Matching"), keeping
+the per-byte cost at a handful of [N] int32 vector ops with ZERO gathers:
+
+  * positions carry byte CLASSES (sets), not just literal bytes — class
+    membership folds into the per-byte mask via interval compares, with
+    compare results shared across all positions/segments using a class;
+  * quantifiers ? / * / + / {m,n} become optional (O) / repeatable (R)
+    position masks: repeats are a self-loop term `reg & R & B`, optionals an
+    epsilon smear `F |= (F & O) << 1` iterated log2(longest optional run)
+    times on the pre-byte entering set;
+  * '.*' gaps split the pattern into SEGMENTS chained through sticky done
+    bits exactly like the bitap needle chain (a segment seeds only after its
+    predecessor has completed);
+  * top-level alternation compiles each branch to its own machine (bounded
+    fan-out), OR-ing accepts; single-byte alternations collapse to classes.
+
+Anything outside this family (anchors, nested unbounded groups, huge counted
+repeats) raises BitprogUnsupported and callers fall back to the MXU DFA —
+survivor sets are identical either way (tested against the DFA/numpy oracle).
+
+A pure substring chain lowers to singleton-class ONE positions: the emitted
+transition is then exactly the round-1 bitap (same masks, same register
+count), so this module subsumes ops/strings.make_bitap_transition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .regex import ANY, UnsupportedPattern, escape_set, parse_class_at
+
+MAX_MACHINES = 8       # top-level alternation fan-out bound
+MAX_SEGMENTS = 8       # '.*' gaps per machine (done bits share an int32)
+MAX_POSITIONS = 31     # per segment register (int32 bits 0..30)
+MAX_COUNTED = 16       # {m,n} expansion bound per atom
+
+
+class BitprogUnsupported(UnsupportedPattern):
+    pass
+
+
+# ── AST ─────────────────────────────────────────────────────────────────────
+
+
+@dataclass
+class Lit:
+    cls: frozenset
+
+
+@dataclass
+class Cat:
+    items: list
+
+
+@dataclass
+class Alt:
+    options: list
+
+
+@dataclass
+class Rep:
+    item: object
+    lo: int
+    hi: int | None  # None = unbounded
+
+
+def _parse(pattern: str):
+    """Pattern -> AST (raises BitprogUnsupported on anchors/lookaround)."""
+    p, n = pattern, len(pattern)
+    i = 0
+
+    def peek():
+        return p[i] if i < n else None
+
+    def alt():
+        nonlocal i
+        opts = [cat()]
+        while peek() == "|":
+            i += 1
+            opts.append(cat())
+        return opts[0] if len(opts) == 1 else Alt(opts)
+
+    def cat():
+        nonlocal i
+        items = []
+        while (c := peek()) is not None and c not in "|)":
+            items.append(rep())
+        return Cat(items)
+
+    def rep():
+        nonlocal i
+        node = atom()
+        while (c := peek()) in ("*", "+", "?", "{"):
+            if c == "{":
+                import re as _re
+
+                m = _re.match(r"\{(\d+)(,(\d*))?\}", p[i:])
+                if not m:
+                    raise BitprogUnsupported("bad counted repeat")
+                i += m.end()
+                lo = int(m.group(1))
+                hi = (lo if m.group(2) is None
+                      else (None if m.group(3) == "" else int(m.group(3))))
+                if hi is not None and hi < lo:
+                    raise BitprogUnsupported("bad counted repeat bounds")
+                node = Rep(node, lo, hi)
+                continue
+            i += 1
+            node = Rep(node, 0 if c in "*?" else 1, None if c in "*+" else 1)
+        return node
+
+    def atom():
+        nonlocal i
+        c = peek()
+        if c is None:
+            raise BitprogUnsupported("empty atom")
+        i += 1
+        if c == "(":
+            if peek() == "?":
+                i += 1
+                if peek() != ":":
+                    raise BitprogUnsupported("lookaround / named groups")
+                i += 1
+            node = alt()
+            if peek() != ")":
+                raise BitprogUnsupported("unbalanced group")
+            i += 1
+            return node
+        if c == "[":
+            cls, ni = parse_class_at(p, i)
+            i = ni
+            return Lit(cls)
+        if c == ".":
+            return Lit(ANY)
+        if c == "\\":
+            e = peek()
+            if e is None:
+                raise BitprogUnsupported("trailing backslash")
+            i += 1
+            return Lit(escape_set(e))
+        if c in "*+?{":
+            raise BitprogUnsupported(f"dangling quantifier '{c}'")
+        if c in "^$":
+            raise BitprogUnsupported("anchors")
+        return Lit(frozenset([ord(c)]))
+
+    tree = alt()
+    if i != n:
+        raise BitprogUnsupported(f"trailing junk at {i}")
+    return tree
+
+
+# ── lowering: AST -> machines of segments of positions ──────────────────────
+
+Q_ONE, Q_OPT, Q_PLUS, Q_STAR = 0, 1, 2, 3
+GAP = "gap"  # segment separator marker ('.*')
+
+
+@dataclass
+class Segment:
+    cls: list = field(default_factory=list)    # frozenset per position
+    quant: list = field(default_factory=list)  # Q_* per position
+
+
+@dataclass
+class Machine:
+    segments: list = field(default_factory=list)
+
+
+def _as_class(node) -> frozenset | None:
+    """Single-byte-consuming view of a node, or None."""
+    if isinstance(node, Lit):
+        return node.cls
+    if isinstance(node, Alt):
+        parts = [_as_class(o) for o in node.options]
+        if all(x is not None for x in parts):
+            out: frozenset = frozenset()
+            for x in parts:
+                out |= x
+            return out
+    if isinstance(node, Cat) and len(node.items) == 1:
+        return _as_class(node.items[0])
+    return None
+
+
+def _flatten(node) -> list[list]:
+    """Node -> alternatives, each a flat token list (frozenset positions with
+    quantifiers as (cls, Q_*) tuples, or GAP markers)."""
+
+    def cross(seqs_a: list[list], seqs_b: list[list]) -> list[list]:
+        out = [a + b for a in seqs_a for b in seqs_b]
+        if len(out) > MAX_MACHINES:
+            raise BitprogUnsupported("alternation fan-out too large")
+        return out
+
+    if isinstance(node, Lit):
+        return [[(node.cls, Q_ONE)]]
+
+    if isinstance(node, Cat):
+        seqs: list[list] = [[]]
+        for item in node.items:
+            seqs = cross(seqs, _flatten(item))
+        return seqs
+
+    if isinstance(node, Alt):
+        out = []
+        for o in node.options:
+            out.extend(_flatten(o))
+        if len(out) > MAX_MACHINES:
+            raise BitprogUnsupported("alternation fan-out too large")
+        return out
+
+    if isinstance(node, Rep):
+        cls = _as_class(node.item)
+        if cls is not None:
+            if node.lo == 0 and node.hi is None and cls == ANY:
+                return [[GAP]]  # '.*' — the unanchored gap
+            if node.hi is None:
+                if node.lo == 0:
+                    return [[(cls, Q_STAR)]]
+                return [[(cls, Q_ONE)] * (node.lo - 1) + [(cls, Q_PLUS)]]
+            if node.hi > MAX_COUNTED:
+                raise BitprogUnsupported("counted repeat too large")
+            return [[(cls, Q_ONE)] * node.lo + [(cls, Q_OPT)] * (node.hi - node.lo)]
+        # bounded repeat of a multi-byte group: expand by concatenation
+        if node.hi is not None and node.hi <= 4:
+            inner = _flatten(node.item)
+            out = []
+            for count in range(node.lo, node.hi + 1):
+                seqs: list[list] = [[]]
+                for _ in range(count):
+                    seqs = cross(seqs, inner)
+                out.extend(seqs)
+            if len(out) > MAX_MACHINES:
+                raise BitprogUnsupported("alternation fan-out too large")
+            return out
+        raise BitprogUnsupported("unbounded repeat of a multi-byte group")
+
+    raise BitprogUnsupported(f"node {type(node).__name__}")
+
+
+def _segment(tokens: list) -> Machine:
+    m = Machine()
+    seg = Segment()
+    for tok in tokens:
+        if tok is GAP:
+            if seg.cls:
+                m.segments.append(seg)
+                seg = Segment()
+            continue  # empty segment between gaps collapses
+        cls, q = tok
+        if not cls:
+            raise BitprogUnsupported("empty byte class")
+        seg.cls.append(cls)
+        seg.quant.append(q)
+    if seg.cls:
+        m.segments.append(seg)
+    # drop fully-optional segments: they are absorbed by the gap around them
+    m.segments = [
+        s for s in m.segments
+        if any(q in (Q_ONE, Q_PLUS) for q in s.quant)
+    ]
+    if not m.segments:
+        raise BitprogUnsupported("pattern matches the empty string everywhere")
+    if len(m.segments) > MAX_SEGMENTS:
+        raise BitprogUnsupported("too many '.*' gaps")
+    for s in m.segments:
+        if len(s.cls) > MAX_POSITIONS:
+            raise BitprogUnsupported("segment too long for one register")
+    return m
+
+
+@dataclass
+class BitProgram:
+    machines: list            # list[Machine]
+    pattern: str
+    fingerprint: tuple = ()   # hashable identity for jit caches
+
+    @property
+    def n_registers(self) -> int:
+        """Unpacked upper bound (one register per segment + a done word per
+        machine); make_bitprog_transition packs gap-free machines into
+        shared registers and reports the true count."""
+        return sum(len(m.segments) + 1 for m in self.machines)
+
+
+def compile_bitprog(pattern: str) -> BitProgram:
+    """Pattern -> BitProgram (raises BitprogUnsupported outside the extended
+    Shift-And family).  Unanchored search semantics, like the DFA compiler
+    without ^/$."""
+    pat = pattern
+    # strip the redundant unanchored wrappers ('^.*', '.*$')
+    if pat.startswith("^.*"):
+        pat = pat[1:]
+    if pat.endswith(".*$") and not pat.endswith("\\.*$"):
+        pat = pat[:-1]
+    if pat.startswith("^") or (pat.endswith("$") and not pat.endswith("\\$")):
+        raise BitprogUnsupported("anchored patterns take the DFA path")
+    machines = [_segment(toks) for toks in _flatten(_parse(pat))]
+    fp = tuple(
+        (
+            tuple(
+                (tuple(sorted(c)), q)
+                for c, q in zip(s.cls, s.quant)
+            )
+            for s in m.segments
+        )
+        for m in machines
+    )
+    return BitProgram(machines=machines, pattern=pattern, fingerprint=fp)
+
+
+# ── transition builder ──────────────────────────────────────────────────────
+
+
+def _intervals(cls: frozenset) -> list[tuple[int, int]]:
+    """Byte set -> sorted disjoint [lo, hi] intervals."""
+    out = []
+    bs = sorted(cls)
+    lo = prev = bs[0]
+    for b in bs[1:]:
+        if b == prev + 1:
+            prev = b
+            continue
+        out.append((lo, prev))
+        lo = prev = b
+    out.append((lo, prev))
+    return out
+
+
+@dataclass
+class _SegConsts:
+    """Per-register compile-time constants of one (possibly packed) segment."""
+
+    weights: dict          # class id -> position bits
+    any_bits: int          # positions with class == ANY
+    r_mask: int            # repeatable positions
+    o_mask: int            # optional positions
+    smears: int            # epsilon-smear iterations
+    acc_mask: int          # completion bits (last position + trailing opts)
+    start_mask: int        # always-seeded start bits (first segments)
+    seg_idx: int           # segment index within its machine (gap chains)
+    width: int = 0         # bits used (packing watermark)
+
+
+def _seg_consts(seg: Segment, base: int, class_ids, specs) -> _SegConsts:
+    """Constants for `seg` with its positions placed at bit offset `base`."""
+    weights: dict[int, int] = {}
+    any_bits = 0
+    for p_idx, cls in enumerate(seg.cls):
+        if cls == ANY:
+            any_bits |= 1 << (base + p_idx)
+            continue
+        if cls not in class_ids:
+            class_ids[cls] = len(specs)
+            specs.append(_intervals(cls))
+        cid = class_ids[cls]
+        weights[cid] = weights.get(cid, 0) | (1 << (base + p_idx))
+    r_mask = sum(
+        1 << (base + i) for i, q in enumerate(seg.quant) if q in (Q_PLUS, Q_STAR)
+    )
+    o_mask = sum(
+        1 << (base + i) for i, q in enumerate(seg.quant) if q in (Q_OPT, Q_STAR)
+    )
+    # epsilon-smear iterations: each `F |= (F & O) << 1` extends the skip
+    # reach by one position, so the longest optional run bounds the count
+    # (runs are short — MAX_COUNTED caps them at 16)
+    smears = run = 0
+    for q in seg.quant:
+        run = run + 1 if q in (Q_OPT, Q_STAR) else 0
+        smears = max(smears, run)
+    # accept mask: the last position plus the trailing optional run above it
+    # (a prefix reaching any of those bits completes the segment via skips)
+    acc_mask = 0
+    for i in range(len(seg.cls) - 1, -1, -1):
+        acc_mask |= 1 << (base + i)
+        if seg.quant[i] not in (Q_OPT, Q_STAR):
+            break
+    return _SegConsts(weights, any_bits, r_mask, o_mask, smears, acc_mask,
+                      1 << base, 0, base + len(seg.cls))
+
+
+def _merge(a: _SegConsts, b: _SegConsts) -> _SegConsts:
+    w = dict(a.weights)
+    for cid, bits in b.weights.items():
+        w[cid] = w.get(cid, 0) | bits
+    return _SegConsts(w, a.any_bits | b.any_bits, a.r_mask | b.r_mask,
+                      a.o_mask | b.o_mask, max(a.smears, b.smears),
+                      a.acc_mask | b.acc_mask, a.start_mask | b.start_mask, 0,
+                      max(a.width, b.width))
+
+
+def make_bitprog_transition(xp, prog: BitProgram):
+    """Returns (transition(state_tuple, c) -> (next_tuple, accept [N] i32),
+    n_state_regs, accept_empty) — the ops/strings.py matcher interface.
+
+    Per byte: one membership test per DISTINCT byte class across the whole
+    program (equality for singletons, interval compares otherwise; shared by
+    every position using the class), then per register a shift/or/and ladder,
+    an optional-run smear only where optionals exist, and sticky done-bit
+    updates.  All [N] int32 vector ops; no gathers, no matmuls.
+
+    Register packing: gap-free machines (single segment — e.g. the branches
+    of `cat|dog|mouse`) SHARE registers, stacked at disjoint bit offsets.
+    Their start positions are seeded every byte via `start_mask`, which also
+    makes cross-boundary shift carries harmless (a carry can only land on an
+    always-seeded start bit), so an A-way alternation of short words costs
+    the same per byte as a single word.  Machines with '.*' gaps keep one
+    register per segment plus a done word (chained seeding is order-exact)."""
+    class_ids: dict[frozenset, int] = {}
+    specs: list[list[tuple[int, int]]] = []
+
+    packed: list[_SegConsts] = []   # shared registers of gap-free machines
+    chained = []                    # per multi-segment machine: [_SegConsts]
+
+    for m in prog.machines:
+        if len(m.segments) == 1:
+            seg = m.segments[0]
+            placed = False
+            for slot, existing in enumerate(packed):
+                if existing.width + len(seg.cls) <= MAX_POSITIONS:
+                    packed[slot] = _merge(
+                        existing,
+                        _seg_consts(seg, existing.width, class_ids, specs),
+                    )
+                    placed = True
+                    break
+            if not placed:
+                packed.append(_seg_consts(seg, 0, class_ids, specs))
+            continue
+        segs = []
+        for s_idx, seg in enumerate(m.segments):
+            sc = _seg_consts(seg, 0, class_ids, specs)
+            sc.seg_idx = s_idx
+            segs.append(sc)
+        chained.append(segs)
+
+    # each packed group carries a sticky accept word (acceptance is sampled
+    # at the value's LAST byte, so transient acc-bit hits must accumulate)
+    n_regs = 2 * len(packed) + sum(len(s) + 1 for s in chained)
+
+    def transition(state, c):
+        # one membership test per distinct class, shared program-wide
+        tests = []
+        for iv in specs:
+            t = None
+            for lo, hi in iv:
+                m = (c == lo) if lo == hi else ((c >= lo) & (c <= hi))
+                t = m if t is None else (t | m)
+            tests.append(t)
+
+        def byte_mask(sc: _SegConsts):
+            # OR-tree (not a serial chain): the reduction is the per-byte
+            # critical path for letter-heavy alternations
+            terms = [xp.where(tests[cid], bits, 0)
+                     for cid, bits in sc.weights.items()]
+            if sc.any_bits:
+                terms.append(xp.full_like(c, sc.any_bits))
+            if not terms:
+                return xp.zeros_like(c)
+            while len(terms) > 1:
+                nxt = [terms[i] | terms[i + 1]
+                       for i in range(0, len(terms) - 1, 2)]
+                if len(terms) % 2:
+                    nxt.append(terms[-1])
+                terms = nxt
+            return terms[0]
+
+        def advance(sc: _SegConsts, reg, seed):
+            f = (reg << 1) | seed
+            for _ in range(sc.smears):
+                f = f | ((f & sc.o_mask) << 1)
+            b = byte_mask(sc)
+            nxt = f & b
+            if sc.r_mask:
+                nxt = nxt | (reg & sc.r_mask & b)
+            return nxt
+
+        new_state = []
+        accept = None
+
+        def acc_or(v):
+            nonlocal accept
+            accept = v if accept is None else (accept | v)
+
+        reg_at = 0
+        for sc in packed:
+            reg = advance(sc, state[reg_at], sc.start_mask)
+            sticky = state[reg_at + 1] | (reg & sc.acc_mask)
+            reg_at += 2
+            acc_or((sticky != 0).astype(xp.int32))
+            new_state.append(reg)
+            new_state.append(sticky)
+        for segs in chained:
+            regs = state[reg_at : reg_at + len(segs)]
+            done = state[reg_at + len(segs)]
+            reg_at += len(segs) + 1
+            new_done = done
+            for sc in segs:
+                seed = 1 if sc.seg_idx == 0 else ((done >> (sc.seg_idx - 1)) & 1)
+                reg = advance(sc, regs[sc.seg_idx], seed)
+                hit = ((reg & sc.acc_mask) != 0).astype(xp.int32)
+                new_done = new_done | (hit << sc.seg_idx)
+                new_state.append(reg)
+            acc_or((new_done >> (len(segs) - 1)) & 1)
+            new_state.append(new_done)
+
+        return tuple(new_state), accept
+
+    return transition, n_regs, 0

@@ -222,42 +222,58 @@ class _Parser:
         return _Frag(s, e)
 
     def _escape(self, c: str) -> frozenset:
-        if c in _CLASS_ESCAPES:
-            return _CLASS_ESCAPES[c]
-        if c in ("D", "W", "S"):
-            return ANY - _CLASS_ESCAPES[c.lower()]
-        if c.isalnum():
-            raise UnsupportedPattern(f"escape \\{c}")
-        return frozenset([ord(c)])
+        return escape_set(c)
 
     def _char_class(self) -> frozenset:
-        negate = False
-        if self.peek() == "^":
-            self.take()
-            negate = True
-        items: set[int] = set()
-        first = True
-        while True:
-            c = self.peek()
-            if c is None:
+        out, self.i = parse_class_at(self.p, self.i)
+        return out
+
+
+def escape_set(c: str) -> frozenset:
+    """Byte set of escape `\\c` (shared by the DFA and bit-parallel
+    compilers)."""
+    if c in _CLASS_ESCAPES:
+        return _CLASS_ESCAPES[c]
+    if c in ("D", "W", "S"):
+        return ANY - _CLASS_ESCAPES[c.lower()]
+    if c.isalnum():
+        raise UnsupportedPattern(f"escape \\{c}")
+    return frozenset([ord(c)])
+
+
+def parse_class_at(p: str, i: int) -> tuple[frozenset, int]:
+    """Parses a [...] class body starting just after '['; returns
+    (byte set, index after ']')."""
+    negate = False
+    if i < len(p) and p[i] == "^":
+        i += 1
+        negate = True
+    items: set[int] = set()
+    first = True
+    while True:
+        if i >= len(p):
+            raise UnsupportedPattern("unterminated class")
+        c = p[i]
+        if c == "]" and not first:
+            i += 1
+            break
+        first = False
+        i += 1
+        if c == "\\":
+            if i >= len(p):
                 raise UnsupportedPattern("unterminated class")
-            if c == "]" and not first:
-                self.take()
-                break
-            first = False
-            self.take()
-            if c == "\\":
-                items |= self._escape(self.take())
-                continue
-            lo = ord(c)
-            if self.peek() == "-" and self.i + 1 < len(self.p) and self.p[self.i + 1] != "]":
-                self.take()
-                hi = ord(self.take())
-                items |= set(range(lo, hi + 1))
-            else:
-                items.add(lo)
-        out = frozenset(items)
-        return ANY - out if negate else out
+            items |= escape_set(p[i])
+            i += 1
+            continue
+        lo = ord(c)
+        if i < len(p) and p[i] == "-" and i + 1 < len(p) and p[i + 1] != "]":
+            hi = ord(p[i + 1])
+            items |= set(range(lo, hi + 1))
+            i += 2
+        else:
+            items.add(lo)
+    out = frozenset(items)
+    return (ANY - out if negate else out), i
 
 
 # ── DFA ─────────────────────────────────────────────────────────────────────

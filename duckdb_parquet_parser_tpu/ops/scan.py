@@ -161,10 +161,13 @@ def scan_batch(batch, pattern: str, *, negate: bool = False, xp=np) -> PageMatch
 
 @_functools.lru_cache(maxsize=64)
 def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
-                      max_def, negate, use_mxu, chain_key):
+                      max_def, negate, use_mxu, chain_key, prog_pattern=None):
     """jit-compiled single-device scan step, cached per automaton + batch
     shape class (the DFA tables must be compile-time constants for the
-    gather-free transition builders)."""
+    gather-free transition builders).  `prog_pattern` selects the
+    bit-parallel NFA transition (recompiled here — compile_bitprog is
+    deterministic and cheap, and the pattern string is the natural cache
+    key)."""
     import jax
     import jax.numpy as jnp
 
@@ -173,6 +176,11 @@ def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
     table = np.frombuffer(table_bytes, np.int32).reshape(table_shape)
     accept = np.frombuffer(accept_bytes, bool)
     chain = list(chain_key) if chain_key else None
+    prog = None
+    if prog_pattern is not None:
+        from .bitprog import compile_bitprog
+
+        prog = compile_bitprog(prog_pattern)
 
     def step(core, payload, plen, dict_match_d):
         is_dict = core["page_kind"] == 1
@@ -180,7 +188,7 @@ def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
         hits, _seen = match_payload_stream(
             jnp, payload, jnp.where(is_dict, 0, plen),
             jnp.where(is_dict, 0, nn), table, accept, use_mxu=use_mxu,
-            chain=chain,
+            chain=chain, prog=prog,
         )
         plain_counts = (nn - hits) if negate else hits
 
@@ -230,16 +238,22 @@ def scan_batch_device(batch, pattern: str, *, negate: bool = False,
         else np.zeros(1, bool)
     )
 
+    from .bitprog import BitprogUnsupported, compile_bitprog
     from .regex import substring_chain
 
     core = {k: jnp.asarray(v) for k, v in arrays.items() if k in _decode.DECODE_ARRAYS}
     table = np.ascontiguousarray(dfa.table, np.int32)
-    chain = substring_chain(pattern)
+    try:
+        compile_bitprog(pattern)
+        prog_pattern = pattern
+    except BitprogUnsupported:
+        prog_pattern = None
+    chain = substring_chain(pattern) if prog_pattern is None else None
     step = _device_scan_step(
         table.tobytes(), table.shape,
         np.ascontiguousarray(dfa.accept, bool).tobytes(),
         batch.vmax, batch.nn_cap, batch.max_def, bool(negate), bool(use_mxu),
-        tuple(chain) if chain else None,
+        tuple(chain) if chain else None, prog_pattern,
     )
     counts, values = step(
         core, jnp.asarray(arrays["payload"]),

@@ -122,16 +122,19 @@ def make_bitap_transition(xp, needles: list[bytes]):
 
 def match_payload_stream(xp, payload, payload_len, nn, table, accept,
                          max_steps: int | None = None, use_mxu: bool = False,
-                         chain: list[bytes] | None = None):
+                         chain: list[bytes] | None = None, prog=None):
     """Streaming DFA over raw PLAIN BYTE_ARRAY payloads.
 
     Returns (accept_counts [N] i32, values_seen [N] i32): number of values per
     page whose bytes the DFA accepts, with value boundaries parsed from the
     4-byte length prefixes on the fly.
 
-    use_mxu=True replaces the table-gather transition with one-hot matmuls on
-    the MXU (see mxu_dfa.py for the rationale: XLA gathers are ~10-25 ns/elem
-    on TPU, the matmul path is compute-bound and far faster).
+    Transition priority: `prog` (bit-parallel NFA program, ops/bitprog.py —
+    bitap-class speed for classes/quantifiers/gaps/alternation), then `chain`
+    (Shift-And bitap for pure substring chains), then the DFA table —
+    one-hot MXU matmuls with use_mxu=True (see mxu_dfa.py: XLA gathers are
+    ~10-25 ns/elem on TPU, the matmul path is compute-bound and far faster),
+    plain table gather otherwise (the numpy oracle).
     """
     n, p = payload.shape
     steps = int(max_steps or p)
@@ -154,10 +157,15 @@ def match_payload_stream(xp, payload, payload_len, nn, table, accept,
         nxt = xp.take(tflat, xp.clip(state, 0, None) * 256 + c)
         return nxt, xp.take(acc_i, nxt)
 
-    # Transition selection: bitap fast path for substring chains, MXU one-hot
-    # matmul for general DFAs (jnp), table gather otherwise (numpy oracle).
+    # Transition selection: bit-parallel program / bitap fast paths, MXU
+    # one-hot matmul for general DFAs (jnp), table gather otherwise (numpy
+    # oracle).
     accept_empty = acc0
-    if chain:
+    if prog is not None:
+        from .bitprog import make_bitprog_transition
+
+        transition, n_state_regs, accept_empty = make_bitprog_transition(xp, prog)
+    elif chain:
         transition, n_state_regs, accept_empty = make_bitap_transition(xp, chain)
     elif use_mxu and xp is not np:
         from .mxu_dfa import make_transition

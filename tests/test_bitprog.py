@@ -1,0 +1,159 @@
+"""Bit-parallel NFA programs (ops/bitprog.py) vs the DFA oracle.
+
+The transition must be bit-identical to the table-walk DFA on every
+supported pattern family — classes, quantifiers, counted repeats, '.*'
+gaps, alternation (packed registers), and their compositions — on both the
+numpy and jitted jnp paths, including value-boundary interplay (empty
+values, truncated sections) handled by match_payload_stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from duckdb_parquet_parser_tpu.ops.bitprog import (
+    BitprogUnsupported,
+    compile_bitprog,
+    make_bitprog_transition,
+)
+from duckdb_parquet_parser_tpu.ops.regex import compile_pattern
+from duckdb_parquet_parser_tpu.ops.strings import match_payload_stream
+
+SUPPORTED = [
+    "abc", "a", "a.*z", "a.*b.*c", "q[ax]+x", "q[a-f]{2,4}z", "ab?c",
+    "x+y*z", "a.c", "[^a]x", "a{3}", ".+q", "q\\w+z", "a[bcd]*e",
+    "cat|dog|q", "(ab|cd)x", "(ab){1,2}x", "ab|cde|fg|q.z",
+    "aaa|bbb|ccc|ddd|eee", "a?b?c?d", "xy|ab.*cd", "a.*[xyz]q?",
+    "gr[ae]y|colou?r", "[a-c][d-f][g-i]",
+]
+
+UNSUPPORTED = [
+    "^abc",            # anchors take the DFA path
+    "abc$",
+    "(ab)*x",          # unbounded multi-byte repeat
+    "a|b|c|d|e|f|g|h|i",  # fan-out cap (flattened > MAX_MACHINES)
+    "x{40}y{40}",      # register overflow (positions > 31)
+    ".*",              # matches empty everywhere
+]
+
+
+def _pages(rng, n_pages=60, vals_per_page=8, maxlen=24, alphabet=b"abcdefgqxyz "):
+    letters = np.frombuffer(alphabet, np.uint8)
+    payloads, plens, nns = [], [], []
+    for _ in range(n_pages):
+        buf = bytearray()
+        nv = int(rng.integers(1, vals_per_page + 1))
+        for _ in range(nv):
+            ln = int(rng.integers(0, maxlen))
+            s = bytes(rng.choice(letters, ln))
+            buf += len(s).to_bytes(4, "little") + s
+        payloads.append(bytes(buf))
+        plens.append(len(buf))
+        nns.append(nv)
+    pitch = max(plens) + 8
+    pm = np.zeros((n_pages, pitch), np.uint8)
+    for i, b in enumerate(payloads):
+        pm[i, : len(b)] = np.frombuffer(b, np.uint8)
+    return pm, np.array(plens, np.int32), np.array(nns, np.int32)
+
+
+@pytest.fixture(scope="module")
+def pages():
+    return _pages(np.random.default_rng(5))
+
+
+@pytest.mark.parametrize("pattern", SUPPORTED)
+def test_numpy_parity(pages, pattern):
+    pm, pl, nn = pages
+    prog = compile_bitprog(pattern)
+    dfa = compile_pattern(pattern)
+    h_dfa, s_dfa = match_payload_stream(np, pm, pl, nn, dfa.table, dfa.accept)
+    h_bp, s_bp = match_payload_stream(
+        np, pm, pl, nn, dfa.table, dfa.accept, prog=prog
+    )
+    np.testing.assert_array_equal(h_bp, h_dfa)
+    np.testing.assert_array_equal(s_bp, s_dfa)
+
+
+@pytest.mark.parametrize("pattern", UNSUPPORTED)
+def test_unsupported_falls_back(pattern):
+    with pytest.raises(BitprogUnsupported):
+        compile_bitprog(pattern)
+
+
+def test_jnp_parity(pages):
+    import jax.numpy as jnp
+
+    pm, pl, nn = pages
+    for pattern in ["a.*z", "q[ax]+x", "cat|dog|q", "a[bcd]*e", "(ab|cd)x"]:
+        prog = compile_bitprog(pattern)
+        dfa = compile_pattern(pattern)
+        h_np, s_np = match_payload_stream(
+            np, pm, pl, nn, dfa.table, dfa.accept, prog=prog
+        )
+        h_j, s_j = match_payload_stream(
+            jnp, jnp.asarray(pm), jnp.asarray(pl), jnp.asarray(nn),
+            dfa.table, dfa.accept, prog=prog,
+        )
+        np.testing.assert_array_equal(np.asarray(h_j), h_np)
+        np.testing.assert_array_equal(np.asarray(s_j), s_np)
+
+
+def test_chain_equivalence(pages):
+    """A pure substring chain must behave exactly like the bitap path."""
+    from duckdb_parquet_parser_tpu.ops.regex import substring_chain
+
+    pm, pl, nn = pages
+    pattern = "ab.*q"
+    chain = substring_chain(pattern)
+    assert chain == [b"ab", b"q"]
+    dfa = compile_pattern(pattern)
+    h_bitap, _ = match_payload_stream(
+        np, pm, pl, nn, dfa.table, dfa.accept, chain=chain
+    )
+    h_prog, _ = match_payload_stream(
+        np, pm, pl, nn, dfa.table, dfa.accept, prog=compile_bitprog(pattern)
+    )
+    np.testing.assert_array_equal(h_prog, h_bitap)
+
+
+def test_fuzz_parity():
+    """Random pattern compositions over random payloads."""
+    rng = np.random.default_rng(77)
+    atoms = ["a", "b", "q", "[ab]", "[^q]", ".", "x", "yz"]
+    quants = ["", "?", "+", "*", "{1,2}"]
+    checked = 0
+    for trial in range(120):
+        n_parts = int(rng.integers(1, 5))
+        parts = []
+        for _ in range(n_parts):
+            a = atoms[int(rng.integers(len(atoms)))]
+            q = quants[int(rng.integers(len(quants)))]
+            if len(a) > 1 and not a.startswith("[") and q in ("+", "*"):
+                q = ""  # unbounded multi-byte repeats are out of family
+            parts.append(a + q)
+            if rng.random() < 0.2:
+                parts.append(".*")
+        pattern = "".join(parts)
+        try:
+            prog = compile_bitprog(pattern)
+        except BitprogUnsupported:
+            continue
+        dfa = compile_pattern(pattern)
+        pm, pl, nn = _pages(rng, n_pages=20, vals_per_page=5, maxlen=12)
+        h_dfa, _ = match_payload_stream(np, pm, pl, nn, dfa.table, dfa.accept)
+        h_bp, _ = match_payload_stream(
+            np, pm, pl, nn, dfa.table, dfa.accept, prog=prog
+        )
+        np.testing.assert_array_equal(h_bp, h_dfa, err_msg=pattern)
+        checked += 1
+    assert checked > 50  # the family should cover most compositions
+
+
+def test_register_packing():
+    """Gap-free alternation branches share registers."""
+    _, n_regs, _ = make_bitprog_transition(
+        np, compile_bitprog("cat|dog|mouse")
+    )
+    assert n_regs == 2  # one packed register + one sticky accept word
