@@ -67,12 +67,20 @@ class ScanEngine:
             return scan_batch_fallback(batch, pat, negate=negate)
 
         if self.mesh is not None:
+            from ..parallel.partition import assign_balanced_equal, reorder_pages
+
             batch = self.reader.prescan(
                 column, pad_strings=8,
                 flags=bindings.PS_HOST_STRINGS | bindings.PS_PAYLOAD,
             )
             n_dev = int(np.prod(list(self.mesh.shape.values())))
             padded = pad_pages(batch, n_dev)
+            # byte-balanced shards: heaviest pages spread across devices under
+            # the equal-count shard_map constraint (pad pages weigh 0)
+            weights = padded.arrays["page_payload_len"].astype(np.int64) + 16
+            weights = np.where(padded.arrays["page_num_values"] > 0, weights, 0)
+            asg = assign_balanced_equal(weights, n_dev)
+            padded = reorder_pages(padded, asg.order)
             return distributed_scan(self.mesh, padded, dfa, negate=negate)
 
         if engine == "native":

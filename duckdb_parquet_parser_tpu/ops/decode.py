@@ -148,13 +148,17 @@ def decode_fixed(
     dict_vals = None
     dict_ok = None
     if mode in ("dict", "mixed"):
+        from .pallas.dict_lookup import dict_lookup
+
         dict_idx, dict_ok = decode_dict_indices(xp, arrays, nn_idx, nn_len,
                                                 idx_literal,
                                                 max_null_shift=max_null_shift)
         dn = dict_planes[0].shape[0] if dict_planes else 1
         base = arrays["page_dict_base"][:, None]
         gidx = xp.clip(base + xp.clip(dict_idx, 0, None), 0, dn - 1)
-        dict_vals = [xp.take(p, gidx) for p in dict_planes] if dict_planes else None
+        # gather-free value lookup: select-accumulation for small tables,
+        # the Pallas chunked one-hot MXU kernel beyond (dict_lookup.py)
+        dict_vals = dict_lookup(xp, list(dict_planes), gidx) if dict_planes else None
 
     # masked cells are zeroed so every decode method (gather / shift / select)
     # produces bit-identical outputs

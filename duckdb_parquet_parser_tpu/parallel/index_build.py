@@ -1,71 +1,234 @@
-"""Distributed chunked-index build: decode -> boundary plan -> all_to_all
-entry shuffle -> per-device chunk ownership (BASELINE configs[4]).
+"""Distributed chunked-index build: SHARDED device decode -> boundary plan ->
+salted, block-pipelined all_to_all entry shuffle -> per-device chunk
+ownership (BASELINE configs[4]; loop being parallelized:
+reference src/main.cpp:21-32 over src/reader/parquet_reader.cpp:347-465).
 
 Pipeline (mesh = 1-D 'pages' axis):
-  1. per-shard decode yields the (row, len) emission stream (device or host);
+  1. PER-SHARD DECODE (device, shard_map): each device turns its page shard's
+     raw payload into the (row, len) emission stream — definition levels,
+     PLAIN length prefixes, and dictionary lengths (via the gather-free
+     dict_lookup) all decode on-device; the host only compacts the fetched
+     per-shard masks.  Page blocks pipeline: block i+1's decode is dispatched
+     while block i's results transfer back (JAX async dispatch).
   2. chunk boundaries come from the greedy prefix-sum recurrence (exact
-     reference semantics, ops/index.py) — O(#chunks log n) on the host;
-  3. chunk -> device ownership balances BYTES greedily (skew handling: a few
-     hot chunks spread across devices instead of piling on one);
-  4. entries exchange to their owners with the padded all_to_all
-     (capacity planned from true counts; see parallel/shuffle.py);
+     reference flush-before-append semantics, ops/index.py) on the host;
+  3. chunk -> device ownership is SALTED (parallel/shuffle.py): hot chunks
+     split across devices so one key can neither overload a device nor
+     inflate the padded all_to_all capacity;
+  4. entries exchange to their owners in fixed-capacity blocks: the
+     collective for block i is in flight while the host packs block i+1
+     (decode/pack <-> exchange overlap, SURVEY.md §2.1);
   5. owners hold (row, len, chunk) triples for their chunks — chunk text
      materializes on demand via ChunkedIndex.materialize_chunk.
 """
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
 
-from ..host.reader import _string_stream
 from ..ops.index import ChunkedIndex, build_index
-from .shuffle import ExchangePlan, balanced_chunk_owners
+from .mesh import PAGES_AXIS
+from .shuffle import ExchangePlan, SaltedOwnership, salted_chunk_owners
 
 
 @dataclass
 class DistributedIndexResult:
     index: ChunkedIndex
-    chunk_owners: np.ndarray          # [num_chunks] device id
+    chunk_owners: np.ndarray          # [num_chunks] primary owner device
+    salted: SaltedOwnership           # full (possibly multi-device) ownership
     received: list[np.ndarray]        # per device: [k, 3] (row, len, chunk)
     shuffle_bytes: int                # payload bytes moved by the exchange
     skew_factor: float                # max/mean device load (bytes)
+    exchange_capacity: int            # padded bucket capacity per block
+    n_exchange_blocks: int
+
+
+@functools.lru_cache(maxsize=16)
+def _emissions_step(mesh, core_keys, vmax, nn_cap, max_def, has_payload,
+                    has_dict):
+    """shard_map'd per-page emission decode: (lens [N, V] i32, emit [N, V]
+    bool) with values addressed by position within the page."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import decode as _decode
+    from ..ops.expand import take2d
+    from ..ops.pallas.dict_lookup import dict_lookup
+    from ..ops.strings import string_offsets
+
+    def local(core, payload, dict_lens):
+        nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)
+        gidx = jnp.clip(nn_idx, 0, nn_cap - 1)
+        if has_payload:
+            _offs, lens_rank = string_offsets(
+                jnp, payload, core["page_nn"], nn_cap
+            )
+            plens = take2d(jnp, lens_rank, gidx)
+        else:
+            plens = jnp.zeros_like(nonnull, jnp.int32)
+        is_dict = (core["page_kind"] == 1)[:, None]
+        if has_dict:
+            dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap)
+            dn = dict_lens.shape[0]
+            g = jnp.clip(
+                core["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),
+                0, dn - 1,
+            )
+            dlens = dict_lookup(jnp, [dict_lens], g)[0]
+            emit = jnp.where(is_dict, nonnull & ok, nonnull)
+            lens = jnp.where(is_dict, dlens, plens)
+        else:
+            emit = nonnull & ~is_dict
+            lens = plens
+        return lens.astype(jnp.int32), emit
+
+    spec_pages = {k: P(PAGES_AXIS) for k in core_keys}
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec_pages, P(PAGES_AXIS), P()),
+        out_specs=(P(PAGES_AXIS), P(PAGES_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_emissions(mesh, batch, block_pages: int = 0):
+    """Decodes the (row, len) emission stream with per-shard device decode.
+
+    Returns (pos [M] i64 absolute rows, lens [M] i64), in row order.
+    `block_pages` > 0 splits the batch into fixed-shape page blocks whose
+    decodes pipeline (block i+1 dispatched while block i transfers back)."""
+    import jax.numpy as jnp
+
+    from ..ops import decode as _decode
+    from .partition import pad_pages
+
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    if block_pages <= 0:
+        block_pages = batch.n_pages
+    block_pages = max(-(-block_pages // n_dev) * n_dev, n_dev)
+
+    padded = pad_pages(batch, block_pages)
+    arrays = padded.arrays
+    has_payload = "payload" in arrays
+    has_dict = int(padded.dims.get("dict_n", 0)) > 0
+    dict_lens = jnp.asarray(
+        arrays["dict_lens"] if has_dict else np.zeros(1, np.int32)
+    )
+    core_keys = tuple(sorted(
+        k for k in _decode.DECODE_ARRAYS if k in arrays
+    ))
+    step = _emissions_step(
+        mesh, core_keys, padded.vmax, padded.nn_cap, padded.max_def,
+        has_payload, has_dict,
+    )
+
+    pending = []
+    for lo in range(0, padded.n_pages, block_pages):
+        hi = lo + block_pages
+        core = {k: jnp.asarray(arrays[k][lo:hi]) for k in core_keys}
+        payload = jnp.asarray(
+            arrays["payload"][lo:hi] if has_payload
+            else np.zeros((block_pages, 8), np.uint8)
+        )
+        pending.append((lo, step(core, payload, dict_lens)))
+
+    pos_parts, len_parts = [], []
+    row_start = arrays["page_row_start"]
+    for lo, (lens_d, emit_d) in pending:
+        lens = np.asarray(lens_d)
+        emit = np.asarray(emit_d)
+        pages, rows = np.nonzero(emit)
+        pos_parts.append(row_start[lo + pages] + rows)
+        len_parts.append(lens[pages, rows].astype(np.int64))
+    pos = np.concatenate(pos_parts) if pos_parts else np.zeros(0, np.int64)
+    lens = np.concatenate(len_parts) if len_parts else np.zeros(0, np.int64)
+    order = np.argsort(pos, kind="stable")
+    return pos[order], lens[order]
 
 
 def distributed_index_build(mesh, reader, column: str,
-                            chunk_size: int = 4096) -> DistributedIndexResult:
+                            chunk_size: int = 4096,
+                            block_pages: int = 8192,
+                            entry_block: int = 262144,
+                            salt_threshold: float = 2.0) -> DistributedIndexResult:
+    from ..host import bindings
     from .pipeline import exchange_entries
 
     n_devices = int(np.prod(list(mesh.shape.values())))
-    batch = reader.prescan(column)
-    pos, lens, _offs, _chars = _string_stream(batch)
+    batch = reader.prescan(column, pad_strings=8, flags=bindings.PS_PAYLOAD)
+
+    # 1. sharded decode (device) -> emission stream
+    pos, lens = sharded_emissions(mesh, batch, block_pages=block_pages)
+
+    # 2. boundary plan (host, exact reference semantics)
     index = build_index(pos, lens, reader.num_rows(), chunk_size)
 
-    chunk_bytes = np.diff(np.concatenate([index.chunk_starts, [len(lens)]]))
-    owners = balanced_chunk_owners(chunk_bytes, n_devices)
-
-    dst = owners[index.chunk_of_entry]
+    # 3. salted ownership (hot in bytes OR entry count)
+    chunk_bytes = _chunk_bytes(index, lens)
+    chunk_entries = np.zeros(index.chunk_starts.shape[0], np.int64)
+    np.add.at(chunk_entries, index.chunk_of_entry, 1)
+    salted = salted_chunk_owners(chunk_bytes, n_devices, salt_threshold,
+                                 chunk_entries=chunk_entries)
+    dst = salted.entry_destinations(index.chunk_of_entry)
     src = (np.arange(len(dst)) * n_devices) // max(len(dst), 1)
-    plan = ExchangePlan.plan(dst, src, n_devices)
-    payload = np.stack(
-        [pos, lens, index.chunk_of_entry], axis=1
-    ).astype(np.int64)
-    send = plan.build_send_buffer(payload, src, fill=-1)
-    recv = exchange_entries(mesh, send).reshape(n_devices, -1, 3)
+    payload = np.stack([pos, lens, index.chunk_of_entry], axis=1).astype(np.int64)
 
-    received = []
-    for d in range(n_devices):
-        rows = recv[d]
-        received.append(rows[rows[:, 0] >= 0])
+    # 4. block-pipelined exchange at ONE compiled capacity: the collective for
+    # block i is in flight while the host packs block i+1
+    m = len(dst)
+    blocks = [(lo, min(lo + entry_block, m)) for lo in range(0, m, entry_block)]
+    plans = [
+        ExchangePlan.plan(dst[lo:hi], src[lo:hi], n_devices)
+        for lo, hi in blocks
+    ]
+    cap = max((p.capacity for p in plans), default=1)
+    in_flight = []
+    shuffle_bytes = 0
+    for (lo, hi), plan in zip(blocks, plans):
+        plan.capacity = cap
+        send = plan.build_send_buffer(payload[lo:hi], src[lo:hi], fill=-1)
+        shuffle_bytes += send.nbytes
+        in_flight.append(exchange_entries(mesh, send, block=False))
+
+    received = [[] for _ in range(n_devices)]
+    for recv in in_flight:
+        rows = np.asarray(recv).reshape(n_devices, -1, 3)
+        for d in range(n_devices):
+            got = rows[d]
+            received[d].append(got[got[:, 0] >= 0])
+    received = [
+        np.concatenate(parts) if parts else np.zeros((0, 3), np.int64)
+        for parts in received
+    ]
 
     loads = np.zeros(n_devices, np.int64)
-    np.add.at(loads, owners, chunk_bytes.astype(np.int64))
+    for d in range(n_devices):
+        loads[d] = received[d][:, 1].sum() if len(received[d]) else 0
     mean = loads.mean() if loads.size else 0.0
     return DistributedIndexResult(
         index=index,
-        chunk_owners=owners,
+        chunk_owners=salted.primary,
+        salted=salted,
         received=received,
-        shuffle_bytes=int(send.nbytes),
+        shuffle_bytes=int(shuffle_bytes),
         skew_factor=float(loads.max() / mean) if mean else 1.0,
+        exchange_capacity=cap,
+        n_exchange_blocks=len(blocks),
     )
+
+
+def _chunk_bytes(index: ChunkedIndex, lens: np.ndarray) -> np.ndarray:
+    """Per-chunk payload bytes (value bytes + ASCII length prefixes — the
+    reference's chunk-string append, src/main.cpp:30)."""
+    prefix = np.char.str_len(
+        np.char.mod("%d", lens.astype(np.int64))
+    ).astype(np.int64)
+    entry_bytes = lens + prefix
+    out = np.zeros(index.chunk_starts.shape[0], np.int64)
+    np.add.at(out, index.chunk_of_entry, entry_bytes)
+    return out

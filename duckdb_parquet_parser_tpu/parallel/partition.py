@@ -101,6 +101,28 @@ def assign_balanced(weights: np.ndarray, n_devices: int) -> PageAssignment:
     return PageAssignment(order=order, device_of=device_of)
 
 
+def assign_balanced_equal(weights: np.ndarray, n_devices: int) -> PageAssignment:
+    """Byte-balanced assignment under the shard_map constraint that every
+    device owns EXACTLY n/n_devices pages (n must divide; pad_pages first —
+    pad pages weigh 0): heaviest page first onto the lightest non-full
+    device.  This is what ScanEngine.scan(mesh) uses so contiguous shards
+    carry near-equal byte loads."""
+    n = len(weights)
+    assert n % n_devices == 0, "pad_pages before balancing"
+    cap = n // n_devices
+    device_of = np.zeros(n, np.int64)
+    load = np.zeros(n_devices, np.int64)
+    slots = np.zeros(n_devices, np.int64)
+    for p in np.argsort(-np.asarray(weights, np.int64), kind="stable"):
+        open_devs = np.nonzero(slots < cap)[0]
+        d = int(open_devs[np.argmin(load[open_devs])])
+        device_of[p] = d
+        load[d] += int(weights[p])
+        slots[d] += 1
+    order = np.argsort(device_of, kind="stable")
+    return PageAssignment(order=order, device_of=device_of)
+
+
 def reorder_pages(batch: DecodeBatch, order: np.ndarray) -> DecodeBatch:
     """Permutes pages into device-major order (per-page arrays only; global
     string/dict tables are indexed through per-page offsets and stay put)."""

@@ -157,8 +157,11 @@ def _exchange_step(mesh, send):
     return fn(send)
 
 
-def exchange_entries(mesh, send_buffer: np.ndarray) -> np.ndarray:
+def exchange_entries(mesh, send_buffer: np.ndarray, block: bool = True):
     """Runs the padded all_to_all: send_buffer [D, D, cap, ...] (src-major)
-    -> received rows per destination (see shuffle.all_to_all_exchange)."""
+    -> received rows per destination (see shuffle.all_to_all_exchange).
+
+    block=False returns the in-flight device array without synchronizing —
+    the caller overlaps the collective with packing the next block."""
     out = _exchange_step(mesh, jnp.asarray(send_buffer))
-    return np.asarray(out)
+    return np.asarray(out) if block else out

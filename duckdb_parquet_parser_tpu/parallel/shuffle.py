@@ -46,12 +46,20 @@ class ExchangePlan:
     def build_send_buffer(self, payload: np.ndarray, src_device: np.ndarray,
                           fill=0) -> np.ndarray:
         """Packs per-entry payload rows into [n_dev(src-major), n_dev(dst),
-        capacity, ...] ready to shard along axis 0."""
+        capacity, ...] ready to shard along axis 0.
+
+        Raises on bucket overflow: a capacity_slack < 1 would otherwise
+        silently lose entries.  (Skew is handled BEFORE planning by salting
+        hot destinations — see salted_destinations — not by dropping.)"""
         d = self.n_devices
+        if len(self.send_slot) and int(self.send_slot.max()) >= self.capacity:
+            raise ValueError(
+                f"exchange bucket overflow: slot {int(self.send_slot.max())} "
+                f">= capacity {self.capacity} (capacity_slack too small)"
+            )
         shape = (d, d, self.capacity) + payload.shape[1:]
         out = np.full(shape, fill, payload.dtype)
-        ok = self.send_slot < self.capacity  # salted overflow dropped by plan
-        out[src_device[ok], self.send_dst[ok], self.send_slot[ok]] = payload[ok]
+        out[src_device, self.send_dst, self.send_slot] = payload
         return out
 
 
@@ -85,3 +93,78 @@ def balanced_chunk_owners(chunk_bytes: np.ndarray, n_devices: int) -> np.ndarray
         owners[c] = d
         load[d] += int(chunk_bytes[c])
     return owners
+
+
+@dataclass
+class SaltedOwnership:
+    """Chunk ownership with hot chunks split ("salted") across devices.
+
+    A chunk whose byte load exceeds `salt_threshold x (total/n_devices)` is
+    split into ceil(bytes / shard_target) salt shards, each balanced onto a
+    device like an independent pseudo-chunk; its entries round-robin over
+    those shards.  One hot key therefore cannot dominate any device's load
+    OR any (src, dst) exchange bucket — without salting, the padded
+    all_to_all capacity is set by the hottest destination and every bucket
+    pays it (SURVEY.md §2.1 skew handling)."""
+
+    owners: list            # per chunk: np.ndarray of owning devices (1 = cold)
+    primary: np.ndarray     # [num_chunks] first owner (API compat)
+
+    def entry_destinations(self, chunk_of_entry: np.ndarray) -> np.ndarray:
+        """Destination device per entry (entries salt round-robin by their
+        rank within the chunk)."""
+        dst = np.empty(len(chunk_of_entry), np.int64)
+        rank = _running_rank(chunk_of_entry.astype(np.int64))
+        for c, devs in enumerate(self.owners):
+            sel = chunk_of_entry == c
+            if len(devs) == 1:
+                dst[sel] = devs[0]
+            else:
+                dst[sel] = devs[rank[sel] % len(devs)]
+        return dst
+
+
+def salted_chunk_owners(chunk_bytes: np.ndarray, n_devices: int,
+                        salt_threshold: float = 2.0,
+                        chunk_entries: np.ndarray | None = None) -> SaltedOwnership:
+    """Splits hot chunks into salt shards, then balances all shards greedily
+    (largest first onto the lightest device).
+
+    A chunk is hot when its BYTES exceed `salt_threshold x fair_bytes` (it
+    would dominate one device's load) or its ENTRY COUNT exceeds
+    `salt_threshold x fair_entries` (it would set the padded all_to_all
+    capacity for every (src, dst) bucket)."""
+    chunk_bytes = np.asarray(chunk_bytes, np.int64)
+    total = int(chunk_bytes.sum())
+    fair = max(total // max(n_devices, 1), 1)
+    limit = int(salt_threshold * fair)
+    shard_target = max(fair // 2, 1)
+    if chunk_entries is not None:
+        chunk_entries = np.asarray(chunk_entries, np.int64)
+        # entry-hot chunks gate the padded all_to_all CAPACITY, whose fair
+        # share is a (src, dst) BUCKET: total / n_devices^2
+        fair_e = max(int(chunk_entries.sum()) // max(n_devices * n_devices, 1), 1)
+        limit_e = int(salt_threshold * fair_e)
+
+    salt_of = np.ones(len(chunk_bytes), np.int64)
+    for c, b in enumerate(chunk_bytes):
+        s_bytes = -(-int(b) // shard_target) if b > limit else 1
+        s_entries = 1
+        if chunk_entries is not None and chunk_entries[c] > limit_e:
+            s_entries = -(-int(chunk_entries[c]) // max(fair_e // 2, 1))
+        salt_of[c] = int(min(max(s_bytes, s_entries), n_devices))
+
+    # heaviest chunks first; a salted chunk's shards go to the S lightest
+    # DISTINCT devices (round-robin by entry rank needs them distinct or one
+    # device would carry a multiple of its fair share of the hot bucket)
+    load = np.zeros(n_devices, np.float64)
+    owners: list[np.ndarray] = [np.zeros(0, np.int64)] * len(chunk_bytes)
+    for c in np.argsort(-chunk_bytes, kind="stable"):
+        s = int(salt_of[c])
+        devs = np.argsort(load, kind="stable")[:s]
+        owners[int(c)] = devs.astype(np.int64)
+        load[devs] += chunk_bytes[c] / s
+    return SaltedOwnership(
+        owners=owners,
+        primary=np.array([devs[0] for devs in owners], np.int64),
+    )

@@ -131,3 +131,71 @@ def test_reorder_pages_preserves_decode(batch_and_path):
         counts = np.diff(re_batch.arrays["str_nn_start"])
         want = np.diff(batch.arrays["str_nn_start"])[order]
         assert np.array_equal(counts, want)
+
+
+def test_salted_ownership_and_capacity():
+    """Hot chunks (bytes or entry count) split across distinct devices so
+    neither device load nor the exchange bucket capacity blows up."""
+    from duckdb_parquet_parser_tpu.parallel.shuffle import (
+        ExchangePlan,
+        salted_chunk_owners,
+    )
+
+    d = 8
+    # chunk 0: entry-hot (sets every bucket's capacity without salting);
+    # chunk 1: byte-hot; the rest normal
+    chunk_bytes = np.array([4000, 60000] + [500] * 30, np.int64)
+    chunk_entries = np.array([4000, 10] + [12] * 30, np.int64)
+    salted = salted_chunk_owners(chunk_bytes, d, 2.0, chunk_entries=chunk_entries)
+    assert len(salted.owners[0]) > 1 and len(salted.owners[1]) > 1
+    for devs in salted.owners:
+        assert len(np.unique(devs)) == len(devs)  # distinct owners
+
+    chunk_of_entry = np.repeat(
+        np.arange(len(chunk_bytes)), chunk_entries
+    )
+    dst = salted.entry_destinations(chunk_of_entry)
+    src = (np.arange(len(dst)) * d) // len(dst)
+    plan = ExchangePlan.plan(dst, src, d)
+    mean_bucket = len(dst) / (d * d)
+    assert plan.capacity <= 2.0 * mean_bucket, (plan.capacity, mean_bucket)
+
+
+def test_send_buffer_overflow_raises():
+    from duckdb_parquet_parser_tpu.parallel.shuffle import ExchangePlan
+
+    dst = np.zeros(10, np.int64)
+    src = np.zeros(10, np.int64)
+    plan = ExchangePlan.plan(dst, src, 2)
+    plan.capacity = 4  # simulate an under-provisioned plan
+    with pytest.raises(ValueError, match="overflow"):
+        plan.build_send_buffer(np.ones((10, 3), np.int64), src)
+
+
+def test_assign_balanced_equal_counts_and_load():
+    from duckdb_parquet_parser_tpu.parallel.partition import assign_balanced_equal
+
+    rng = np.random.default_rng(0)
+    w = rng.integers(400, 600, 64).astype(np.int64)
+    w[:8] = 5000  # hot pages — one per device is achievable
+    asg = assign_balanced_equal(w, 8)
+    counts = np.bincount(asg.device_of, minlength=8)
+    assert (counts == 8).all()  # exactly n/8 pages per device
+    loads = np.zeros(8, np.int64)
+    np.add.at(loads, asg.device_of, w)
+    assert loads.max() / loads.mean() < 1.3
+    # hot pages land on distinct devices
+    assert len(np.unique(asg.device_of[:8])) == 8
+
+
+def test_sharded_emissions_matches_host_stream(mesh, batch_and_path):
+    """The device-side sharded emission decode reproduces the host string
+    stream (rows and lengths) exactly."""
+    from duckdb_parquet_parser_tpu.host.reader import _string_stream
+    from duckdb_parquet_parser_tpu.parallel.index_build import sharded_emissions
+
+    _reader, batch = batch_and_path
+    pos_host, lens_host, _offs, _chars = _string_stream(batch)
+    pos_dev, lens_dev = sharded_emissions(mesh, batch, block_pages=16)
+    np.testing.assert_array_equal(pos_dev, pos_host)
+    np.testing.assert_array_equal(lens_dev, lens_host)
