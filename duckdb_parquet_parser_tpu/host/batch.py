@@ -24,6 +24,7 @@ _PER_PAGE_ARRAYS = [
     "idx_run_bitoff", "idx_run_vstart",
     "def_bytes", "idx_bytes", "plain_fixed", "bool_bits",
     "payload", "page_payload_len",
+    "def_levels", "idx_vals",
 ]
 
 _NUMPY_DTYPES = {

@@ -44,6 +44,8 @@ def _load() -> ct.CDLL:
         ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_void_p, ct.c_char_p, ct.c_size_t,
     ]
     lib.dpq_read_range.restype = ct.c_int
+    lib.dpq_file_view.argtypes = [ct.c_void_p, ct.POINTER(ct.c_int64)]
+    lib.dpq_file_view.restype = ct.c_void_p
 
     lib.dpq_prescan.argtypes = [
         ct.c_void_p, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int64, ct.c_int64,
@@ -149,6 +151,19 @@ def native_page_table(h: int) -> dict[str, np.ndarray]:
     return cols
 
 
+def native_file_view(h: int) -> np.ndarray | None:
+    """Read-only numpy view over the reader's whole file mapping (zero
+    copy).  Valid while the reader handle stays open."""
+    size = ct.c_int64()
+    ptr = lib().dpq_file_view(h, ct.byref(size))
+    if not ptr or size.value <= 0:
+        return None
+    cbuf = (ct.c_uint8 * size.value).from_address(ptr)
+    arr = np.frombuffer(cbuf, dtype=np.uint8)
+    arr.flags.writeable = False
+    return arr
+
+
 def native_read_range(h: int, off: int, length: int) -> np.ndarray:
     out = np.zeros(length, np.uint8)
     err = _err_buf()
@@ -158,6 +173,8 @@ def native_read_range(h: int, off: int, length: int) -> np.ndarray:
 
 PS_HOST_STRINGS = 1
 PS_PAYLOAD = 2
+PS_RUNS_ONLY = 4  # suppress materialized def_levels / idx_vals planes
+PS_STR_VIEWS = 8  # zero-copy string tables (absolute file offsets, no chars)
 
 
 class _BatchOwner:

@@ -113,6 +113,14 @@ void dpq_page_table(void* h, int64_t* header_off, int64_t* data_off,
   }
 }
 
+// Zero-copy pointer to the whole mmap'd file (NULL if mapping failed).
+// Valid until dpq_close.
+const void* dpq_file_view(void* h, int64_t* size) {
+  auto* r = static_cast<Reader*>(h);
+  if (size) *size = int64_t(r->file_size());
+  return r->file_map();
+}
+
 int dpq_read_range(void* h, int64_t off, int64_t len, uint8_t* out, char* err,
                    size_t errcap) {
   DPQ_TRY_INT({

@@ -52,8 +52,33 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   const bool is_bool = lf.type == T_BOOLEAN;
   const bool is_ba = lf.type == T_BYTE_ARRAY;
   const int def_bw = lf.max_def > 0 ? level_bit_width(lf.max_def) : 0;
-  const bool want_strings = is_ba && (flags & PS_HOST_STRINGS);
   const bool want_payload = is_ba && (flags & PS_PAYLOAD);
+
+  // Zero-copy string views (PS_STR_VIEWS): per-value (abs file offset, len)
+  // tables pointing straight into the mmap — no chars copy.  Falls back to
+  // the copying tables when padding is requested or any chunk leaves the
+  // mapped file.
+  bool want_views = is_ba && (flags & PS_STR_VIEWS) && pad_strings <= 0;
+  if (want_views) {
+    for (int rg = std::max(rg0, 0);
+         rg < (rg1 < 0 ? int(meta_.row_groups.size()) : rg1); rg++) {
+      const RowGroup& g = meta_.row_groups[size_t(rg)];
+      if (size_t(lf.chunk_idx) >= g.columns.size() ||
+          !g.columns[size_t(lf.chunk_idx)].meta) continue;
+      const ColumnMeta& cm = *g.columns[size_t(lf.chunk_idx)].meta;
+      int64_t start = cm.data_page_offset;
+      if (cm.dictionary_page_offset)
+        start = std::min(start, *cm.dictionary_page_offset);
+      if (!span_ptr(start, std::max<int64_t>(cm.total_compressed_size, 16))) {
+        want_views = false;
+        break;
+      }
+    }
+  }
+  // PS_STR_VIEWS supersedes PS_HOST_STRINGS when views are possible
+  // (callers pass both to mean "views preferred, copying fallback")
+  const bool want_strings =
+      is_ba && !want_views && (flags & (PS_HOST_STRINGS | PS_STR_VIEWS));
 
   // Per-page accumulators; value-section spans point into the owning row
   // group's chunk buffer, which lives in its RgResult until final packing.
@@ -66,7 +91,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     int64_t def_len = 0;
     const uint8_t* val_ptr = nullptr;
     int64_t val_len = 0;
-    std::vector<int32_t> slens;   // PS_HOST_STRINGS only
+    std::vector<int32_t> slens;   // PS_HOST_STRINGS / PS_STR_VIEWS
+    std::vector<int64_t> soffs;   // PS_STR_VIEWS: absolute file offsets
     int64_t schar_start = 0;      // local to rg; fixed in merge
   };
   struct RgResult {
@@ -199,6 +225,16 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
             const uint8_t* p = vc.bytes(len);
             t.slens.push_back(int32_t(len));
             out.str_chars.insert(out.str_chars.end(), p, p + len);
+          }
+        } else if (want_views) {
+          Cursor vc(t.val_ptr, size_t(t.val_len));
+          t.slens.reserve(size_t(t.nn));
+          t.soffs.reserve(size_t(t.nn));
+          for (int32_t i = 0; i < t.nn; i++) {
+            uint32_t len = vc.le<uint32_t>();
+            const uint8_t* p = vc.bytes(len);
+            t.slens.push_back(int32_t(len));
+            t.soffs.push_back(int64_t(p - map_));
           }
         }
       } else if (w > 0) {
@@ -345,6 +381,20 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
 
   auto* a_def = store->alloc<uint8_t>("def_bytes", {N, def_pad});
   auto* a_idx = store->alloc<uint8_t>("idx_bytes", {N, idx_pad});
+  // Materialized planes (unless PS_RUNS_ONLY): definition levels per value
+  // position and dictionary indices per non-null rank.  The device then
+  // consumes pure columnar integers — no run expansion, no bit-unpack
+  // gathers on the hot decode path (the run tables stay for the fallback).
+  const bool materialize = !(flags & PS_RUNS_ONLY);
+  uint8_t* a_deflev = nullptr;
+  int32_t* a_idxv = nullptr;
+  bool any_dict_pages = false;
+  for (const PageTmp* tp : tmp)
+    if (tp->kind == 1) any_dict_pages = true;
+  if (materialize && lf.max_def > 0)
+    a_deflev = store->alloc<uint8_t>("def_levels", {N, vmax});
+  if (materialize && any_dict_pages)
+    a_idxv = store->alloc<int32_t>("idx_vals", {N, nn_cap});
   uint8_t* a_plain = nullptr;
   if (w > 0) a_plain = store->alloc<uint8_t>("plain_fixed", {N, nn_cap * w});
   uint8_t* a_bits = nullptr;
@@ -398,6 +448,20 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       std::memcpy(a_def + i * def_pad, t.def_ptr, size_t(t.def_len));
     if (t.kind == 1 && t.val_len)
       std::memcpy(a_idx + i * idx_pad, t.val_ptr, size_t(t.val_len));
+    if (a_deflev && t.def_len) {
+      uint8_t* row = a_deflev + i * vmax;
+      expand_runs_to(t.def_runs, t.def_ptr, size_t(t.def_len), def_bw,
+                     [&](int32_t v, int32_t val) {
+                       if (v >= 0 && v < vmax) row[v] = uint8_t(val);
+                     });
+    }
+    if (a_idxv && t.kind == 1) {
+      int32_t* row = a_idxv + i * nn_cap;
+      expand_runs_to(t.idx_runs, t.val_ptr, size_t(t.val_len), t.idx_bw,
+                     [&](int32_t v, int32_t val) {
+                       if (v >= 0 && v < nn_cap) row[v] = val;
+                     });
+    }
     if (a_plain && t.kind == 0 && !is_ba && !is_bool && t.val_len)
       std::memcpy(a_plain + i * nn_cap * w, t.val_ptr, size_t(t.val_len));
     if (a_bits && t.kind == 0 && t.val_len)
@@ -443,6 +507,29 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
         std::memcpy(padded + int64_t(v) * dict_pitch, d_chars + d_offs[v],
                     size_t(d_lens[v]));
     }
+  }
+
+  // ── zero-copy string views (PS_STR_VIEWS) ─────────────────────────────────
+  if (want_views) {
+    dims["str_abs"] = 1;
+    auto* nn_start = store->alloc<int64_t>("str_nn_start", {N + 1});
+    auto* s_lens =
+        store->alloc<int32_t>("str_lens", {std::max<int64_t>(nn_total, 1)});
+    auto* s_offs =
+        store->alloc<int64_t>("str_offs", {std::max<int64_t>(nn_total, 1)});
+    int64_t at = 0;
+    for (int64_t i = 0; i < N; i++) {
+      nn_start[i] = at;
+      const PageTmp& t = *tmp[size_t(i)];
+      if (!t.slens.empty()) {
+        std::memcpy(s_lens + at, t.slens.data(),
+                    t.slens.size() * sizeof(int32_t));
+        std::memcpy(s_offs + at, t.soffs.data(),
+                    t.soffs.size() * sizeof(int64_t));
+        at += int64_t(t.slens.size());
+      }
+    }
+    nn_start[N] = at;
   }
 
   // ── host string tables (PS_HOST_STRINGS) ──────────────────────────────────

@@ -45,6 +45,14 @@ enum PrescanFlags : int64_t {
   PS_HOST_STRINGS = 1,  // per-value host string tables (str_lens/offs/chars)
   PS_PAYLOAD = 2,       // raw value-section bytes per page ("payload"),
                         // for the fully device-side string kernels
+  PS_RUNS_ONLY = 4,     // suppress the materialized level/index planes
+                        // (def_levels / idx_vals) — parity tests exercise
+                        // the device run-expansion path with this
+  PS_STR_VIEWS = 8,     // PLAIN string tables as ZERO-COPY views into the
+                        // file mapping: str_offs become absolute file
+                        // offsets and no str_chars copy is made (dims
+                        // str_abs=1; falls back to copying when a chunk
+                        // leaves the mapped file)
 };
 
 // ── Leaf column descriptor ──────────────────────────────────────────────────
@@ -167,6 +175,44 @@ inline void rle_prescan(const uint8_t* d, size_t size, int bw, int64_t want,
       int64_t take = std::min(count, want - got);
       out.push_back({0, int32_t(take), int32_t(val), 0, int32_t(got)});
       got += take;
+    }
+  }
+}
+
+// Expand pre-scanned runs to per-value integers (the host-side twin of
+// ops/expand.py::expand_hybrid, emitted by the pre-scan as the materialized
+// def_levels / idx_vals planes).  ~2 cycles per literal value via unaligned
+// 4-byte windows — the byte-level parsing the device would otherwise redo
+// with ~15 ns/element gathers every decode.
+template <typename Write>
+inline void expand_runs_to(const std::vector<Run>& runs, const uint8_t* sec,
+                           size_t len, int bw, Write&& write) {
+  const uint32_t mask = bw >= 32 ? ~0u : ((1u << bw) - 1);
+  for (const Run& r : runs) {
+    if (r.kind == 0) {
+      for (int32_t i = 0; i < r.count; i++) write(r.vstart + i, r.value);
+    } else if (bw > 0 && bw <= 24) {
+      for (int32_t i = 0; i < r.count; i++) {
+        const int64_t bit = r.bitoff + int64_t(i) * bw;
+        const size_t byte = size_t(bit >> 3);
+        uint32_t w = 0;
+        if (byte + 4 <= len) {
+          std::memcpy(&w, sec + byte, 4);
+        } else if (byte < len) {
+          std::memcpy(&w, sec + byte, len - byte);
+        }
+        write(r.vstart + i, int32_t((w >> (bit & 7)) & mask));
+      }
+    } else {
+      for (int32_t i = 0; i < r.count; i++) {
+        uint32_t v = 0;
+        for (int k = 0; k < bw; k++) {
+          const int64_t b = r.bitoff + int64_t(i) * bw + k;
+          const size_t byte = size_t(b >> 3);
+          if (byte < len && ((sec[byte] >> (b & 7)) & 1)) v |= 1u << k;
+        }
+        write(r.vstart + i, int32_t(v));
+      }
     }
   }
 }
@@ -301,6 +347,7 @@ class Reader {
   }
 
   const FileMeta& meta() const { return meta_; }
+  const uint8_t* file_map() const { return map_; }
   const std::vector<Leaf>& leaves() const { return leaves_; }
   const std::vector<PageRec>& pages() const { return pages_; }
   const std::vector<int64_t>& data_page_gids() const { return data_gids_; }

@@ -28,13 +28,53 @@ from .schema import (
 from ..ops import decode as _decode
 
 
+class StringValues:
+    """Columnar BYTE_ARRAY values: per-row (offset, length, source buffer)
+    with `bytes` objects materialized only on access — the decode itself is
+    loop-free (the round-1 list-of-bytes materialization walked 2M values in
+    Python).  Behaves like a list of `bytes | None`: indexing, slicing,
+    iteration, len."""
+
+    __slots__ = ("_offs", "_lens", "_src", "_bufs")
+
+    def __init__(self, offs, lens, src, bufs):
+        self._offs = offs    # [n] i64 (into bufs[src])
+        self._lens = lens    # [n] i32, -1 = NULL
+        self._src = src      # [n] u8 buffer selector
+        self._bufs = bufs    # tuple of u8 arrays
+
+    def __len__(self) -> int:
+        return len(self._lens)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return StringValues(
+                self._offs[i], self._lens[i], self._src[i], self._bufs
+            )
+        ln = int(self._lens[i])
+        if ln < 0:
+            return None
+        off = int(self._offs[i])
+        return self._bufs[int(self._src[i])][off : off + ln].tobytes()
+
+    def __iter__(self) -> Iterator:
+        for i in range(len(self)):
+            yield self[i]
+
+    def __eq__(self, other):
+        if isinstance(other, (list, tuple)):
+            return list(self) == list(other)
+        return NotImplemented
+
+
 @dataclass
 class DecodedColumn:
     """A decoded column: values + validity (SoA, never array-of-Value).
 
-    `values` is a typed numpy array for fixed-width columns and a list of
-    bytes for BYTE_ARRAY; `valid[i]` False means NULL (the reference models
-    this as Value::null(), reference include/common.hpp:177-201).
+    `values` is a typed numpy array for fixed-width columns and a
+    list-of-bytes-like `StringValues` for BYTE_ARRAY; `valid[i]` False means
+    NULL (the reference models this as Value::null(), reference
+    include/common.hpp:177-201).
     """
 
     type: ParquetType
@@ -139,7 +179,15 @@ class ParquetReader:
         self._data_page_rows = np.nonzero(gids >= 0)[0][order]
         return True
 
+    def _file_view(self) -> np.ndarray | None:
+        """Read-only numpy view over the whole mmap'd file (zero copy);
+        valid while the reader is open."""
+        if getattr(self, "_file_view_cache", None) is None:
+            self._file_view_cache = bindings.native_file_view(self._h)
+        return self._file_view_cache
+
     def close(self) -> None:
+        self._file_view_cache = None
         if self._h is not None:
             bindings.lib().dpq_close(self._h)
             self._h = None
@@ -244,9 +292,15 @@ class ParquetReader:
             raise IndexError("Invalid row group index")
         rg0, rg1 = (0, n_rg) if row_group_idx < 0 else (row_group_idx, row_group_idx + 1)
         info = self._columns[col_idx]
-        batch = self.prescan(col_idx, rg0, rg1)
         if info.type == ParquetType.BYTE_ARRAY:
-            return _materialize_strings(batch)
+            # zero-copy string views into the file mapping (no chars copy);
+            # the native side falls back to copying tables when needed
+            batch = self.prescan(
+                col_idx, rg0, rg1,
+                flags=bindings.PS_HOST_STRINGS | bindings.PS_STR_VIEWS,
+            )
+            return _materialize_strings(batch, file_chars=self._file_view())
+        batch = self.prescan(col_idx, rg0, rg1)
         return _materialize_fixed(batch)
 
     def read_pages(self, column: str | int, row_group_idx: int = 0) -> list["PageResult"]:
@@ -415,20 +469,40 @@ class StringColumnIterator:
 # ── materialization helpers ─────────────────────────────────────────────────
 
 
-def _materialize_fixed(batch: DecodeBatch) -> DecodedColumn:
-    """Decode fixed-width / boolean pages via the numpy golden kernels and
-    flatten page-major into one typed column."""
-    planes, nonnull = _decode.decode_fixed(
-        np,
-        batch.arrays,
-        batch.plain_planes,
-        batch.dict_planes,
-        batch.bool_bits,
-        max_def=batch.max_def,
-        out_len=batch.vmax,
-        nn_len=batch.nn_cap,
-        mode=batch.mode,
-    )
+# Above this many rows read_column routes fixed-width decode through the
+# jit device kernels (below it, numpy wins on kernel dispatch overhead).
+DEVICE_DECODE_MIN_ROWS = 262_144
+
+
+def _materialize_fixed(batch: DecodeBatch, engine: str = "auto") -> DecodedColumn:
+    """Decode fixed-width / boolean pages and flatten page-major into one
+    typed column.
+
+    engine: "numpy" = the golden-model kernels; "jax" = the jit device
+    kernels (identical outputs — the device path is the same xp-generic
+    code); "auto" routes large batches to the device."""
+    if engine == "auto":
+        engine = "jax" if batch.total_rows >= DEVICE_DECODE_MIN_ROWS else "numpy"
+    if engine == "jax":
+        planes, nonnull = _decode.decode_fixed_jax(
+            batch.arrays, batch.plain_planes, batch.dict_planes,
+            batch.bool_bits, max_def=batch.max_def, out_len=batch.vmax,
+            nn_len=batch.nn_cap, mode=batch.mode,
+        )
+        planes = [np.asarray(p) for p in planes]
+        nonnull = np.asarray(nonnull)
+    else:
+        planes, nonnull = _decode.decode_fixed(
+            np,
+            batch.arrays,
+            batch.plain_planes,
+            batch.dict_planes,
+            batch.bool_bits,
+            max_def=batch.max_def,
+            out_len=batch.vmax,
+            nn_len=batch.nn_cap,
+            mode=batch.mode,
+        )
     nv = batch.arrays["page_num_values"]
     keep = np.arange(batch.vmax)[None, :] < nv[:, None]
     valid = nonnull[keep]
@@ -497,16 +571,25 @@ def _string_stream(batch: DecodeBatch):
     return pos, lens, offs, chars
 
 
-def _materialize_strings(batch: DecodeBatch) -> DecodedColumn:
+def _materialize_strings(batch: DecodeBatch,
+                         file_chars: np.ndarray | None = None) -> DecodedColumn:
     """read_column semantics for BYTE_ARRAY: one slot per row; dict
-    out-of-range -> NULL (reference: src/reader/column_reader.cpp:185-196)."""
+    out-of-range -> NULL (reference: src/reader/column_reader.cpp:185-196).
+
+    Fully vectorized: the decode produces columnar (offset, length, buffer)
+    tables; `bytes` objects materialize lazily via StringValues — no
+    per-value Python loop anywhere.  With a PS_STR_VIEWS batch (str_abs=1)
+    the offsets index straight into `file_chars` (the mmap view): zero
+    copies end to end."""
     arrays = batch.arrays
     nonnull, nn_idx, dict_idx, ok, _row_start, is_dict = _string_positions(batch)
     nv = arrays["page_num_values"]
     total = int(nv.sum())
 
-    values: list = [None] * total
     valid = np.zeros(total, bool)
+    offs = np.zeros(total, np.int64)
+    lens = np.full(total, -1, np.int32)
+    src = np.zeros(total, np.uint8)
     page_base = np.concatenate([[0], np.cumsum(nv)])
 
     emit = np.where(is_dict[:, None], nonnull & ok, nonnull)
@@ -514,17 +597,27 @@ def _materialize_strings(batch: DecodeBatch) -> DecodedColumn:
     flat = page_base[pages] + rows
     valid[flat] = True
 
-    chars_plain = arrays.get("str_chars", np.zeros(0, np.uint8))
+    if int(batch.dims.get("str_abs", 0)):
+        if file_chars is None:
+            raise ValueError("str-view batch needs the reader's file mapping")
+        chars_plain = file_chars
+    else:
+        chars_plain = arrays.get("str_chars", np.zeros(0, np.uint8))
+    chars_dict = arrays.get("dict_chars", np.zeros(0, np.uint8))
     sel_dict = is_dict[pages]
     if "str_nn_start" in arrays and np.any(~sel_dict):
         entry = (arrays["str_nn_start"][pages] + nn_idx[pages, rows])[~sel_dict]
-        for f, e in zip(flat[~sel_dict], entry):
-            off = arrays["str_offs"][e]
-            values[f] = bytes(chars_plain[off : off + arrays["str_lens"][e]])
+        f = flat[~sel_dict]
+        offs[f] = arrays["str_offs"][entry]
+        lens[f] = arrays["str_lens"][entry]
     if np.any(sel_dict):
         g = (arrays["page_dict_base"][pages] + dict_idx[pages, rows])[sel_dict]
-        dchars = arrays["dict_chars"]
-        for f, e in zip(flat[sel_dict], g):
-            off = arrays["dict_offs"][e]
-            values[f] = bytes(dchars[off : off + arrays["dict_lens"][e]])
-    return DecodedColumn(ParquetType.BYTE_ARRAY, values, valid)
+        f = flat[sel_dict]
+        offs[f] = arrays["dict_offs"][g]
+        lens[f] = arrays["dict_lens"][g]
+        src[f] = 1
+    return DecodedColumn(
+        ParquetType.BYTE_ARRAY,
+        StringValues(offs, lens, src, (chars_plain, chars_dict)),
+        valid,
+    )

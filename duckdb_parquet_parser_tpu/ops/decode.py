@@ -36,6 +36,8 @@ DECODE_ARRAYS = [
     "def_run_vstart", "def_bytes",
     "idx_run_kind", "idx_run_count", "idx_run_value", "idx_run_bitoff",
     "idx_run_vstart", "idx_bytes",
+    # materialized planes (pre-scan default; absent under PS_RUNS_ONLY)
+    "def_levels", "idx_vals",
 ]
 
 
@@ -69,10 +71,20 @@ def decode_levels(xp, arrays, max_def: int, out_len: int,
                   def_literal: bool = True):
     """Expanded definition levels + nonnull mask + non-null rank.
 
+    When the pre-scan materialized `def_levels` (the default), the levels
+    are consumed directly — the run-expansion path below is the fallback
+    (PS_RUNS_ONLY batches, synthetic test batches).
     `def_literal=False` (host knows the batch has no bit-packed def runs —
     the common case for writer-produced files) skips bit extraction."""
     num_values = arrays["page_num_values"]
-    if max_def > 0:
+    if max_def > 0 and "def_levels" in arrays:
+        lv = arrays["def_levels"]
+        lv = lv[:, :out_len] if lv.shape[1] >= out_len else xp.concatenate(
+            [lv, xp.zeros((lv.shape[0], out_len - lv.shape[1]), lv.dtype)],
+            axis=1,
+        )
+        levels = lv.astype(xp.int32)
+    elif max_def > 0:
         levels = expand_hybrid(
             xp,
             arrays["def_run_kind"], arrays["def_run_count"],
@@ -87,14 +99,25 @@ def decode_levels(xp, arrays, max_def: int, out_len: int,
 
 def decode_dict_indices(xp, arrays, nn_idx, nn_len: int,
                         idx_literal: bool = True, max_null_shift: int = -1):
-    """Per-row dictionary index and its validity ([N, V] i32, [N, V] bool)."""
-    idx_stream = expand_hybrid(
-        xp,
-        arrays["idx_run_kind"], arrays["idx_run_count"],
-        arrays["idx_run_value"], arrays["idx_run_bitoff"],
-        arrays["idx_run_vstart"], arrays["idx_bytes"],
-        arrays["page_idx_bw"], nn_len, has_literal=idx_literal,
-    )
+    """Per-row dictionary index and its validity ([N, V] i32, [N, V] bool).
+
+    Consumes the pre-scan's materialized `idx_vals` plane when present
+    (no run expansion, no bit-unpack gathers); run expansion is the
+    fallback."""
+    if "idx_vals" in arrays:
+        iv = arrays["idx_vals"]
+        idx_stream = iv[:, :nn_len] if iv.shape[1] >= nn_len else xp.concatenate(
+            [iv, xp.zeros((iv.shape[0], nn_len - iv.shape[1]), iv.dtype)],
+            axis=1,
+        )
+    else:
+        idx_stream = expand_hybrid(
+            xp,
+            arrays["idx_run_kind"], arrays["idx_run_count"],
+            arrays["idx_run_value"], arrays["idx_run_bitoff"],
+            arrays["idx_run_vstart"], arrays["idx_bytes"],
+            arrays["page_idx_bw"], nn_len, has_literal=idx_literal,
+        )
     if 0 <= max_null_shift <= 64 and xp is not np:
         dict_idx = take2d_shift(xp, idx_stream, nn_idx, max_null_shift,
                                 nn_idx.shape[1])

@@ -190,7 +190,7 @@ def dict_lookup(xp, dict_planes, gidx):
         dict_planes[0].shape[0]
     )
     if xp is np:
-        return [np.take(p, gidx) for p in dict_planes]
+        return [np.asarray(p)[gidx] for p in dict_planes]  # np.take is ~10x slower
     if dn <= SELECT_DICT_MAX:
         return dict_lookup_select(xp, dict_planes, gidx, dn)
     if dn <= PALLAS_DICT_MAX and len(dict_planes) * 4 <= _LANE:
