@@ -69,7 +69,7 @@ def _load() -> ct.CDLL:
     lib.dpq_writer_new.restype = ct.c_void_p
     lib.dpq_writer_declare.argtypes = [
         ct.c_void_p, ct.c_char_p, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32,
-        ct.c_int32, ct.c_char_p, ct.c_size_t,
+        ct.c_int32, ct.c_int32, ct.c_char_p, ct.c_size_t,
     ]
     lib.dpq_writer_declare.restype = ct.c_int
     lib.dpq_writer_kv.argtypes = [

@@ -213,7 +213,8 @@ void* dpq_writer_new(const char* path, char* err, size_t errcap) {
 
 int dpq_writer_declare(void* h, const char* name, int32_t type,
                        int32_t optional, int32_t converted, int32_t scale,
-                       int32_t precision, char* err, size_t errcap) {
+                       int32_t precision, int32_t type_length, char* err,
+                       size_t errcap) {
   DPQ_TRY_INT({
     auto* w = static_cast<WriterHandle*>(h);
     if (w->writer) throw Error("writer: declare before first row group");
@@ -224,6 +225,7 @@ int dpq_writer_declare(void* h, const char* name, int32_t type,
     if (converted >= 0) d.converted = converted;
     if (scale != INT32_MIN) d.scale = scale;
     if (precision != INT32_MIN) d.precision = precision;
+    if (type_length != INT32_MIN) d.type_length = type_length;
     w->decls.push_back(std::move(d));
     return 0;
   })

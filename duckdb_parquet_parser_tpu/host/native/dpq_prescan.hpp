@@ -48,7 +48,14 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   if (rg1 < 0 || rg1 > n_rg) rg1 = n_rg;
   if (align <= 0) align = 1;
 
-  const int w = plain_width(lf.type);
+  // FLBA decodes through the fixed-width machinery at the declared
+  // type_length (the reference reader rejects the type outright:
+  // src/reader/column_reader.cpp:254-255)
+  const int w = lf.type == T_FIXED_LEN_BYTE_ARRAY
+                    ? lf.type_length.value_or(0)
+                    : plain_width(lf.type);
+  if (lf.type == T_FIXED_LEN_BYTE_ARRAY && w <= 0)
+    throw Error("FIXED_LEN_BYTE_ARRAY column lacks a type_length");
   const bool is_bool = lf.type == T_BOOLEAN;
   const bool is_ba = lf.type == T_BYTE_ARRAY;
   const int def_bw = lf.max_def > 0 ? level_bit_width(lf.max_def) : 0;

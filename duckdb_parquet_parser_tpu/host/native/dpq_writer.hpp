@@ -33,6 +33,7 @@ struct ColumnDecl {
   std::optional<int32_t> converted;
   std::optional<int32_t> scale;
   std::optional<int32_t> precision;
+  std::optional<int32_t> type_length;  // FIXED_LEN_BYTE_ARRAY width
 };
 
 // Columnar input for one row group: fixed-width values are raw little-endian
@@ -155,6 +156,10 @@ class Writer {
       const ColumnDecl& decl = cols_[c];
       const ColumnData& col = data[c];
       if (col.n != rg.num_rows) throw Error("writer: ragged row group");
+      if (decl.type == T_FIXED_LEN_BYTE_ARRAY &&
+          (!decl.type_length || col.width != *decl.type_length))
+        throw Error("writer: FIXED_LEN_BYTE_ARRAY data width must equal the "
+                    "declared type_length");
       const int16_t max_def = decl.optional ? 1 : 0;
 
       Dict dict = analyze(decl, col);
@@ -205,6 +210,7 @@ class Writer {
     for (const ColumnDecl& c : cols_) {
       t.elem_struct_begin();
       t.f_i32(1, c.type);
+      if (c.type_length) t.f_i32(2, *c.type_length);
       t.f_i32(3, c.optional ? R_OPTIONAL : R_REQUIRED);
       t.f_binary(4, c.name);
       if (c.converted) t.f_i32(6, *c.converted);

@@ -107,7 +107,8 @@ class DecodedColumn:
                 out.append("true" if v else "false")
             elif self.type in (ParquetType.FLOAT, ParquetType.DOUBLE):
                 out.append("%.6f" % float(v))
-            elif self.type == ParquetType.BYTE_ARRAY:
+            elif self.type in (ParquetType.BYTE_ARRAY,
+                               ParquetType.FIXED_LEN_BYTE_ARRAY):
                 out.append(v.decode("utf-8", "surrogateescape"))
             elif self.type == ParquetType.INT96:
                 lo = int(np.frombuffer(v[:8], "<i8")[0])
@@ -261,7 +262,7 @@ class ParquetReader:
         column: str | int,
         rg0: int = 0,
         rg1: int = -1,
-        align: int = 128,
+        align: int | None = None,
         pad_strings: int = 0,
         flags: int = bindings.PS_HOST_STRINGS,
         payload_align: int = 0,
@@ -269,6 +270,10 @@ class ParquetReader:
         idx = self.find_column(column) if isinstance(column, str) else column
         if idx < 0:
             raise KeyError(f"Column not found: {column}")
+        if align is None:
+            from ..utils.config import get_config
+
+            align = get_config().batch_align
         dims, arrays = bindings.native_prescan(
             self._h, idx, rg0, rg1, align, pad_strings, flags, payload_align
         )
@@ -301,6 +306,8 @@ class ParquetReader:
             )
             return _materialize_strings(batch, file_chars=self._file_view())
         batch = self.prescan(col_idx, rg0, rg1)
+        if info.type == ParquetType.FIXED_LEN_BYTE_ARRAY:
+            return _materialize_flba(batch)
         return _materialize_fixed(batch)
 
     def read_pages(self, column: str | int, row_group_idx: int = 0) -> list["PageResult"]:
@@ -516,6 +523,50 @@ def _materialize_fixed(batch: DecodeBatch, engine: str = "auto") -> DecodedColum
     else:
         values = _decode.planes_to_array([p[keep] for p in planes], batch.value_dtype)
     return DecodedColumn(batch.type, values, valid)
+
+
+def _materialize_flba(batch: DecodeBatch) -> DecodedColumn:
+    """read_column for FIXED_LEN_BYTE_ARRAY: w-byte values as lazy
+    StringValues over the packed plain / dictionary buffers (the reference
+    reader rejects this type — src/reader/column_reader.cpp:254-255; the
+    engine decodes it through the fixed-width machinery)."""
+    arrays = batch.arrays
+    w = int(batch.dims["plain_w"])
+    nonnull, nn_idx, dict_idx, ok, _row_start, is_dict = _string_positions(batch)
+    nv = arrays["page_num_values"]
+    total = int(nv.sum())
+
+    valid = np.zeros(total, bool)
+    offs = np.zeros(total, np.int64)
+    lens = np.full(total, -1, np.int32)
+    src = np.zeros(total, np.uint8)
+    page_base = np.concatenate([[0], np.cumsum(nv)])
+
+    emit = np.where(is_dict[:, None], nonnull & ok, nonnull)
+    pages, rows = np.nonzero(emit)
+    flat = page_base[pages] + rows
+    valid[flat] = True
+    lens[flat] = w
+
+    pitch = arrays["plain_fixed"].shape[1] if "plain_fixed" in arrays else 0
+    sel_dict = is_dict[pages]
+    if np.any(~sel_dict):
+        f = flat[~sel_dict]
+        offs[f] = (pages[~sel_dict].astype(np.int64) * pitch
+                   + nn_idx[pages, rows][~sel_dict].astype(np.int64) * w)
+    if np.any(sel_dict):
+        g = (arrays["page_dict_base"][pages] + dict_idx[pages, rows])[sel_dict]
+        offs[flat[sel_dict]] = g.astype(np.int64) * w
+        src[flat[sel_dict]] = 1
+    plain_flat = (arrays["plain_fixed"].reshape(-1)
+                  if "plain_fixed" in arrays else np.zeros(0, np.uint8))
+    dict_flat = (arrays["dict_fixed"].reshape(-1)
+                 if "dict_fixed" in arrays else np.zeros(0, np.uint8))
+    return DecodedColumn(
+        ParquetType.FIXED_LEN_BYTE_ARRAY,
+        StringValues(offs, lens, src, (plain_flat, dict_flat)),
+        valid,
+    )
 
 
 def _string_positions(batch: DecodeBatch):

@@ -35,6 +35,7 @@ class ColumnSpec:
     converted_type: ConvertedType | None = None
     scale: int | None = None
     precision: int | None = None
+    type_length: int | None = None  # FIXED_LEN_BYTE_ARRAY width
 
 
 class ParquetWriter:
@@ -76,6 +77,7 @@ class ParquetWriter:
                     conv,
                     c.scale if c.scale is not None else _INT32_MIN,
                     c.precision if c.precision is not None else _INT32_MIN,
+                    c.type_length if c.type_length is not None else _INT32_MIN,
                     err,
                     4096,
                 ),
@@ -139,6 +141,18 @@ class ParquetWriter:
         if spec.type == ParquetType.BOOLEAN:
             arr = np.ascontiguousarray(np.asarray(data), dtype=np.uint8)
             width = 1
+        elif spec.type == ParquetType.FIXED_LEN_BYTE_ARRAY:
+            # w-byte values as an [n, w] u8 array (w = declared type_length).
+            # The reference reader REJECTS this type (src/reader/
+            # column_reader.cpp:254-255) — a deliberate capability extension.
+            if not spec.type_length:
+                raise ValueError("FIXED_LEN_BYTE_ARRAY needs type_length")
+            arr = np.ascontiguousarray(np.asarray(data, dtype=np.uint8))
+            if arr.ndim != 2 or arr.shape[1] != spec.type_length:
+                raise ValueError(
+                    f"FLBA data must be an [n, {spec.type_length}] uint8 array"
+                )
+            width = spec.type_length
         elif spec.type == ParquetType.INT96:
             # 12-byte values as an [n, 12] u8 array (spark-style timestamps)
             arr = np.ascontiguousarray(np.asarray(data, dtype=np.uint8))

@@ -43,14 +43,18 @@ class ScanEngine:
 
     def scan(
         self, column: str, pattern: str, *, negate: bool = False,
-        like: bool = False, engine: str = "jax",
+        like: bool = False, engine: str | None = None,
     ) -> PageMatchResult | DistributedScanResult:
         from ..host import bindings
         from ..ops.regex import like_to_regex
         from ..ops.scan import scan_batch_device
+        from ..utils.config import get_config
 
         from ..host.schema import ParquetType
 
+        cfg = get_config()
+        if engine is None:
+            engine = cfg.scan_engine
         info = self.reader.column(column)
         if info.type != ParquetType.BYTE_ARRAY:
             raise TypeError(
@@ -74,7 +78,7 @@ class ScanEngine:
                 flags=bindings.PS_HOST_STRINGS | bindings.PS_PAYLOAD,
             )
             n_dev = int(np.prod(list(self.mesh.shape.values())))
-            padded = pad_pages(batch, n_dev)
+            padded = pad_pages(batch, n_dev * max(cfg.pages_per_shard_multiple, 1))
             # byte-balanced shards: heaviest pages spread across devices under
             # the equal-count shard_map constraint (pad pages weigh 0)
             weights = padded.arrays["page_payload_len"].astype(np.int64) + 16
@@ -85,6 +89,8 @@ class ScanEngine:
 
         if engine == "native":
             return self.cold_scan(column, pat, negate=negate)
+        if engine not in ("jax", "numpy"):
+            raise ValueError(f"unknown scan engine: {engine!r}")
         if engine == "jax":
             # payload path: raw page bytes upload, device-side prefix parse +
             # MXU DFA — no host string walk
@@ -122,11 +128,14 @@ class ScanEngine:
 
         from ..host import bindings
         from ..ops.strings import match_payload_stream
+        from ..utils.config import get_config
         from ..utils.metrics import get_metrics
+        from ..utils.tracing import stage, trace_session
 
         from ..ops.bitprog import BitprogUnsupported, compile_bitprog
         from ..ops.regex import substring_chain
 
+        cfg = get_config()
         dfa = compile_pattern(pattern)
         try:
             prog = compile_bitprog(pattern)
@@ -134,41 +143,47 @@ class ScanEngine:
         except BitprogUnsupported:
             prog = None
             chain = substring_chain(pattern)
-        with get_metrics().timed("prescan", column=column) as box:
-            batch = self.reader.prescan(
-                column, pad_strings=8, flags=bindings.PS_PAYLOAD
-            )
-            box["pages"] = batch.n_pages
+        with trace_session(cfg.profile_dir):
+            with get_metrics().timed("prescan", column=column) as box, \
+                    stage("prescan"):
+                batch = self.reader.prescan(
+                    column, pad_strings=8, flags=bindings.PS_PAYLOAD
+                )
+                box["pages"] = batch.n_pages
 
-        n = batch.n_pages
-        bp = min(batch_pages, max(n, 1))
+            n = batch.n_pages
+            bp = min(batch_pages, max(n, 1))
 
-        @jax.jit
-        def step(payload, plen, nn):
-            hits, _ = match_payload_stream(
-                jnp, payload, plen, nn, dfa.table, dfa.accept, use_mxu=True,
-                chain=chain, prog=prog,
-            )
-            return (nn - hits) if negate else hits
+            @jax.jit
+            def step(payload, plen, nn):
+                hits, _ = match_payload_stream(
+                    jnp, payload, plen, nn, dfa.table, dfa.accept, use_mxu=True,
+                    chain=chain, prog=prog,
+                )
+                return (nn - hits) if negate else hits
 
-        arrays = batch.arrays
-        pending = []
-        with get_metrics().timed("scan_dispatch", batches=-(-n // bp)):
-            for lo in range(0, n, bp):
-                hi = min(lo + bp, n)
-                payload = arrays["payload"][lo:hi]
-                plen = arrays["page_payload_len"][lo:hi]
-                nn = arrays["page_nn"][lo:hi]
-                if hi - lo < bp:  # pad the tail batch to the compiled shape
-                    pad = bp - (hi - lo)
-                    payload = np.pad(payload, ((0, pad), (0, 0)))
-                    plen = np.pad(plen, (0, pad))
-                    nn = np.pad(nn, (0, pad))
-                # async: device_put + dispatch return immediately; the next
-                # batch's transfer overlaps this batch's compute
-                pending.append(step(*jax.device_put((payload, plen, nn))))
+            arrays = batch.arrays
+            pending = []
+            with get_metrics().timed("scan_dispatch", batches=-(-n // bp)), \
+                    stage("scan_dispatch"):
+                for lo in range(0, n, bp):
+                    hi = min(lo + bp, n)
+                    payload = arrays["payload"][lo:hi]
+                    plen = arrays["page_payload_len"][lo:hi]
+                    nn = arrays["page_nn"][lo:hi]
+                    if hi - lo < bp:  # pad the tail batch to the compiled shape
+                        pad = bp - (hi - lo)
+                        payload = np.pad(payload, ((0, pad), (0, 0)))
+                        plen = np.pad(plen, (0, pad))
+                        nn = np.pad(nn, (0, pad))
+                    # async: device_put + dispatch return immediately; the
+                    # next batch's transfer overlaps this batch's compute
+                    with stage("upload"):
+                        dev = jax.device_put((payload, plen, nn))
+                    pending.append(step(*dev))
 
-        counts = np.concatenate([np.asarray(p) for p in pending])[:n]
+            with stage("collect"):
+                counts = np.concatenate([np.asarray(p) for p in pending])[:n]
         # dictionary pages (if any) take the dict fast path
         is_dict = arrays["page_kind"] == 1
         if bool(is_dict.any()):
@@ -189,9 +204,13 @@ class ScanEngine:
 
     # ── chunked inverted index ──────────────────────────────────────────────
 
-    def build_index(self, column: str, chunk_size: int = 4096,
+    def build_index(self, column: str, chunk_size: int | None = None,
                     checkpoint_dir: str | None = None) -> IndexBuildResult:
         from ..utils import checkpoints
+        from ..utils.config import get_config
+
+        if chunk_size is None:
+            chunk_size = get_config().index_chunk_size
 
         if checkpoint_dir:
             cached = checkpoints.load_index(

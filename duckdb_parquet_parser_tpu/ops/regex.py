@@ -445,9 +445,14 @@ def minimize_dfa(dfa: DFA) -> DFA:
     return DFA(table, accept, dfa.pattern)
 
 
-def compile_pattern(pattern: str) -> DFA:
+def compile_pattern(pattern: str, max_states: int | None = None) -> DFA:
     """Compile to a minimized search-semantics DFA (raises
-    UnsupportedPattern)."""
+    UnsupportedPattern).  The state budget defaults to
+    EngineConfig.max_dfa_states (DPQ_MAX_DFA_STATES)."""
+    if max_states is None:
+        from ..utils.config import get_config
+
+        max_states = get_config().max_dfa_states
     pat = pattern
     anchored_start = pat.startswith("^")
     if anchored_start:
@@ -519,7 +524,7 @@ def compile_pattern(pattern: str) -> DFA:
                 continue
             t_closed = closure(t)
             if t_closed not in ids:
-                if len(ids) >= MAX_DFA_STATES:
+                if len(ids) >= max_states:
                     raise UnsupportedPattern("DFA state blow-up")
                 ids[t_closed] = len(ids)
                 work.append(t_closed)

@@ -180,10 +180,14 @@ def distributed_index_build(mesh, reader, column: str,
 
     # 4. block-pipelined exchange at ONE compiled capacity: the collective for
     # block i is in flight while the host packs block i+1
+    from ..utils.config import get_config
+
+    slack = get_config().exchange_capacity_slack
     m = len(dst)
     blocks = [(lo, min(lo + entry_block, m)) for lo in range(0, m, entry_block)]
     plans = [
-        ExchangePlan.plan(dst[lo:hi], src[lo:hi], n_devices)
+        ExchangePlan.plan(dst[lo:hi], src[lo:hi], n_devices,
+                          capacity_slack=slack)
         for lo, hi in blocks
     ]
     cap = max((p.capacity for p in plans), default=1)

@@ -57,3 +57,10 @@ def get_config() -> EngineConfig:
     if _default is None:
         _default = EngineConfig.from_env()
     return _default
+
+
+def set_config(cfg: EngineConfig | None) -> None:
+    """Installs `cfg` as the process default (None re-reads the env on next
+    get_config) — tests and embedding applications use this."""
+    global _default
+    _default = cfg

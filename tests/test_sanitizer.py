@@ -1,0 +1,85 @@
+"""Opt-in ASAN/UBSAN lane: DPQ_SANITIZE=1 python -m pytest tests/test_sanitizer.py
+
+Builds the native library with -fsanitize=address,undefined and exercises
+the full native surface (writer, open, page index, prescan incl. the
+materialized planes and string views, cold scan both modes) in a fresh
+interpreter with libasan preloaded.  Any heap error / UB aborts the child,
+failing the test."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("DPQ_SANITIZE") != "1",
+    reason="sanitizer lane is opt-in (DPQ_SANITIZE=1)",
+)
+
+_CHILD = r"""
+import numpy as np
+from duckdb_parquet_parser_tpu.host.build import build_library
+from duckdb_parquet_parser_tpu.host import bindings
+# route every native call through the sanitized build
+so = build_library(sanitize=True)
+bindings.build_library = lambda *a, **k: so
+bindings._lib = None
+
+from duckdb_parquet_parser_tpu.host.schema import ParquetType
+from duckdb_parquet_parser_tpu.host.writer import ColumnSpec, ParquetWriter
+from duckdb_parquet_parser_tpu.host.reader import ParquetReader
+from duckdb_parquet_parser_tpu.models.scan import cold_scan
+
+rng = np.random.default_rng(1)
+path = "/tmp/dpq_asan_fixture.parquet"
+w = ParquetWriter(path, [
+    ColumnSpec("i", ParquetType.INT64, optional=True),
+    ColumnSpec("s", ParquetType.BYTE_ARRAY, optional=True),
+])
+n = 900
+words = [b"alpha", b"bravo", b"charlie", b"delta"]
+vals = [words[int(rng.integers(4))] for _ in range(n)]
+offs = np.zeros(n + 1, np.int64); offs[1:] = np.cumsum([len(v) for v in vals])
+chars = np.frombuffer(b"".join(vals), np.uint8)
+valid = (rng.random(n) > 0.15).astype(np.uint8)
+w.write_row_group({
+    "i": (rng.integers(-99, 99, n), valid),
+    "s": (offs, chars, valid),
+})
+w.close()
+
+r = ParquetReader(path)
+assert r.num_rows() == n
+b = r.prescan("s", pad_strings=8,
+              flags=bindings.PS_HOST_STRINGS | bindings.PS_PAYLOAD)
+assert b.n_pages > 0
+b2 = r.prescan("s", flags=bindings.PS_HOST_STRINGS | bindings.PS_STR_VIEWS)
+col = r.read_column("i")
+assert len(col) == n
+res = cold_scan(r, "s", "alp.*a", exact_counts=True)
+res2 = cold_scan(r, "s", "[abc]l?pha", negate=True)
+assert len(res.page_gid) == len(res2.page_gid)
+print("ASAN_LANE_OK")
+"""
+
+
+def test_native_surface_asan_clean(tmp_path):
+    from duckdb_parquet_parser_tpu.host.build import build_library
+
+    build_library(sanitize=True)  # compile outside the child for clear errors
+    asan = subprocess.run(
+        ["gcc", "-print-file-name=libasan.so"], capture_output=True, text=True
+    ).stdout.strip()
+    env = dict(os.environ)
+    env["LD_PRELOAD"] = asan
+    env["ASAN_OPTIONS"] = "detect_leaks=0"  # CPython itself "leaks" arenas
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD], capture_output=True, text=True,
+        env=env, timeout=600, cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "ASAN_LANE_OK" in proc.stdout
