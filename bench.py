@@ -37,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CACHE = Path(os.environ.get("DPQ_BENCH_DIR", "/tmp/dpq_bench"))
 PATTERN = "special.*requests"  # TPC-H Q13-style filter
+PATTERN_GENERAL = "spe[cs]ial.*requ[ea]sts"  # classes: bit-parallel NFA path
 
 
 def log(*a):
@@ -109,6 +110,29 @@ def gen_fixture(rows: int) -> Path:
     return path
 
 
+def gen_dict_fixture(rows: int) -> Path:
+    """Dictionary-heavy INT64 column (100 distinct values, 5% nulls)."""
+    from duckdb_parquet_parser_tpu.host.schema import ParquetType
+    from duckdb_parquet_parser_tpu.host.writer import ColumnSpec, ParquetWriter
+
+    path = CACHE / f"dictheavy_{rows}.parquet"
+    if path.exists():
+        return path
+    CACHE.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(7)
+    w = ParquetWriter(str(path), [ColumnSpec("k", ParquetType.INT64, optional=True)])
+    done = 0
+    while done < rows:
+        n = min(500_000, rows - done)
+        w.write_row_group({
+            "k": (rng.integers(0, 100, n) * 1000003,
+                  (rng.random(n) > 0.05).astype(np.uint8)),
+        })
+        done += n
+    w.close()
+    return path
+
+
 def bench_reference(path: Path, reps: int) -> dict:
     from tests.oracle.build_oracle import build_oracle
 
@@ -173,7 +197,7 @@ def bench_engine(path: Path, reps: int) -> dict:
     bc = dfa.byte_classes()
     log(f"pattern {PATTERN!r}: {dfa.n_states} states, {bc.n_classes} byte classes")
 
-    # ── scan: host pre-scan + upload (cold path pieces) ─────────────────────
+    # ── resident page buffers ───────────────────────────────────────────────
     t0 = time.time()
     reader = ParquetReader(str(path))
     t_open = time.time() - t0
@@ -190,40 +214,87 @@ def bench_engine(path: Path, reps: int) -> dict:
     t_upload = time.time() - t0
 
     # ── steady-state scan (marginal cost of one full re-scan) ───────────────
+    from duckdb_parquet_parser_tpu.ops.bitprog import (
+        BitprogUnsupported,
+        compile_bitprog,
+    )
     from duckdb_parquet_parser_tpu.ops.regex import substring_chain
 
-    chain = substring_chain(PATTERN)
-    log(f"matcher: {'bitap chain ' + str(chain) if chain else 'MXU DFA'}")
+    def make_scan_for(pattern):
+        d = compile_pattern(pattern)
+        try:
+            prog = compile_bitprog(pattern)
+            chain = None
+        except BitprogUnsupported:
+            prog = None
+            chain = substring_chain(pattern)
 
-    def make_scan(reps_n):
-        def f(p, pl, n):
-            def body(i, acc):
-                hits, _ = match_payload_stream(
-                    jnp, p, pl, n + (i % 2), dfa.table, dfa.accept,
-                    use_mxu=True, chain=chain,
-                )
-                return acc + jnp.sum(hits)
-            return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
-        return jax.jit(f)
+        def make(reps_n):
+            def f(p, pl, n):
+                def body(i, acc):
+                    hits, _ = match_payload_stream(
+                        jnp, p, pl, n + (i % 2), d.table, d.accept,
+                        use_mxu=True, chain=chain, prog=prog,
+                    )
+                    return acc + jnp.sum(hits)
+                return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
+            return jax.jit(f)
+        return make
 
-    t_first, marg = _marginal(make_scan, (pd, pld, nnd), reps_hi=1 + reps)
+    t_first, marg = _marginal(make_scan_for(PATTERN), (pd, pld, nnd),
+                              reps_hi=1 + reps)
     out["rows"] = total
     out["scan_rows_per_s"] = total / marg
     out["scan_single_call_rows_per_s"] = total / t_first
-    cold = t_open + t_prescan + t_upload + t_first
-    out["scan_cold_e2e_rows_per_s"] = total / cold
     out["t"] = dict(open=t_open, prescan=t_prescan, upload=t_upload,
                     single_call=t_first, marginal=marg)
     log(f"scan: sustained {out['scan_rows_per_s']:.3g} rows/s "
-        f"(marginal {marg*1000:.1f} ms), single call {total/t_first:.3g}, "
-        f"cold e2e {out['scan_cold_e2e_rows_per_s']:.3g} rows/s {out['t']}")
+        f"(marginal {marg*1000:.1f} ms), single call {total/t_first:.3g} {out['t']}")
+
+    # general-pattern scan (classes — the bit-parallel NFA path, not bitap)
+    _, marg_gen = _marginal(make_scan_for(PATTERN_GENERAL), (pd, pld, nnd),
+                            reps_hi=1 + reps)
+    out["scan_general_rows_per_s"] = total / marg_gen
+    log(f"scan general {PATTERN_GENERAL!r}: {total/marg_gen:.3g} rows/s "
+        f"(marginal {marg_gen*1000:.1f} ms)")
+
+    # ── cold one-shot paths (fresh engine each run, min-of-3) ───────────────
+    from duckdb_parquet_parser_tpu.models.scan import ScanEngine
+
+    def cold_once(fn):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            fn(ScanEngine(str(path)))
+            best = min(best, time.time() - t0)
+        return best
+
+    t_cold = cold_once(lambda e: e.cold_scan("l_comment", PATTERN))
+    out["scan_cold_e2e_rows_per_s"] = total / t_cold
+    log(f"cold one-shot (fused native): {total/t_cold:.3g} rows/s "
+        f"({t_cold*1000:.0f} ms)")
+    t_cold_dev = cold_once(lambda e: e.scan_streaming("l_comment", PATTERN))
+    out["scan_cold_device_rows_per_s"] = total / t_cold_dev
+    log(f"cold one-shot (streamed device): {total/t_cold_dev:.3g} rows/s "
+        f"({t_cold_dev*1000:.0f} ms)")
 
     # pruned pages for the record (also validates the scan did real work)
-    hits, _ = match_payload_stream(
-        jnp, pd, pld, nnd, dfa.table, dfa.accept, use_mxu=True, chain=chain
-    )
-    out["pruned_pages"] = int((np.asarray(hits) == 0).sum())
+    res_ck = ScanEngine(str(path)).cold_scan("l_comment", PATTERN,
+                                             exact_counts=True)
+    out["pruned_pages"] = int(len(res_ck.pruned_pages()))
     out["n_pages"] = batch.n_pages
+
+    # ── read_column (decoded column API, host path) ─────────────────────────
+    for col, key in (("l_quantity", "read_column_i64_rows_per_s"),
+                     ("l_tax", "read_column_f64opt_rows_per_s"),
+                     ("l_comment", "read_column_strings_rows_per_s")):
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.time()
+            c = reader.read_column(col)
+            best = min(best, time.time() - t0)
+        out[key] = len(c) / best
+        log(f"read_column {col}: {out[key]:.3g} rows/s ({best*1000:.0f} ms)")
 
     # ── decode: optional DOUBLE (real null materialization work) ────────────
     b2 = reader.prescan("l_tax")
@@ -251,7 +322,61 @@ def bench_engine(path: Path, reps: int) -> dict:
     out["decode_f64opt_gb_per_s"] = total * 8 / marg_dec / 1e9
     log(f"decode f64-optional: {out['decode_f64opt_rows_per_s']:.3g} rows/s "
         f"({out['decode_f64opt_gb_per_s']:.2f} GB/s, marginal {marg_dec*1000:.1f} ms)")
+
+    # ── dict-heavy decode (gather-free value lookup: select / Pallas MXU) ───
+    dpath = gen_dict_fixture(out["rows"])
+    rd = ParquetReader(str(dpath))
+    bd = rd.prescan("k")
+    total_d = int(bd.arrays["page_num_values"].sum())
+    core_d = {k: jax.device_put(v) for k, v in bd.arrays.items()
+              if k in D.DECODE_ARRAYS}
+    dplanes = tuple(jax.device_put(p) for p in bd.dict_planes)
+    kwd = dict(max_def=bd.max_def, out_len=bd.vmax, nn_len=bd.nn_cap,
+               mode="dict", def_literal=D.batch_has_literal(bd.arrays, "def"),
+               idx_literal=D.batch_has_literal(bd.arrays, "idx"),
+               max_null_shift=D.max_nulls_per_page(bd.arrays))
+
+    def make_dict(reps_n):
+        def f(c, dp):
+            def body(i, acc):
+                c2 = dict(c)
+                c2["idx_vals"] = c["idx_vals"] ^ (i % 2)  # live perturbation
+                planes, nonnull = D.decode_fixed(jnp, c2, [], list(dp), None,
+                                                 **kwd)
+                return acc + jnp.sum(nonnull.astype(jnp.int32)) + jnp.sum(
+                    planes[0] & 1) + jnp.sum(planes[1] & 1)
+            return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
+        return jax.jit(f)
+
+    _, marg_dict = _marginal(make_dict, (core_d, dplanes), reps_hi=1 + reps)
+    out["decode_dict_rows_per_s"] = total_d / marg_dict
+    log(f"decode dict-heavy (DN=100): {out['decode_dict_rows_per_s']:.3g} "
+        f"rows/s (marginal {marg_dict*1000:.1f} ms)")
     return out
+
+
+def bench_scaling() -> dict | None:
+    """Runs the sharded-step scaling harness on an 8-device virtual CPU mesh
+    in a child interpreter (the same module measures real ICI scaling when
+    pointed at a multi-chip slice)."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["DPQ_SCALING_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8").strip()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "duckdb_parquet_parser_tpu.scaling_bench",
+             "--rows", "60000"],
+            capture_output=True, text=True, timeout=900,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception as e:  # pragma: no cover - diagnostics only
+        log(f"scaling harness unavailable: {e}")
+        return None
 
 
 def main():
@@ -271,6 +396,7 @@ def main():
             pass
     ref = bench_reference(path, max(args.reps, 1))
     eng = bench_engine(path, args.reps)
+    scaling = bench_scaling()
 
     value = eng.get("scan_rows_per_s", 0.0)
     baseline = ref.get("ref_iter_rows_per_s")
@@ -282,11 +408,28 @@ def main():
         "vs_baseline": round(vs, 2) if vs is not None else None,
     }
     detail = {**ref, **{k: v for k, v in eng.items() if k != "t"}}
+    if baseline:
+        detail["vs_ref"] = {
+            "scan_sustained": round(eng["scan_rows_per_s"] / baseline, 1),
+            "scan_cold_one_shot": round(
+                eng["scan_cold_e2e_rows_per_s"] / baseline, 1),
+            "read_column_i64": round(
+                eng["read_column_i64_rows_per_s"]
+                / ref["ref_column_i64_rows_per_s"], 1),
+            "read_column_f64opt": round(
+                eng["read_column_f64opt_rows_per_s"]
+                / ref["ref_column_f64opt_rows_per_s"], 1),
+            "read_column_strings": round(
+                eng["read_column_strings_rows_per_s"] / baseline, 1),
+        }
+    if scaling is not None:
+        detail["scaling"] = scaling
     detail["scaling_note"] = (
-        "single-chip environment (one v5e behind a relay); the multi-chip "
-        "path (pages-mesh shard_map + psum + padded all_to_all) is validated "
-        "functionally on 8 virtual devices via tests/test_distributed.py and "
-        "__graft_entry__.dryrun_multichip"
+        "single real chip (one v5e behind a relay): the scaling block runs "
+        "the SAME sharded step on an 8-device virtual CPU mesh — wall "
+        "efficiency there is bounded by the 2 physical cores; shard skew "
+        "shows the sharding stays balanced.  The harness reports true ICI "
+        "scaling unchanged when pointed at a multi-chip slice."
     )
     log(json.dumps({"detail": detail}))
     print(json.dumps(line), flush=True)

@@ -197,6 +197,97 @@ class ScanEngine:
             value_counts=arrays["page_nn"].astype(np.int64),
         )
 
+    def scan_streaming(
+        self, column: str, pattern: str, *, negate: bool = False,
+        block_pages: int = 8192, payload_bucket: int = 1536,
+    ) -> PageMatchResult:
+        """Pipelined COLD device scan: prescan -> upload -> dispatch overlap.
+
+        Per-row-group prescans run on a host worker thread and stream into
+        fixed-shape page blocks ([block_pages, payload_bucket], ONE compiled
+        program); each block's device_put + dispatch are asynchronous, so the
+        host prescan of row group i+1 overlaps the transfer/compute of row
+        group i's blocks.  This is the device-side answer to a one-shot scan
+        on a cold file (cold_scan() is the host-side one; resident()/
+        scan_batched() serve repeated queries)."""
+        import jax
+        import jax.numpy as jnp
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..host import bindings
+        from ..ops.bitprog import BitprogUnsupported, compile_bitprog
+        from ..ops.regex import substring_chain
+        from ..ops.strings import match_payload_stream
+
+        dfa = compile_pattern(pattern)
+        try:
+            prog = compile_bitprog(pattern)
+            chain = None
+        except BitprogUnsupported:
+            prog = None
+            chain = substring_chain(pattern)
+
+        @jax.jit
+        def step(payload, plen, nn):
+            hits, _ = match_payload_stream(
+                jnp, payload, plen, nn, dfa.table, dfa.accept, use_mxu=True,
+                chain=chain, prog=prog,
+            )
+            return (nn - hits) if negate else hits
+
+        n_rg = self.reader.num_row_groups()
+        col_idx = self.reader.find_column(column)
+
+        def prescan_rg(rg):
+            return self.reader.prescan(
+                col_idx, rg, rg + 1, pad_strings=8,
+                flags=bindings.PS_PAYLOAD, payload_align=payload_bucket,
+            )
+
+        pending = []  # (batch, [device results])
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            futures = [pool.submit(prescan_rg, rg) for rg in range(n_rg)]
+            for fut in futures:
+                batch = fut.result()  # rg i+1 prescans while we ship rg i
+                arrays = batch.arrays
+                payload = arrays["payload"]
+                if payload.shape[1] != payload_bucket:  # oversized pages
+                    pad = -(-payload.shape[1] // payload_bucket) * payload_bucket
+                    payload = np.pad(payload, ((0, 0), (0, pad - payload.shape[1])))
+                outs = []
+                n = batch.n_pages
+                for lo in range(0, n, block_pages):
+                    hi = min(lo + block_pages, n)
+                    p = payload[lo:hi]
+                    pl = arrays["page_payload_len"][lo:hi]
+                    nn = arrays["page_nn"][lo:hi]
+                    if hi - lo < block_pages:
+                        pad = block_pages - (hi - lo)
+                        p = np.pad(p, ((0, pad), (0, 0)))
+                        pl = np.pad(pl, (0, pad))
+                        nn = np.pad(nn, (0, pad))
+                    outs.append(step(*jax.device_put((p, pl, nn))))
+                pending.append((batch, outs))
+
+        gids, counts_parts, values_parts = [], [], []
+        for batch, outs in pending:
+            n = batch.n_pages
+            counts = np.concatenate([np.asarray(o) for o in outs])[:n]
+            is_dict = batch.arrays["page_kind"] == 1
+            if bool(is_dict.any()):
+                from ..ops.scan import scan_batch_device
+
+                dict_res = scan_batch_device(batch, pattern, negate=negate)
+                counts = np.where(is_dict, dict_res.match_counts, counts)
+            gids.append(batch.arrays["page_gid"].copy())
+            counts_parts.append(counts.astype(np.int64))
+            values_parts.append(batch.arrays["page_nn"].astype(np.int64))
+        return PageMatchResult(
+            page_gid=np.concatenate(gids),
+            match_counts=np.concatenate(counts_parts),
+            value_counts=np.concatenate(values_parts),
+        )
+
     def resident(self, column: str) -> "ResidentColumn":
         """Uploads the column's page buffers to HBM once for repeated
         queries (the serving pattern: scan throughput without re-upload)."""
@@ -424,7 +515,10 @@ def single_chip_forward(batch, dfa: DFA):
         dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap)
         g = jnp.clip(core["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),
                      0, dict_match.shape[0] - 1)
-        dict_counts = jnp.sum(jnp.take(dict_match, g) & ok & nonnull, axis=1)
+        from ..ops.pallas.dict_lookup import dict_lookup
+
+        dm = dict_lookup(jnp, [dict_match.astype(jnp.int32)], g)[0] != 0
+        dict_counts = jnp.sum(dm & ok & nonnull, axis=1)
         return jnp.where(is_dict, dict_counts, hits)
 
     example_args = (

@@ -196,7 +196,10 @@ def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
         dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap)
         g = jnp.clip(core["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),
                      0, dict_match_d.shape[0] - 1)
-        accept_d = (jnp.take(dict_match_d, g) ^ negate) & ok & nonnull
+        from .pallas.dict_lookup import dict_lookup
+
+        dm = dict_lookup(jnp, [dict_match_d.astype(jnp.int32)], g)[0] != 0
+        accept_d = (dm ^ negate) & ok & nonnull
         dict_counts = jnp.sum(accept_d, axis=1)
         dict_values = jnp.sum(ok & nonnull, axis=1)
 

@@ -45,11 +45,15 @@ def _local_match_counts(core, payload, plen, dict_match, *, table, accept,
     plain_counts = (nn - hits) if negate else hits
 
     # dictionary pages: replicated dict match bits through the idx stream
+    # (gather-free value lookup — ops/pallas/dict_lookup.py)
+    from ..ops.pallas.dict_lookup import dict_lookup
+
     nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)
     dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap)
     dn = dict_match.shape[0]
     g = jnp.clip(core["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None), 0, dn - 1)
-    accept_d = (jnp.take(dict_match, g) ^ negate) & ok & nonnull
+    dm = dict_lookup(jnp, [dict_match.astype(jnp.int32)], g)[0] != 0
+    accept_d = (dm ^ negate) & ok & nonnull
     dict_counts = jnp.sum(accept_d, axis=1)
 
     counts = jnp.where(is_dict, dict_counts, plain_counts).astype(jnp.int32)

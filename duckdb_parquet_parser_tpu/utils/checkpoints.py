@@ -1,8 +1,9 @@
 """Checkpoint/resume for the inverted-index build — the engine's only
 long-running stateful op (SURVEY.md §5).  State is tiny (chunk boundaries +
 row->chunk map), so checkpoints are atomic npz snapshots keyed by
-(file fingerprint, column, chunk_size); a restarted build resumes by reusing
-the finished snapshot or recomputing only missing shards."""
+(file fingerprint, column, chunk_size); a restarted build reuses a finished
+snapshot wholesale (resume is all-or-nothing — per-shard partial resume is
+not implemented; a stale fingerprint simply recomputes)."""
 
 from __future__ import annotations
 

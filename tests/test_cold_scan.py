@@ -107,3 +107,16 @@ def test_cold_scan_empty_and_full_match(plain_file):
     # negated '.*' matches nothing: every page is reported
     rn = eng.cold_scan("s", ".*", negate=True, exact_counts=True)
     assert (rn.match_counts == 0).all()
+
+
+@pytest.mark.parametrize("pattern,neg", [("alpha.*bravo", False), ("charlie", True)])
+def test_scan_streaming_parity(dict_file, plain_file, pattern, neg):
+    """The pipelined cold device scan produces the same page sets/counts as
+    the golden matcher, across row-group block boundaries."""
+    for path in (dict_file, plain_file):
+        eng = ScanEngine(path)
+        golden = eng.scan("s", pattern, negate=neg, engine="numpy")
+        got = eng.scan_streaming("s", pattern, negate=neg, block_pages=8)
+        np.testing.assert_array_equal(got.page_gid, golden.page_gid)
+        np.testing.assert_array_equal(got.match_counts, golden.match_counts)
+        np.testing.assert_array_equal(got.value_counts, golden.value_counts)

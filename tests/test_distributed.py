@@ -199,3 +199,26 @@ def test_sharded_emissions_matches_host_stream(mesh, batch_and_path):
     pos_dev, lens_dev = sharded_emissions(mesh, batch, block_pages=16)
     np.testing.assert_array_equal(pos_dev, pos_host)
     np.testing.assert_array_equal(lens_dev, lens_host)
+
+
+def test_distributed_init_from_env(monkeypatch):
+    """Multi-host init parses the env contract and passes it to
+    jax.distributed.initialize (mocked — no cluster here)."""
+    from duckdb_parquet_parser_tpu.parallel import mesh as M
+
+    calls = {}
+
+    def fake_init(coordinator_address, num_processes, process_id):
+        calls.update(addr=coordinator_address, n=num_processes, pid=process_id)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    # no coordinator -> no-op
+    monkeypatch.delenv("DPQ_COORDINATOR", raising=False)
+    M.distributed_init_from_env()
+    assert not calls
+
+    monkeypatch.setenv("DPQ_COORDINATOR", "10.0.0.1:1234")
+    monkeypatch.setenv("DPQ_NUM_PROCESSES", "4")
+    monkeypatch.setenv("DPQ_PROCESS_ID", "2")
+    M.distributed_init_from_env()
+    assert calls == {"addr": "10.0.0.1:1234", "n": 4, "pid": 2}
