@@ -175,6 +175,7 @@ PS_HOST_STRINGS = 1
 PS_PAYLOAD = 2
 PS_RUNS_ONLY = 4  # suppress materialized def_levels / idx_vals planes
 PS_STR_VIEWS = 8  # zero-copy string tables (absolute file offsets, no chars)
+PS_COLUMN = 16    # fully-materialized read_column arrays from the pack pass
 
 
 class _BatchOwner:

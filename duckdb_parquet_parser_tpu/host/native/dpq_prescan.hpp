@@ -389,9 +389,10 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   auto* a_def = store->alloc<uint8_t>("def_bytes", {N, def_pad});
   auto* a_idx = store->alloc<uint8_t>("idx_bytes", {N, idx_pad});
   // Materialized planes (unless PS_RUNS_ONLY): definition levels per value
-  // position and dictionary indices per non-null rank.  The device then
-  // consumes pure columnar integers — no run expansion, no bit-unpack
-  // gathers on the hot decode path (the run tables stay for the fallback).
+  // position and dictionary indices in VALUE SPACE (index of the value at
+  // each row position, -1 at nulls — so the device needs neither run
+  // expansion nor the null-rank mapping on the hot decode path; the run
+  // tables stay for the fallback).
   const bool materialize = !(flags & PS_RUNS_ONLY);
   uint8_t* a_deflev = nullptr;
   int32_t* a_idxv = nullptr;
@@ -400,14 +401,55 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     if (tp->kind == 1) any_dict_pages = true;
   if (materialize && lf.max_def > 0)
     a_deflev = store->alloc<uint8_t>("def_levels", {N, vmax});
-  if (materialize && any_dict_pages)
-    a_idxv = store->alloc<int32_t>("idx_vals", {N, nn_cap});
+  if (materialize && any_dict_pages) {
+    a_idxv = store->alloc<int32_t>("idx_vals", {N, vmax});
+    std::memset(a_idxv, 0xFF, size_t(N) * size_t(vmax) * sizeof(int32_t));
+  }
   uint8_t* a_plain = nullptr;
   if (w > 0) a_plain = store->alloc<uint8_t>("plain_fixed", {N, nn_cap * w});
   uint8_t* a_bits = nullptr;
   if (is_bool) a_bits = store->alloc<uint8_t>("bool_bits", {N, bool_pad});
   uint8_t* a_payload = nullptr;
   if (want_payload) a_payload = store->alloc<uint8_t>("payload", {N, payload_pad});
+
+  // ── fully-materialized read_column arrays (PS_COLUMN) ─────────────────────
+  // The pack pass below already walks every page with its bytes cache-hot;
+  // emitting the final per-ROW decoded arrays there costs one more
+  // O(values) sweep in C++ and removes the whole numpy assembly from
+  // read_column (reference loop replaced: src/reader/column_reader.cpp:18-71
+  // via src/reader/parquet_reader.cpp:133-165).
+  const bool want_column =
+      (flags & PS_COLUMN) && (w > 0 || is_bool || (is_ba && want_views));
+  int64_t total_rows = 0;
+  std::vector<int64_t> row0(tmp.size(), 0);
+  for (size_t i = 0; i < tmp.size(); i++) {
+    row0[i] = total_rows;
+    total_rows += tmp[i]->num_values;
+  }
+  std::vector<int64_t> rg_char_base(rg_results.size() + 1, 0);
+  for (size_t r = 0; r < rg_results.size(); r++)
+    rg_char_base[r + 1] = rg_char_base[r] + int64_t(rg_results[r].dict_chars.size());
+
+  uint8_t* col_valid = nullptr;
+  uint8_t* col_values = nullptr;
+  int64_t* col_offs = nullptr;
+  int32_t* col_lens = nullptr;
+  uint8_t* col_src = nullptr;
+  const int col_w = is_bool ? 1 : w;
+  if (want_column) {
+    dims["col_mat"] = 1;
+    dims["total_rows"] = total_rows;
+    const int64_t tr = std::max<int64_t>(total_rows, 1);
+    col_valid = store->alloc<uint8_t>("col_valid", {tr});
+    if (is_ba) {
+      col_offs = store->alloc<int64_t>("col_offs", {tr});
+      col_lens = store->alloc<int32_t>("col_lens", {tr});
+      std::memset(col_lens, 0xFF, size_t(tr) * sizeof(int32_t));  // -1 = NULL
+      col_src = store->alloc<uint8_t>("col_src", {tr});
+    } else {
+      col_values = store->alloc<uint8_t>("col_values", {tr, col_w});
+    }
+  }
 
   // Pack pass: each page writes a disjoint row of every plane, so split the
   // page range across the pool (the pass is fault+memcpy bound — ~2x on this
@@ -417,6 +459,7 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   parallel_for(n_blocks, [&](int blk) {
   const int64_t i_lo = int64_t(blk) * PACK_BLOCK;
   const int64_t i_hi = std::min(N, i_lo + PACK_BLOCK);
+  std::vector<int32_t> idx_scratch;  // per-block dict-index expansion
   for (int64_t i = i_lo; i < i_hi; i++) {
     const PageTmp& t = *tmp[size_t(i)];
     p_nv[i] = t.num_values;
@@ -463,11 +506,28 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
                      });
     }
     if (a_idxv && t.kind == 1) {
-      int32_t* row = a_idxv + i * nn_cap;
+      // value-space indices: walk def levels and place each rank-k index at
+      // its row position (nulls keep the -1 fill)
+      int32_t* row = a_idxv + i * vmax;
+      idx_scratch.assign(size_t(std::max(t.nn, 0)), 0);
       expand_runs_to(t.idx_runs, t.val_ptr, size_t(t.val_len), t.idx_bw,
                      [&](int32_t v, int32_t val) {
-                       if (v >= 0 && v < nn_cap) row[v] = val;
+                       if (v >= 0 && v < t.nn) idx_scratch[size_t(v)] = val;
                      });
+      if (lf.max_def > 0) {
+        int32_t k = 0;
+        expand_runs_to(t.def_runs, t.def_ptr, size_t(t.def_len), def_bw,
+                       [&](int32_t v, int32_t lvl) {
+                         if (lvl == lf.max_def && v < t.num_values &&
+                             k < t.nn) {
+                           if (v < vmax) row[v] = idx_scratch[size_t(k)];
+                           k++;
+                         }
+                       });
+      } else {
+        for (int32_t v = 0; v < t.num_values && v < t.nn; v++)
+          if (v < vmax) row[v] = idx_scratch[size_t(v)];
+      }
     }
     if (a_plain && t.kind == 0 && !is_ba && !is_bool && t.val_len)
       std::memcpy(a_plain + i * nn_cap * w, t.val_ptr, size_t(t.val_len));
@@ -475,6 +535,61 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       std::memcpy(a_bits + i * bool_pad, t.val_ptr, size_t(t.val_len));
     if (a_payload && t.kind == 0 && t.val_len)
       std::memcpy(a_payload + i * payload_pad, t.val_ptr, size_t(t.val_len));
+
+    if (want_column) {
+      const size_t rg_local = size_t(t.rg - rg0);
+      const RgResult& rgres = rg_results[rg_local];
+      const int64_t base = row0[size_t(i)];
+      if (t.kind == 1) {
+        idx_scratch.assign(size_t(std::max(t.nn, 0)), 0);
+        expand_runs_to(t.idx_runs, t.val_ptr, size_t(t.val_len), t.idx_bw,
+                       [&](int32_t v, int32_t val) {
+                         if (v >= 0 && v < t.nn) idx_scratch[size_t(v)] = val;
+                       });
+      }
+      auto value_at = [&](int32_t v, int32_t k) {
+        const int64_t o = base + v;
+        if (t.kind == 1) {  // dictionary page
+          const int32_t idx = idx_scratch[size_t(k)];
+          if (idx < 0 || idx >= t.dict_size) return;  // OOB index -> NULL
+          // (reference: src/reader/column_reader.cpp:190-194)
+          if (is_ba) {
+            const size_t g = size_t(t.dict_base + idx);
+            col_offs[o] = rg_char_base[rg_local] + rgres.dict_offs[g];
+            col_lens[o] = rgres.dict_lens[g];
+            col_src[o] = 1;
+          } else {
+            std::memcpy(col_values + o * col_w,
+                        rgres.dict_fixed.data() +
+                            size_t(t.dict_base + idx) * size_t(col_w),
+                        size_t(col_w));
+          }
+        } else if (is_ba) {
+          col_offs[o] = t.soffs[size_t(k)];
+          col_lens[o] = t.slens[size_t(k)];
+          col_src[o] = 0;
+        } else if (is_bool) {
+          const int64_t byte = k >> 3;
+          col_values[o] =
+              byte < t.val_len && ((t.val_ptr[byte] >> (k & 7)) & 1) ? 1 : 0;
+        } else {
+          if (int64_t(k + 1) * w <= t.val_len)
+            std::memcpy(col_values + o * col_w, t.val_ptr + int64_t(k) * w,
+                        size_t(w));
+        }
+        col_valid[o] = 1;
+      };
+      if (lf.max_def > 0) {
+        int32_t k = 0;
+        expand_runs_to(t.def_runs, t.def_ptr, size_t(t.def_len), def_bw,
+                       [&](int32_t v, int32_t lvl) {
+                         if (lvl == lf.max_def && v < t.num_values)
+                           value_at(v, k++);
+                       });
+      } else {
+        for (int32_t v = 0; v < t.num_values; v++) value_at(v, v);
+      }
+    }
   }
   });
 

@@ -53,6 +53,10 @@ enum PrescanFlags : int64_t {
                         // offsets and no str_chars copy is made (dims
                         // str_abs=1; falls back to copying when a chunk
                         // leaves the mapped file)
+  PS_COLUMN = 16,       // fully-materialized read_column arrays (col_values/
+                        // col_valid, or col_offs/col_lens/col_src for
+                        // BYTE_ARRAY) emitted during the pack pass — the
+                        // decoded-column answer at C++ speed (dims col_mat=1)
 };
 
 // ── Leaf column descriptor ──────────────────────────────────────────────────

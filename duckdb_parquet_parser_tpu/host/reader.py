@@ -15,7 +15,7 @@ from typing import Iterator
 import numpy as np
 
 from . import bindings
-from .batch import DecodeBatch
+from .batch import _NUMPY_DTYPES, DecodeBatch
 from .schema import (
     ColumnInfo,
     ConvertedType,
@@ -297,15 +297,25 @@ class ParquetReader:
             raise IndexError("Invalid row group index")
         rg0, rg1 = (0, n_rg) if row_group_idx < 0 else (row_group_idx, row_group_idx + 1)
         info = self._columns[col_idx]
+        # Fused native materialization: the pre-scan's pack pass emits the
+        # final per-row column arrays (values/validity) in one cache-hot C++
+        # sweep (PS_COLUMN); the vectorized numpy paths below remain as the
+        # golden model and the fallback when the native fast path declines
+        # (e.g. string views unavailable).
         if info.type == ParquetType.BYTE_ARRAY:
-            # zero-copy string views into the file mapping (no chars copy);
-            # the native side falls back to copying tables when needed
             batch = self.prescan(
                 col_idx, rg0, rg1,
-                flags=bindings.PS_HOST_STRINGS | bindings.PS_STR_VIEWS,
+                flags=(bindings.PS_HOST_STRINGS | bindings.PS_STR_VIEWS
+                       | bindings.PS_COLUMN),
             )
+            native = _wrap_native_column(batch, info.type, self._file_view())
+            if native is not None:
+                return native
             return _materialize_strings(batch, file_chars=self._file_view())
-        batch = self.prescan(col_idx, rg0, rg1)
+        batch = self.prescan(col_idx, rg0, rg1, flags=bindings.PS_COLUMN)
+        native = _wrap_native_column(batch, info.type, None)
+        if native is not None:
+            return native
         if info.type == ParquetType.FIXED_LEN_BYTE_ARRAY:
             return _materialize_flba(batch)
         return _materialize_fixed(batch)
@@ -474,6 +484,45 @@ class StringColumnIterator:
 
 
 # ── materialization helpers ─────────────────────────────────────────────────
+
+
+def _wrap_native_column(batch: DecodeBatch, ptype: ParquetType,
+                        file_chars: np.ndarray | None) -> DecodedColumn | None:
+    """Wraps the pre-scan's PS_COLUMN arrays into a DecodedColumn (zero
+    further work); None when the native fast path was declined."""
+    if not int(batch.dims.get("col_mat", 0)):
+        return None
+    arrays = batch.arrays
+    total = int(batch.dims["total_rows"])
+    valid = arrays["col_valid"][:total].view(bool)
+    if ptype == ParquetType.BYTE_ARRAY:
+        if file_chars is None:
+            return None
+        dict_chars = arrays.get("dict_chars", np.zeros(0, np.uint8))
+        return DecodedColumn(
+            ptype,
+            StringValues(arrays["col_offs"][:total], arrays["col_lens"][:total],
+                         arrays["col_src"][:total], (file_chars, dict_chars)),
+            valid,
+        )
+    vals = arrays["col_values"][:total]
+    if ptype == ParquetType.BOOLEAN:
+        return DecodedColumn(ptype, vals[:, 0].view(bool), valid)
+    dtype = _NUMPY_DTYPES.get(ptype)
+    if dtype is not None:
+        return DecodedColumn(ptype, vals.view(dtype).reshape(total), valid)
+    # INT96 / FLBA: w-byte values as lazy bytes
+    w = vals.shape[1]
+    return DecodedColumn(
+        ptype,
+        StringValues(
+            np.arange(total, dtype=np.int64) * w,
+            np.where(valid, w, -1).astype(np.int32),
+            np.zeros(total, np.uint8),
+            (vals.reshape(-1), np.zeros(0, np.uint8)),
+        ),
+        valid,
+    )
 
 
 # Above this many rows read_column routes fixed-width decode through the

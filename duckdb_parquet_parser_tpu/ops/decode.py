@@ -101,15 +101,22 @@ def decode_dict_indices(xp, arrays, nn_idx, nn_len: int,
                         idx_literal: bool = True, max_null_shift: int = -1):
     """Per-row dictionary index and its validity ([N, V] i32, [N, V] bool).
 
-    Consumes the pre-scan's materialized `idx_vals` plane when present
-    (no run expansion, no bit-unpack gathers); run expansion is the
-    fallback."""
+    The pre-scan's materialized `idx_vals` plane is VALUE-SPACE (the index
+    already sits at its row position; -1 at nulls), so consuming it needs
+    neither run expansion nor the null-rank mapping — the whole dict index
+    decode is a slice.  Run expansion + rank mapping is the fallback.
+
+    `ok` is only meaningful AND'ed with the nonnull mask (the two paths may
+    disagree at null positions — the fallback leaves garbage-but-masked
+    values there, exactly like the device zero-fill semantics)."""
     if "idx_vals" in arrays:
+        out_len = nn_idx.shape[1]
         iv = arrays["idx_vals"]
-        idx_stream = iv[:, :nn_len] if iv.shape[1] >= nn_len else xp.concatenate(
-            [iv, xp.zeros((iv.shape[0], nn_len - iv.shape[1]), iv.dtype)],
+        dict_idx = iv[:, :out_len] if iv.shape[1] >= out_len else xp.concatenate(
+            [iv, xp.full((iv.shape[0], out_len - iv.shape[1]), -1, iv.dtype)],
             axis=1,
         )
+        dict_idx = dict_idx.astype(xp.int32) if dict_idx.dtype != xp.int32 else dict_idx
     else:
         idx_stream = expand_hybrid(
             xp,
@@ -118,11 +125,11 @@ def decode_dict_indices(xp, arrays, nn_idx, nn_len: int,
             arrays["idx_run_vstart"], arrays["idx_bytes"],
             arrays["page_idx_bw"], nn_len, has_literal=idx_literal,
         )
-    if 0 <= max_null_shift <= 64 and xp is not np:
-        dict_idx = take2d_shift(xp, idx_stream, nn_idx, max_null_shift,
-                                nn_idx.shape[1])
-    else:
-        dict_idx = take2d(xp, idx_stream, xp.clip(nn_idx, 0, nn_len - 1))
+        if 0 <= max_null_shift <= 64 and xp is not np:
+            dict_idx = take2d_shift(xp, idx_stream, nn_idx, max_null_shift,
+                                    nn_idx.shape[1])
+        else:
+            dict_idx = take2d(xp, idx_stream, xp.clip(nn_idx, 0, nn_len - 1))
     ok = (dict_idx >= 0) & (dict_idx < arrays["page_dict_size"][:, None])
     return dict_idx, ok
 
