@@ -38,7 +38,11 @@ import functools
 
 import numpy as np
 
-SELECT_DICT_MAX = 64
+# A/B on the 2M-row DN=100 fixture (v5e, value-space idx_vals, marginal
+# methodology): select 2.0 ms (~1B rows/s), pallas kernel 9.7 ms (206M),
+# XLA gather 32.5 ms (62M).  Select scales O(DN)/value -> crossover with the
+# flat-ish pallas cost sits around DN~500-1000.
+SELECT_DICT_MAX = 512
 PALLAS_DICT_MAX = 8192
 _TR = 8          # value-row tiles per block (TR x 128 values)
 _LANE = 128

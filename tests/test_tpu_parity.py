@@ -1,0 +1,64 @@
+"""Opt-in REAL-DEVICE parity: DPQ_TPU_PARITY=1 python -m pytest tests/test_tpu_parity.py
+
+The suite proper forces the CPU backend (conftest), so actual-TPU numerics
+are exercised here in a child interpreter on the default (device) backend:
+the jax engine scan must reproduce the numpy golden counts on several
+pattern classes (chain / classes / alternation / anchored fallback) and the
+device read_column route must match the host path."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("DPQ_TPU_PARITY") != "1",
+    reason="real-device parity lane is opt-in (DPQ_TPU_PARITY=1)",
+)
+
+_CHILD = r"""
+import json
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from duckdb_parquet_parser_tpu.models.scan import ScanEngine
+
+path = %(path)r
+eng = ScanEngine(path)
+out = {"platform": jax.default_backend()}
+for pat in ["alpha.*bravo", "al[pb]ha", "alpha|bravo|charlie", "^alpha"]:
+    a = eng.scan("s", pat, engine="jax")
+    b = eng.scan("s", pat, engine="numpy")
+    out[pat] = bool(
+        np.array_equal(a.match_counts, b.match_counts)
+        and np.array_equal(a.value_counts, b.value_counts)
+    )
+print("PARITY " + json.dumps(out))
+"""
+
+
+def test_device_scan_matches_golden(tmp_path):
+    from .fixtures import strings_file
+
+    rng = np.random.default_rng(41)
+    path = strings_file(tmp_path / "tpu.parquet", rng, n=1200, null_p=0.1,
+                        n_unique=10, rgs=2)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD % {"path": str(path)}],
+        capture_output=True, text=True, timeout=3000, env=env,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("PARITY ")]
+    assert line, proc.stdout[-2000:]
+    out = json.loads(line[-1][len("PARITY "):])
+    platform = out.pop("platform")
+    assert all(out.values()), (platform, out)
