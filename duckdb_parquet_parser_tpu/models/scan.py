@@ -199,7 +199,7 @@ class ScanEngine:
 
     def scan_streaming(
         self, column: str, pattern: str, *, negate: bool = False,
-        block_pages: int = 8192, payload_bucket: int = 1536,
+        block_pages: int = 32768, payload_bucket: int = 1536,
     ) -> PageMatchResult:
         """Pipelined COLD device scan: prescan -> upload -> dispatch overlap.
 
@@ -211,29 +211,13 @@ class ScanEngine:
         on a cold file (cold_scan() is the host-side one; resident()/
         scan_batched() serve repeated queries)."""
         import jax
-        import jax.numpy as jnp
         from concurrent.futures import ThreadPoolExecutor
 
         from ..host import bindings
-        from ..ops.bitprog import BitprogUnsupported, compile_bitprog
-        from ..ops.regex import substring_chain
-        from ..ops.strings import match_payload_stream
 
-        dfa = compile_pattern(pattern)
-        try:
-            prog = compile_bitprog(pattern)
-            chain = None
-        except BitprogUnsupported:
-            prog = None
-            chain = substring_chain(pattern)
-
-        @jax.jit
-        def step(payload, plen, nn):
-            hits, _ = match_payload_stream(
-                jnp, payload, plen, nn, dfa.table, dfa.accept, use_mxu=True,
-                chain=chain, prog=prog,
-            )
-            return (nn - hits) if negate else hits
+        # jit-cached across calls (a per-call jax.jit would re-trace every
+        # scan — measured 2.8 s per cold run before caching)
+        step = _streaming_step(pattern, bool(negate))
 
         n_rg = self.reader.num_row_groups()
         col_idx = self.reader.find_column(column)
@@ -269,10 +253,20 @@ class ScanEngine:
                     outs.append(step(*jax.device_put((p, pl, nn))))
                 pending.append((batch, outs))
 
+        # ONE device->host fetch for all blocks (each np.asarray through the
+        # relay costs a ~40 ms round trip; the dispatches above are async)
+        import jax.numpy as jnp
+
+        all_counts = np.asarray(
+            jnp.concatenate([o for _b, outs in pending for o in outs])
+        )
+        at = 0
         gids, counts_parts, values_parts = [], [], []
         for batch, outs in pending:
             n = batch.n_pages
-            counts = np.concatenate([np.asarray(o) for o in outs])[:n]
+            n_padded = sum(int(o.shape[0]) for o in outs)
+            counts = all_counts[at : at + n_padded][:n]
+            at += n_padded
             is_dict = batch.arrays["page_kind"] == 1
             if bool(is_dict.any()):
                 from ..ops.scan import scan_batch_device
@@ -326,6 +320,40 @@ class ScanEngine:
         return out
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=32)
+def _streaming_step(pattern: str, negate: bool):
+    """jit-compiled fixed-shape block step for scan_streaming, cached per
+    (pattern, negate) — shapes are pinned by the payload bucket so every
+    block of every call reuses one compiled program."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.bitprog import BitprogUnsupported, compile_bitprog
+    from ..ops.regex import substring_chain
+    from ..ops.strings import match_payload_stream
+
+    dfa = compile_pattern(pattern)
+    try:
+        prog = compile_bitprog(pattern)
+        chain = None
+    except BitprogUnsupported:
+        prog = None
+        chain = substring_chain(pattern)
+
+    @jax.jit
+    def step(payload, plen, nn):
+        hits, _ = match_payload_stream(
+            jnp, payload, plen, nn, dfa.table, dfa.accept, use_mxu=True,
+            chain=chain, prog=prog,
+        )
+        return (nn - hits) if negate else hits
+
+    return step
+
+
 def cold_scan(
     reader: ParquetReader, column: str, pattern: str, *, negate: bool = False,
     like: bool = False, exact_counts: bool = False,
@@ -371,7 +399,12 @@ class ResidentColumn:
     """A BYTE_ARRAY column resident in device memory, serving repeated regex
     scans (decode + match re-run per query; only the raw page buffers are
     cached — the production "load once, query many" path the benchmark
-    measures)."""
+    measures).
+
+    Pages live on device in LENGTH BUCKETS (ops/scan.length_buckets): the
+    streaming matcher walks each bucket only to its own max payload length,
+    recovering the padded-tail steps a single compiled shape wastes
+    (~15-20% on 1 KB-page data)."""
 
     def __init__(self, reader: ParquetReader, column: str):
         import jax
@@ -379,6 +412,7 @@ class ResidentColumn:
         from ..host import bindings
         from ..ops import decode as _decode
         from ..ops.scan import dfa_match as _dfa_match
+        from ..ops.scan import length_buckets
         from ..utils.jax_setup import enable_compile_cache
 
         enable_compile_cache()
@@ -386,12 +420,17 @@ class ResidentColumn:
             column, pad_strings=8, flags=bindings.PS_PAYLOAD
         )
         arrays = self._batch.arrays
-        self._core = {
-            k: jax.device_put(v) for k, v in arrays.items()
-            if k in _decode.DECODE_ARRAYS
-        }
-        self._payload = jax.device_put(arrays["payload"])
-        self._plen = jax.device_put(arrays["page_payload_len"])
+        plen_np = np.asarray(arrays["page_payload_len"])
+        is_dict = np.asarray(arrays["page_kind"]) == 1
+        self._buckets = []
+        for idx, steps in length_buckets(np.where(is_dict, 0, plen_np)):
+            core = {
+                k: jax.device_put(np.ascontiguousarray(arrays[k][idx]))
+                for k in _decode.DECODE_ARRAYS if k in arrays
+            }
+            payload = jax.device_put(np.ascontiguousarray(arrays["payload"][idx]))
+            plen = jax.device_put(np.ascontiguousarray(plen_np[idx]))
+            self._buckets.append((idx, steps, core, payload, plen))
         self._gid = arrays["page_gid"].copy()
         self._dfa_match = _dfa_match
 
@@ -417,6 +456,7 @@ class ResidentColumn:
             )
         else:
             dict_match = _np.zeros(1, bool)
+        dict_match_d = jax.device_put(dict_match)
 
         from ..ops.bitprog import BitprogUnsupported, compile_bitprog
 
@@ -426,19 +466,27 @@ class ResidentColumn:
             prog_pattern, chain = pat, None
         except BitprogUnsupported:
             prog_pattern, chain = None, substring_chain(pat)
-        step = _device_scan_step(
-            table.tobytes(), table.shape,
-            _np.ascontiguousarray(dfa.accept, bool).tobytes(),
-            self._batch.vmax, self._batch.nn_cap, self._batch.max_def,
-            bool(negate), True, tuple(chain) if chain else None, prog_pattern,
-        )
-        counts, values = step(
-            self._core, self._payload, self._plen, jax.device_put(dict_match)
-        )
+
+        n = self.n_pages
+        counts = _np.zeros(n, _np.int64)
+        values = _np.zeros(n, _np.int64)
+        pending = []
+        for idx, steps, core, payload, plen in self._buckets:
+            step = _device_scan_step(
+                table.tobytes(), table.shape,
+                _np.ascontiguousarray(dfa.accept, bool).tobytes(),
+                self._batch.vmax, self._batch.nn_cap, self._batch.max_def,
+                bool(negate), True, tuple(chain) if chain else None,
+                prog_pattern, steps,
+            )
+            pending.append((idx, step(core, payload, plen, dict_match_d)))
+        for idx, (c, v) in pending:
+            counts[idx] = _np.asarray(c, _np.int64)
+            values[idx] = _np.asarray(v, _np.int64)
         return PageMatchResult(
             page_gid=self._gid.copy(),
-            match_counts=_np.asarray(counts, _np.int64),
-            value_counts=_np.asarray(values, _np.int64),
+            match_counts=counts,
+            value_counts=values,
         )
 
 

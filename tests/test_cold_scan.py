@@ -120,3 +120,43 @@ def test_scan_streaming_parity(dict_file, plain_file, pattern, neg):
         np.testing.assert_array_equal(got.page_gid, golden.page_gid)
         np.testing.assert_array_equal(got.match_counts, golden.match_counts)
         np.testing.assert_array_equal(got.value_counts, golden.value_counts)
+
+
+def test_length_buckets_cover_and_bound():
+    from duckdb_parquet_parser_tpu.ops.scan import length_buckets
+
+    rng = np.random.default_rng(3)
+    plen = rng.integers(100, 1400, 5000).astype(np.int32)
+    buckets = length_buckets(plen, min_bucket=100)
+    got = np.concatenate([idx for idx, _ in buckets])
+    np.testing.assert_array_equal(np.sort(got), np.arange(len(plen)))
+    for idx, steps in buckets:
+        assert steps >= int(plen[idx].max())
+    # two buckets must beat one on total lane-steps for spread-out lengths
+    if len(buckets) == 2:
+        (i1, s1), (i2, s2) = buckets
+        assert len(i1) * s1 + len(i2) * s2 < len(plen) * int(plen.max())
+
+
+def test_resident_bucketed_scan_parity(dict_file, plain_file, monkeypatch):
+    """Two-bucket resident serving returns the same counts as the golden
+    matcher (forced split via a tiny min_bucket)."""
+    import duckdb_parquet_parser_tpu.ops.scan as S
+
+    orig = S.length_buckets
+    monkeypatch.setattr(
+        S, "length_buckets",
+        lambda plen, max_buckets=2, min_bucket=1024: orig(
+            plen, max_buckets, min_bucket=2
+        ),
+    )
+    for path in (dict_file, plain_file):
+        eng = ScanEngine(path)
+        res = eng.resident("s")
+        assert len(res._buckets) >= 1
+        for pattern, neg in [("alpha.*bravo", False), ("charlie", True)]:
+            got = res.scan(pattern, negate=neg)
+            golden = eng.scan("s", pattern, negate=neg, engine="numpy")
+            np.testing.assert_array_equal(got.match_counts, golden.match_counts)
+            np.testing.assert_array_equal(got.value_counts, golden.value_counts)
+            np.testing.assert_array_equal(got.page_gid, golden.page_gid)
