@@ -199,7 +199,7 @@ class ScanEngine:
 
     def scan_streaming(
         self, column: str, pattern: str, *, negate: bool = False,
-        block_pages: int = 32768, payload_bucket: int = 1536,
+        block_pages: int | None = None, payload_bucket: int = 1536,
     ) -> PageMatchResult:
         """Pipelined COLD device scan: prescan -> upload -> dispatch overlap.
 
@@ -209,7 +209,13 @@ class ScanEngine:
         host prescan of row group i+1 overlaps the transfer/compute of row
         group i's blocks.  This is the device-side answer to a one-shot scan
         on a cold file (cold_scan() is the host-side one; resident()/
-        scan_batched() serve repeated queries)."""
+        scan_batched() serve repeated queries).
+
+        Environment note: on this build box the TPU sits behind a relay
+        whose per-dispatch round trip costs hundreds of ms, which dominates
+        this path end-to-end (measured; the same pipeline on a
+        directly-attached chip is upload-bandwidth bound).  cold_scan() is
+        the production one-shot answer here."""
         import jax
         from concurrent.futures import ThreadPoolExecutor
 
@@ -221,8 +227,22 @@ class ScanEngine:
 
         n_rg = self.reader.num_row_groups()
         col_idx = self.reader.find_column(column)
+        if block_pages is None:
+            # one block per row group, rounded so different files with
+            # similar row-group sizes land on few compiled shapes; a partial
+            # block then pads by at most the rounding, not a whole block
+            probe = self.reader.prescan(
+                col_idx, 0, 1, pad_strings=8, flags=bindings.PS_PAYLOAD,
+                payload_align=payload_bucket,
+            )
+            block_pages = max(-(-int(probe.n_pages * 1.25) // 4096) * 4096, 4096)
+            first_batch = probe
+        else:
+            first_batch = None
 
         def prescan_rg(rg):
+            if rg == 0 and first_batch is not None:
+                return first_batch
             return self.reader.prescan(
                 col_idx, rg, rg + 1, pad_strings=8,
                 flags=bindings.PS_PAYLOAD, payload_align=payload_bucket,
@@ -253,20 +273,14 @@ class ScanEngine:
                     outs.append(step(*jax.device_put((p, pl, nn))))
                 pending.append((batch, outs))
 
-        # ONE device->host fetch for all blocks (each np.asarray through the
-        # relay costs a ~40 ms round trip; the dispatches above are async)
-        import jax.numpy as jnp
-
-        all_counts = np.asarray(
-            jnp.concatenate([o for _b, outs in pending for o in outs])
-        )
-        at = 0
+        # Per-block fetches: a device-side concatenate would be one fewer
+        # round trip but introduces an ad-hoc op whose REMOTE COMPILE costs
+        # minutes on this relay (measured 218 s) — plain fetches of the
+        # already-computed block outputs pay only the ~40 ms RT each.
         gids, counts_parts, values_parts = [], [], []
         for batch, outs in pending:
             n = batch.n_pages
-            n_padded = sum(int(o.shape[0]) for o in outs)
-            counts = all_counts[at : at + n_padded][:n]
-            at += n_padded
+            counts = np.concatenate([np.asarray(o) for o in outs])[:n]
             is_dict = batch.arrays["page_kind"] == 1
             if bool(is_dict.any()):
                 from ..ops.scan import scan_batch_device

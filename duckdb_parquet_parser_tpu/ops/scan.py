@@ -25,7 +25,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from . import decode as _decode
-from .regex import DFA, UnsupportedPattern, compile_pattern
+from .regex import UnsupportedPattern, compile_pattern
 
 
 def dfa_match(xp, chars, lens, table, accept):

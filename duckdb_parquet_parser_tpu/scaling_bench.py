@@ -44,10 +44,7 @@ def main() -> int:
 
     from .host import bindings
     from .host.reader import ParquetReader
-    from .models.scan import ScanEngine
     from .parallel.mesh import Mesh, PAGES_AXIS
-
-    _ = ScanEngine  # facade import kept for parity with the engine surface
 
     devs = jax.devices()
     sizes = [n for n in (1, 2, 4, 8) if n <= len(devs)]
@@ -81,11 +78,7 @@ def main() -> int:
         pad_pages,
         reorder_pages,
     )
-    from .parallel.pipeline import (
-        _make_scan_step,
-        core_arrays,
-        distributed_scan,
-    )
+    from .parallel.pipeline import _make_scan_step, core_arrays
     from .ops.scan import dfa_match
 
     reader = ParquetReader(path)
