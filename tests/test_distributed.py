@@ -222,3 +222,28 @@ def test_distributed_init_from_env(monkeypatch):
     monkeypatch.setenv("DPQ_PROCESS_ID", "2")
     M.distributed_init_from_env()
     assert calls == {"addr": "10.0.0.1:1234", "n": 4, "pid": 2}
+
+
+def test_scaling_bench_emits_table(tmp_path, capsys, monkeypatch):
+    """The scaling harness runs end-to-end on the virtual mesh and emits the
+    rows/s + efficiency + shard-skew table."""
+    import json
+    import sys
+
+    from duckdb_parquet_parser_tpu import scaling_bench
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.setattr(
+        sys, "argv", ["scaling_bench", "--rows", "4000", "--reps", "2"]
+    )
+    assert scaling_bench.main() == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["metric"] == "scan_scaling"
+    sizes = [row["devices"] for row in out["table"]]
+    assert sizes == [1, 2, 4, 8]
+    for row in out["table"]:
+        assert row["rows_per_s"] > 0
+        assert 0 < row["efficiency"] <= 1.2
+        assert row["shard_value_skew"] < 1.5
