@@ -334,11 +334,50 @@ def _intervals(cls: frozenset) -> list[tuple[int, int]]:
     return out
 
 
+# Distinct singleton classes per register before the bit-sliced membership
+# plan beats per-class compare+select (bit-slicing costs <= 8 selects + 7
+# ands + a 2-op constant-plane gate regardless of the letter count; the
+# compare path costs ~3 ops per distinct letter).
+BITSLICE_MIN = 4
+
+
+def _bitslice_plan(singletons: dict[int, int]):
+    """Bit-sliced membership constants for singleton classes {byte: bits}.
+
+    Position bit j (class = the single byte b_j) must survive iff every bit
+    plane of the input byte matches b_j's: m = AND_k where(bit_k(c), S_k,
+    C_k), where S_k/C_k hold the position bits whose byte has plane k
+    set/clear.  Planes where ALL participating bytes agree fold into one
+    `(c & const_mask) == const_val` gate (for ASCII text that removes 3-4
+    planes), so the per-byte cost is a handful of ops independent of how
+    many distinct letters the register watches — the fix for the
+    letter-union cost of alternations (ops/pallas/README.md round-2 table).
+    """
+    all_bits = 0
+    set_planes = [0] * 8
+    clear_planes = [0] * 8
+    for byte, bits in singletons.items():
+        all_bits |= bits
+        for k in range(8):
+            (set_planes if (byte >> k) & 1 else clear_planes)[k] |= bits
+    const_mask = const_val = 0
+    var_planes = []
+    for k in range(8):
+        if set_planes[k] == all_bits:
+            const_mask |= 1 << k
+            const_val |= 1 << k
+        elif clear_planes[k] == all_bits:
+            const_mask |= 1 << k
+        else:
+            var_planes.append((k, set_planes[k], clear_planes[k]))
+    return all_bits, const_mask, const_val, tuple(var_planes)
+
+
 @dataclass
 class _SegConsts:
     """Per-register compile-time constants of one (possibly packed) segment."""
 
-    weights: dict          # class id -> position bits
+    weights: dict          # byte-class frozenset -> position bits
     any_bits: int          # positions with class == ANY
     r_mask: int            # repeatable positions
     o_mask: int            # optional positions
@@ -349,19 +388,15 @@ class _SegConsts:
     width: int = 0         # bits used (packing watermark)
 
 
-def _seg_consts(seg: Segment, base: int, class_ids, specs) -> _SegConsts:
+def _seg_consts(seg: Segment, base: int) -> _SegConsts:
     """Constants for `seg` with its positions placed at bit offset `base`."""
-    weights: dict[int, int] = {}
+    weights: dict[frozenset, int] = {}
     any_bits = 0
     for p_idx, cls in enumerate(seg.cls):
         if cls == ANY:
             any_bits |= 1 << (base + p_idx)
             continue
-        if cls not in class_ids:
-            class_ids[cls] = len(specs)
-            specs.append(_intervals(cls))
-        cid = class_ids[cls]
-        weights[cid] = weights.get(cid, 0) | (1 << (base + p_idx))
+        weights[cls] = weights.get(cls, 0) | (1 << (base + p_idx))
     r_mask = sum(
         1 << (base + i) for i, q in enumerate(seg.quant) if q in (Q_PLUS, Q_STAR)
     )
@@ -396,28 +431,81 @@ def _merge(a: _SegConsts, b: _SegConsts) -> _SegConsts:
                       max(a.width, b.width))
 
 
+@dataclass
+class _MaskPlan:
+    """Per-register byte-class membership plan (chosen at build time)."""
+
+    cmp_weights: dict      # class id -> position bits (compare path)
+    any_bits: int
+    bslice: tuple | None   # _bitslice_plan output for singleton classes
+
+
+def _mask_plan(sc: _SegConsts, class_ids, specs) -> _MaskPlan:
+    """Choose the membership representation for one register's classes:
+    bit-sliced planes when enough distinct single-byte classes share the
+    register (cost then independent of the letter count), interval compares
+    (shared program-wide per distinct class) for the rest."""
+    singles: dict[int, int] = {}
+    multis: dict[frozenset, int] = {}
+    for cls, bits in sc.weights.items():
+        if len(cls) == 1:
+            (b,) = cls
+            singles[b] = singles.get(b, 0) | bits
+        else:
+            multis[cls] = multis.get(cls, 0) | bits
+    bslice = None
+    if len(singles) >= BITSLICE_MIN:
+        bslice = _bitslice_plan(singles)
+    else:
+        for b, bits in singles.items():
+            key = frozenset([b])
+            multis[key] = multis.get(key, 0) | bits
+    cmp_weights: dict[int, int] = {}
+    for cls, bits in multis.items():
+        if cls not in class_ids:
+            class_ids[cls] = len(specs)
+            specs.append(_intervals(cls))
+        cid = class_ids[cls]
+        cmp_weights[cid] = cmp_weights.get(cid, 0) | bits
+    return _MaskPlan(cmp_weights, sc.any_bits, bslice)
+
+
 def make_bitprog_transition(xp, prog: BitProgram):
     """Returns (transition(state_tuple, c) -> (next_tuple, accept [N] i32),
     n_state_regs, accept_empty) — the ops/strings.py matcher interface.
 
-    Per byte: one membership test per DISTINCT byte class across the whole
-    program (equality for singletons, interval compares otherwise; shared by
-    every position using the class), then per register a shift/or/and ladder,
-    an optional-run smear only where optionals exist, and sticky done-bit
-    updates.  All [N] int32 vector ops; no gathers, no matmuls.
+    Per byte, class membership is tested once per register via the cheapest
+    plan (_mask_plan): registers watching >= BITSLICE_MIN distinct letters
+    use bit-sliced planes — `AND_k where(bit_k(c), S_k, C_k)` with
+    always-agreeing planes folded into one constant compare — so the cost is
+    ~a dozen ops regardless of the letter union; sparse registers and true
+    byte classes use interval compares shared program-wide.  Then per
+    register a shift/or/and ladder, an optional-run smear only where
+    optionals exist, and sticky done-bit updates.  All [N] int32 vector ops;
+    no gathers, no matmuls.
 
     Register packing: gap-free machines (single segment — e.g. the branches
     of `cat|dog|mouse`) SHARE registers, stacked at disjoint bit offsets.
     Their start positions are seeded every byte via `start_mask`, which also
     makes cross-boundary shift carries harmless (a carry can only land on an
     always-seeded start bit), so an A-way alternation of short words costs
-    the same per byte as a single word.  Machines with '.*' gaps keep one
-    register per segment plus a done word (chained seeding is order-exact)."""
+    the same per byte as a single word.
+
+    Machines with '.*' gaps whose total position count fits one register are
+    FUSED: all segments share one register at disjoint offsets plus one done
+    word, paying a single shift ladder per byte.  Segment s's start bit is
+    seeded from done bit s-1 (sticky), which subsumes every cross-segment
+    shift carry / optional smear: a bit can only cross the s-1 | s boundary
+    out of positions inside segment s-1's acc_mask (the trailing-optional
+    run plus its anchor), and any such bit set done bit s-1 on the previous
+    byte — so the seed already covers the crossing.  Oversized machines keep
+    the one-register-per-segment layout."""
     class_ids: dict[frozenset, int] = {}
     specs: list[list[tuple[int, int]]] = []
 
     packed: list[_SegConsts] = []   # shared registers of gap-free machines
-    chained = []                    # per multi-segment machine: [_SegConsts]
+    fused = []                      # (consts, seg_offs, seg_accs) per machine
+    chained = []                    # per oversized machine: [_SegConsts]
 
     for m in prog.machines:
         if len(m.segments) == 1:
@@ -426,27 +514,54 @@ def make_bitprog_transition(xp, prog: BitProgram):
             for slot, existing in enumerate(packed):
                 if existing.width + len(seg.cls) <= MAX_POSITIONS:
                     packed[slot] = _merge(
-                        existing,
-                        _seg_consts(seg, existing.width, class_ids, specs),
+                        existing, _seg_consts(seg, existing.width)
                     )
                     placed = True
                     break
             if not placed:
-                packed.append(_seg_consts(seg, 0, class_ids, specs))
+                packed.append(_seg_consts(seg, 0))
+            continue
+        total = sum(len(s.cls) for s in m.segments)
+        if total <= MAX_POSITIONS:
+            base = 0
+            consts = None
+            seg_offs, seg_accs = [], []
+            for seg in m.segments:
+                sc = _seg_consts(seg, base)
+                seg_offs.append(base)
+                seg_accs.append(sc.acc_mask)
+                consts = sc if consts is None else _merge(consts, sc)
+                base += len(seg.cls)
+            fused.append((consts, tuple(seg_offs), tuple(seg_accs)))
             continue
         segs = []
         for s_idx, seg in enumerate(m.segments):
-            sc = _seg_consts(seg, 0, class_ids, specs)
+            sc = _seg_consts(seg, 0)
             sc.seg_idx = s_idx
             segs.append(sc)
         chained.append(segs)
 
-    # each packed group carries a sticky accept word (acceptance is sampled
-    # at the value's LAST byte, so transient acc-bit hits must accumulate)
-    n_regs = 2 * len(packed) + sum(len(s) + 1 for s in chained)
+    packed_plans = [_mask_plan(sc, class_ids, specs) for sc in packed]
+    fused_plans = [_mask_plan(sc, class_ids, specs) for sc, _, _ in fused]
+    chained_plans = [
+        [_mask_plan(sc, class_ids, specs) for sc in segs] for segs in chained
+    ]
+    bit_planes = sorted({
+        k
+        for plan in (packed_plans + fused_plans
+                     + [p for seg in chained_plans for p in seg])
+        if plan.bslice is not None
+        for k, _, _ in plan.bslice[3]
+    })
+
+    # packed groups and fused machines carry (reg, sticky/done) word pairs
+    # (acceptance is sampled at the value's LAST byte, so transient acc-bit
+    # hits must accumulate)
+    n_regs = 2 * len(packed) + 2 * len(fused) + sum(len(s) + 1 for s in chained)
 
     def transition(state, c):
-        # one membership test per distinct class, shared program-wide
+        # shared membership tests: one per distinct compare-path class, one
+        # per bit plane referenced by any bit-sliced register
         tests = []
         for iv in specs:
             t = None
@@ -454,14 +569,27 @@ def make_bitprog_transition(xp, prog: BitProgram):
                 m = (c == lo) if lo == hi else ((c >= lo) & (c <= hi))
                 t = m if t is None else (t | m)
             tests.append(t)
+        bit_tests = {k: (c & (1 << k)) != 0 for k in bit_planes}
 
-        def byte_mask(sc: _SegConsts):
+        def byte_mask(plan: _MaskPlan):
             # OR-tree (not a serial chain): the reduction is the per-byte
-            # critical path for letter-heavy alternations
+            # critical path for class-heavy registers
             terms = [xp.where(tests[cid], bits, 0)
-                     for cid, bits in sc.weights.items()]
-            if sc.any_bits:
-                terms.append(xp.full_like(c, sc.any_bits))
+                     for cid, bits in plan.cmp_weights.items()]
+            if plan.bslice is not None:
+                all_bits, cmask, cval, var = plan.bslice
+                if var:
+                    m = None
+                    for k, s_bits, c_bits in var:
+                        sel = xp.where(bit_tests[k], s_bits, c_bits)
+                        m = sel if m is None else (m & sel)
+                else:
+                    m = xp.full_like(c, all_bits)
+                if cmask:
+                    m = xp.where((c & cmask) == cval, m, 0)
+                terms.append(m)
+            if plan.any_bits:
+                terms.append(xp.full_like(c, plan.any_bits))
             if not terms:
                 return xp.zeros_like(c)
             while len(terms) > 1:
@@ -472,11 +600,11 @@ def make_bitprog_transition(xp, prog: BitProgram):
                 terms = nxt
             return terms[0]
 
-        def advance(sc: _SegConsts, reg, seed):
+        def advance(sc: _SegConsts, plan: _MaskPlan, reg, seed):
             f = (reg << 1) | seed
             for _ in range(sc.smears):
                 f = f | ((f & sc.o_mask) << 1)
-            b = byte_mask(sc)
+            b = byte_mask(plan)
             nxt = f & b
             if sc.r_mask:
                 nxt = nxt | (reg & sc.r_mask & b)
@@ -490,21 +618,35 @@ def make_bitprog_transition(xp, prog: BitProgram):
             accept = v if accept is None else (accept | v)
 
         reg_at = 0
-        for sc in packed:
-            reg = advance(sc, state[reg_at], sc.start_mask)
+        for sc, plan in zip(packed, packed_plans):
+            reg = advance(sc, plan, state[reg_at], sc.start_mask)
             sticky = state[reg_at + 1] | (reg & sc.acc_mask)
             reg_at += 2
             acc_or((sticky != 0).astype(xp.int32))
             new_state.append(reg)
             new_state.append(sticky)
-        for segs in chained:
+        for (sc, seg_offs, seg_accs), plan in zip(fused, fused_plans):
+            old_reg, done = state[reg_at], state[reg_at + 1]
+            reg_at += 2
+            seed = 1
+            for s in range(1, len(seg_offs)):
+                seed = seed | (((done >> (s - 1)) & 1) << seg_offs[s])
+            reg = advance(sc, plan, old_reg, seed)
+            new_done = done
+            for s, acc_mask in enumerate(seg_accs):
+                hit = ((reg & acc_mask) != 0).astype(xp.int32)
+                new_done = new_done | (hit << s)
+            acc_or((new_done >> (len(seg_accs) - 1)) & 1)
+            new_state.append(reg)
+            new_state.append(new_done)
+        for segs, plans in zip(chained, chained_plans):
             regs = state[reg_at : reg_at + len(segs)]
             done = state[reg_at + len(segs)]
             reg_at += len(segs) + 1
             new_done = done
-            for sc in segs:
+            for sc, plan in zip(segs, plans):
                 seed = 1 if sc.seg_idx == 0 else ((done >> (sc.seg_idx - 1)) & 1)
-                reg = advance(sc, regs[sc.seg_idx], seed)
+                reg = advance(sc, plan, regs[sc.seg_idx], seed)
                 hit = ((reg & sc.acc_mask) != 0).astype(xp.int32)
                 new_done = new_done | (hit << sc.seg_idx)
                 new_state.append(reg)

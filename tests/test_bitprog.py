@@ -26,6 +26,10 @@ SUPPORTED = [
     "cat|dog|q", "(ab|cd)x", "(ab){1,2}x", "ab|cde|fg|q.z",
     "aaa|bbb|ccc|ddd|eee", "a?b?c?d", "xy|ab.*cd", "a.*[xyz]q?",
     "gr[ae]y|colou?r", "[a-c][d-f][g-i]",
+    # mixed bit-sliced singletons + interval classes in one register
+    "abcd[xy]e", "abcde|fgq", "ab?c.*de?f", "aq.*bx.*cy",
+    # oversized machine (>31 total positions -> one register per segment)
+    "abcdefgabcdefgabq.*cdefgabcdefgqxyz",
 ]
 
 UNSUPPORTED = [
@@ -157,3 +161,43 @@ def test_register_packing():
         np, compile_bitprog("cat|dog|mouse")
     )
     assert n_regs == 2  # one packed register + one sticky accept word
+
+
+def test_fused_chain_packing():
+    """A '.*' chain that fits one register pays (reg, done) — not
+    one register per segment."""
+    _, n_regs, _ = make_bitprog_transition(
+        np, compile_bitprog("special.*requests")
+    )
+    assert n_regs == 2
+    # oversized chains keep the per-segment layout (2 segments + done)
+    _, n_regs_wide, _ = make_bitprog_transition(
+        np, compile_bitprog("abcdefgabcdefgabq.*cdefgabcdefgqxyz")
+    )
+    assert n_regs_wide == 3
+
+
+def test_fused_boundary_semantics():
+    """Hand-picked values around the segment boundary of a fused chain with
+    trailing/leading optionals (the cross-boundary carry/smear cases)."""
+    import re
+
+    for pattern in ["a.*b", "ab?.*c?d", "ab.*cd", "a+.*b+", "ax?.*y?b.*c"]:
+        prog = compile_bitprog(pattern)
+        dfa = compile_pattern(pattern)
+        rx = re.compile(pattern.encode())
+        vals = [b"", b"ab", b"ad", b"ba", b"acd", b"abcd", b"ad b", b"axyb",
+                b"aaabbb", b"abab", b"axybc", b"adc", b"a" * 30 + b"b",
+                b"ab" * 8, b"axxxxyd", b"acdc", b"abdcd", b"aybc"]
+        buf = bytearray()
+        for v in vals:
+            buf += len(v).to_bytes(4, "little") + v
+        pm = np.frombuffer(bytes(buf), np.uint8)[None, :].copy()
+        pl = np.array([len(buf)], np.int32)
+        nn = np.array([len(vals)], np.int32)
+        hits, seen = match_payload_stream(
+            np, pm, pl, nn, dfa.table, dfa.accept, prog=prog
+        )
+        expect = sum(1 for v in vals if rx.search(v))
+        assert hits[0] == expect, (pattern, hits[0], expect)
+        assert seen[0] == len(vals)
