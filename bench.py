@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 CACHE = Path(os.environ.get("DPQ_BENCH_DIR", "/tmp/dpq_bench"))
 PATTERN = "special.*requests"  # TPC-H Q13-style filter
 PATTERN_GENERAL = "spe[cs]ial.*requ[ea]sts"  # classes: bit-parallel NFA path
+PATTERN_ALT = "carefully|quickly|special"   # alternation: packed registers
 
 
 def log(*a):
@@ -257,6 +258,13 @@ def bench_engine(path: Path, reps: int) -> dict:
     out["scan_general_rows_per_s"] = total / marg_gen
     log(f"scan general {PATTERN_GENERAL!r}: {total/marg_gen:.3g} rows/s "
         f"(marginal {marg_gen*1000:.1f} ms)")
+
+    # alternation scan (packed registers + bit-sliced masks)
+    _, marg_alt = _marginal(make_scan_for(PATTERN_ALT), (pd, pld, nnd),
+                            reps_hi=1 + reps)
+    out["scan_alternation_rows_per_s"] = total / marg_alt
+    log(f"scan alternation {PATTERN_ALT!r}: {total/marg_alt:.3g} rows/s "
+        f"(marginal {marg_alt*1000:.1f} ms)")
 
     # length-bucketed serving layout (ResidentColumn's): each bucket walks
     # only to its own max payload length

@@ -142,7 +142,7 @@ def match_payload_stream(xp, payload, payload_len, nn, table, accept,
     tflat = xp.asarray(table, dtype=xp.int32).reshape(-1)
     acc_i = xp.asarray(accept).astype(xp.int32)
     acc0 = int(np.asarray(accept)[0])  # accept of the empty string
-    payload_i = payload.astype(xp.int32)
+    payload_i = payload.astype(np.int32) if xp is np else None
     nn = xp.asarray(nn, dtype=xp.int32)
     payload_len = xp.asarray(payload_len, dtype=xp.int32)
 
@@ -228,10 +228,14 @@ def match_payload_stream(xp, payload, payload_len, nn, table, accept,
 
     import jax
 
-    cols = xp.transpose(payload_i)  # [P, N]
+    # xs stay u8: lax.scan materializes its xs, so a pre-widened int32
+    # [P, N] matrix would write+read 4x the payload bytes through HBM;
+    # widening per step is one fused op on the sliced column instead.
+    cols = xp.transpose(payload)  # [P, N] u8
 
     def step(carry, xs):
-        b, c = xs
+        b, c8 = xs
+        c = c8.astype(xp.int32)
         st2, acc_st2 = transition(carry[2], c)
         return control_update(carry, b, c, st2, acc_st2), None
 
