@@ -206,11 +206,13 @@ def dfa_match_mxu(xp, chars, lens, table, accept, unroll: int = 8):
     transition = make_mxu_transition(table, accept)
     acc = jnp.asarray(np.asarray(accept))
     lens = jnp.asarray(lens, dtype=jnp.int32)
-    cols = jnp.transpose(jnp.asarray(chars)).astype(jnp.int32)  # [P, L]
+    # xs stay u8 (lax.scan materializes them — int32 would stage 4x the
+    # bytes through HBM); widen the sliced column per step instead
+    cols = jnp.transpose(jnp.asarray(chars))  # [P, L] u8
 
     def step(state, xs):
         j, col = xs
-        nxt, _ = transition(state, col)
+        nxt, _ = transition(state, col.astype(jnp.int32))
         return jnp.where(j < lens, nxt, state), None
 
     state0 = jnp.zeros(chars.shape[0], jnp.int32)

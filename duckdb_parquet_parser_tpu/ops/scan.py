@@ -49,11 +49,12 @@ def dfa_match(xp, chars, lens, table, accept):
     import jax
     import jax.numpy as jnp
 
-    cols = jnp.transpose(xp.asarray(chars)).astype(jnp.int32)  # [P, L]
+    # xs stay u8 (lax.scan materializes them); widen per step
+    cols = jnp.transpose(xp.asarray(chars))  # [P, L] u8
 
     def step(state, xs):
         j, col = xs
-        nxt = jnp.take(tflat, state * 256 + col)
+        nxt = jnp.take(tflat, state * 256 + col.astype(jnp.int32))
         return jnp.where(j < lens, nxt, state), None
 
     state0 = jnp.zeros(n, jnp.int32)
