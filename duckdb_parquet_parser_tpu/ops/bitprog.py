@@ -18,11 +18,16 @@ the per-byte cost at a handful of [N] int32 vector ops with ZERO gathers:
     bits exactly like the bitap needle chain (a segment seeds only after its
     predecessor has completed);
   * top-level alternation compiles each branch to its own machine (bounded
-    fan-out), OR-ing accepts; single-byte alternations collapse to classes.
+    fan-out), OR-ing accepts; single-byte alternations collapse to classes;
+  * edge anchors (whole-pattern '^'/'$', DFA-compiler semantics — LIKE
+    'lit%' / '%lit') become first-byte-only seeding (driven by a shared
+    marker register that the value-boundary reset zeroes) and non-sticky
+    accepts sampled at the value's last byte.
 
-Anything outside this family (anchors, nested unbounded groups, huge counted
-repeats) raises BitprogUnsupported and callers fall back to the MXU DFA —
-survivor sets are identical either way (tested against the DFA/numpy oracle).
+Anything outside this family (inner anchors, nested unbounded groups, huge
+counted repeats) raises BitprogUnsupported and callers fall back to the MXU
+DFA — survivor sets are identical either way (tested against the DFA/numpy
+oracle).
 
 A pure substring chain lowers to singleton-class ONE positions: the emitted
 transition is then exactly the round-1 bitap (same masks, same register
@@ -171,6 +176,11 @@ class Segment:
 @dataclass
 class Machine:
     segments: list = field(default_factory=list)
+    lead_gap: bool = False   # '.*' (or an absorbed optional run) before content
+    trail_gap: bool = False  # '.*' after the last content
+    anch_s: bool = False     # first segment seeds only at the value's 1st byte
+    anch_e: bool = False     # accept sampled non-sticky (match must END at the
+                             # value's last byte)
 
 
 def _as_class(node) -> frozenset | None:
@@ -248,26 +258,39 @@ def _flatten(node) -> list[list]:
 def _segment(tokens: list) -> Machine:
     m = Machine()
     seg = Segment()
+    raw: list[Segment] = []
+    saw_content = False
     for tok in tokens:
         if tok is GAP:
             if seg.cls:
-                m.segments.append(seg)
+                raw.append(seg)
                 seg = Segment()
+            if not saw_content:
+                m.lead_gap = True
+            m.trail_gap = True
             continue  # empty segment between gaps collapses
         cls, q = tok
         if not cls:
             raise BitprogUnsupported("empty byte class")
         seg.cls.append(cls)
         seg.quant.append(q)
+        saw_content = True
+        m.trail_gap = False
     if seg.cls:
-        m.segments.append(seg)
+        raw.append(seg)
     # drop fully-optional segments: they are absorbed by the gap around them
+    # (a dropped EDGE segment also absorbs any edge anchor — the optional run
+    # plus its gap can match anything, so the machine is gap-edged there)
     m.segments = [
-        s for s in m.segments
+        s for s in raw
         if any(q in (Q_ONE, Q_PLUS) for q in s.quant)
     ]
     if not m.segments:
         raise BitprogUnsupported("pattern matches the empty string everywhere")
+    if raw[0] is not m.segments[0]:
+        m.lead_gap = True
+    if raw[-1] is not m.segments[-1]:
+        m.trail_gap = True
     if len(m.segments) > MAX_SEGMENTS:
         raise BitprogUnsupported("too many '.*' gaps")
     for s in m.segments:
@@ -285,31 +308,45 @@ class BitProgram:
     @property
     def n_registers(self) -> int:
         """Unpacked upper bound (one register per segment + a done word per
-        machine); make_bitprog_transition packs gap-free machines into
-        shared registers and reports the true count."""
-        return sum(len(m.segments) + 1 for m in self.machines)
+        machine + the first-byte marker); make_bitprog_transition packs
+        gap-free machines into shared registers and reports the true
+        count."""
+        return sum(len(m.segments) + 1 for m in self.machines) + 1
 
 
 def compile_bitprog(pattern: str) -> BitProgram:
     """Pattern -> BitProgram (raises BitprogUnsupported outside the extended
-    Shift-And family).  Unanchored search semantics, like the DFA compiler
-    without ^/$."""
+    Shift-And family).  Search semantics exactly like the DFA compiler:
+    unanchored unless ^/$ sit at the pattern edges, and an edge anchor
+    applies to the WHOLE pattern — '^a|b' means '^(a|b)', matching
+    compile_pattern (regex.py:457-462), not Python re."""
     pat = pattern
-    # strip the redundant unanchored wrappers ('^.*', '.*$')
-    if pat.startswith("^.*"):
+    # NOTE: no '^.*' / '.*$' wrapper stripping here — under a top-level
+    # alternation the edge anchor applies to EVERY branch ('a|b.*$' means
+    # '(a|b.*)$'), so the wrapper only defeats the anchor for the branch
+    # that carries the gap; _segment records that per machine (lead_gap /
+    # trail_gap) and the anchor flags below honor it.
+    anchor_start = pat.startswith("^")
+    if anchor_start:
         pat = pat[1:]
-    if pat.endswith(".*$") and not pat.endswith("\\.*$"):
+    anchor_end = pat.endswith("$") and not pat.endswith("\\$")
+    if anchor_end:
         pat = pat[:-1]
-    if pat.startswith("^") or (pat.endswith("$") and not pat.endswith("\\$")):
-        raise BitprogUnsupported("anchored patterns take the DFA path")
     machines = [_segment(toks) for toks in _flatten(_parse(pat))]
+    for m in machines:
+        m.anch_s = anchor_start and not m.lead_gap
+        m.anch_e = anchor_end and not m.trail_gap
     fp = tuple(
         (
+            m.anch_s,
+            m.anch_e,
             tuple(
-                (tuple(sorted(c)), q)
-                for c, q in zip(s.cls, s.quant)
-            )
-            for s in m.segments
+                tuple(
+                    (tuple(sorted(c)), q)
+                    for c, q in zip(s.cls, s.quant)
+                )
+                for s in m.segments
+            ),
         )
         for m in machines
     )
@@ -382,10 +419,13 @@ class _SegConsts:
     r_mask: int            # repeatable positions
     o_mask: int            # optional positions
     smears: int            # epsilon-smear iterations
-    acc_mask: int          # completion bits (last position + trailing opts)
-    start_mask: int        # always-seeded start bits (first segments)
+    acc_mask: int          # STICKY completion bits (last position + trailing
+                           # opts of end-unanchored machines)
+    start_mask: int        # always-seeded start bits (unanchored machines)
     seg_idx: int           # segment index within its machine (gap chains)
     width: int = 0         # bits used (packing watermark)
+    anch_start_mask: int = 0  # start bits seeded only at the value's 1st byte
+    acc_now_mask: int = 0     # NON-STICKY accept bits ('$'-anchored machines)
 
 
 def _seg_consts(seg: Segment, base: int) -> _SegConsts:
@@ -428,7 +468,9 @@ def _merge(a: _SegConsts, b: _SegConsts) -> _SegConsts:
     return _SegConsts(w, a.any_bits | b.any_bits, a.r_mask | b.r_mask,
                       a.o_mask | b.o_mask, max(a.smears, b.smears),
                       a.acc_mask | b.acc_mask, a.start_mask | b.start_mask, 0,
-                      max(a.width, b.width))
+                      max(a.width, b.width),
+                      a.anch_start_mask | b.anch_start_mask,
+                      a.acc_now_mask | b.acc_now_mask)
 
 
 @dataclass
@@ -504,22 +546,30 @@ def make_bitprog_transition(xp, prog: BitProgram):
     specs: list[list[tuple[int, int]]] = []
 
     packed: list[_SegConsts] = []   # shared registers of gap-free machines
-    fused = []                      # (consts, seg_offs, seg_accs) per machine
-    chained = []                    # per oversized machine: [_SegConsts]
+    fused = []    # (consts, seg_offs, seg_accs, anch_e) per gapped machine
+    chained = []  # per oversized machine: ([_SegConsts], anch_e)
+    needs_marker = any(m.anch_s for m in prog.machines)
 
     for m in prog.machines:
         if len(m.segments) == 1:
             seg = m.segments[0]
+
+            def _flagged(base):
+                sc = _seg_consts(seg, base)
+                if m.anch_s:
+                    sc.anch_start_mask, sc.start_mask = sc.start_mask, 0
+                if m.anch_e:
+                    sc.acc_now_mask, sc.acc_mask = sc.acc_mask, 0
+                return sc
+
             placed = False
             for slot, existing in enumerate(packed):
                 if existing.width + len(seg.cls) <= MAX_POSITIONS:
-                    packed[slot] = _merge(
-                        existing, _seg_consts(seg, existing.width)
-                    )
+                    packed[slot] = _merge(existing, _flagged(existing.width))
                     placed = True
                     break
             if not placed:
-                packed.append(_seg_consts(seg, 0))
+                packed.append(_flagged(0))
             continue
         total = sum(len(s.cls) for s in m.segments)
         if total <= MAX_POSITIONS:
@@ -532,19 +582,26 @@ def make_bitprog_transition(xp, prog: BitProgram):
                 seg_accs.append(sc.acc_mask)
                 consts = sc if consts is None else _merge(consts, sc)
                 base += len(seg.cls)
-            fused.append((consts, tuple(seg_offs), tuple(seg_accs)))
+            if m.anch_s:
+                consts.anch_start_mask, consts.start_mask = 1, 0
+            else:
+                consts.start_mask = 1
+            fused.append((consts, tuple(seg_offs), tuple(seg_accs), m.anch_e))
             continue
         segs = []
         for s_idx, seg in enumerate(m.segments):
             sc = _seg_consts(seg, 0)
             sc.seg_idx = s_idx
+            if s_idx == 0 and m.anch_s:
+                sc.anch_start_mask, sc.start_mask = sc.start_mask, 0
             segs.append(sc)
-        chained.append(segs)
+        chained.append((segs, m.anch_e))
 
     packed_plans = [_mask_plan(sc, class_ids, specs) for sc in packed]
-    fused_plans = [_mask_plan(sc, class_ids, specs) for sc, _, _ in fused]
+    fused_plans = [_mask_plan(sc, class_ids, specs) for sc, _, _, _ in fused]
     chained_plans = [
-        [_mask_plan(sc, class_ids, specs) for sc in segs] for segs in chained
+        [_mask_plan(sc, class_ids, specs) for sc in segs]
+        for segs, _ in chained
     ]
     bit_planes = sorted({
         k
@@ -554,10 +611,14 @@ def make_bitprog_transition(xp, prog: BitProgram):
         for k, _, _ in plan.bslice[3]
     })
 
-    # packed groups and fused machines carry (reg, sticky/done) word pairs
-    # (acceptance is sampled at the value's LAST byte, so transient acc-bit
-    # hits must accumulate)
-    n_regs = 2 * len(packed) + 2 * len(fused) + sum(len(s) + 1 for s in chained)
+    # packed groups carry a sticky accept word when any of their machines
+    # accepts sticky (acceptance is sampled at the value's LAST byte, so
+    # transient acc-bit hits must accumulate); '$'-anchored accepts are
+    # non-sticky by definition and need no extra word.  Fused machines carry
+    # (reg, done); the marker register drives '^' first-byte seeding.
+    n_regs = (sum(2 if sc.acc_mask else 1 for sc in packed)
+              + 2 * len(fused) + sum(len(s) + 1 for s, _ in chained)
+              + (1 if needs_marker else 0))
 
     def transition(state, c):
         # shared membership tests: one per distinct compare-path class, one
@@ -600,10 +661,20 @@ def make_bitprog_transition(xp, prog: BitProgram):
                 terms = nxt
             return terms[0]
 
-        def advance(sc: _SegConsts, plan: _MaskPlan, reg, seed):
-            f = (reg << 1) | seed
+        def advance(sc: _SegConsts, plan: _MaskPlan, reg, seed, clear=0):
+            # `clear` strips shift/smear carries INTO '^'-anchored start
+            # bits (their only legitimate activation is the first-byte seed;
+            # unanchored start bits are always-seeded, so carries onto them
+            # are subsumed and need no clearing)
+            f = reg << 1
+            if clear:
+                f = f & ~clear
+            f = f | seed
             for _ in range(sc.smears):
-                f = f | ((f & sc.o_mask) << 1)
+                inc = (f & sc.o_mask) << 1
+                if clear:
+                    inc = inc & ~clear
+                f = f | inc
             b = byte_mask(plan)
             nxt = f & b
             if sc.r_mask:
@@ -617,42 +688,70 @@ def make_bitprog_transition(xp, prog: BitProgram):
             nonlocal accept
             accept = v if accept is None else (accept | v)
 
+        if needs_marker:
+            first_b = state[-1] == 0  # the value's first byte (control_update
+            first_i = first_b.astype(xp.int32)  # zeroes state at boundaries)
+
         reg_at = 0
         for sc, plan in zip(packed, packed_plans):
-            reg = advance(sc, plan, state[reg_at], sc.start_mask)
-            sticky = state[reg_at + 1] | (reg & sc.acc_mask)
-            reg_at += 2
-            acc_or((sticky != 0).astype(xp.int32))
+            seed = sc.start_mask
+            clear = 0
+            if sc.anch_start_mask:
+                aseed = xp.where(first_b, sc.anch_start_mask, 0)
+                seed = (aseed | seed) if seed else aseed
+                clear = sc.anch_start_mask & ~1
+            reg = advance(sc, plan, state[reg_at], seed, clear)
+            reg_at += 1
             new_state.append(reg)
-            new_state.append(sticky)
-        for (sc, seg_offs, seg_accs), plan in zip(fused, fused_plans):
+            cur = None
+            if sc.acc_mask:
+                sticky = state[reg_at] | (reg & sc.acc_mask)
+                reg_at += 1
+                new_state.append(sticky)
+                cur = sticky
+            if sc.acc_now_mask:
+                now = reg & sc.acc_now_mask
+                cur = now if cur is None else (cur | now)
+            acc_or((cur != 0).astype(xp.int32))
+        for (sc, seg_offs, seg_accs, anch_e), plan in zip(fused, fused_plans):
             old_reg, done = state[reg_at], state[reg_at + 1]
             reg_at += 2
-            seed = 1
+            seed = first_i if sc.anch_start_mask else 1
             for s in range(1, len(seg_offs)):
                 seed = seed | (((done >> (s - 1)) & 1) << seg_offs[s])
             reg = advance(sc, plan, old_reg, seed)
             new_done = done
+            last_hit = None
             for s, acc_mask in enumerate(seg_accs):
                 hit = ((reg & acc_mask) != 0).astype(xp.int32)
                 new_done = new_done | (hit << s)
-            acc_or((new_done >> (len(seg_accs) - 1)) & 1)
+                last_hit = hit
+            acc_or(last_hit if anch_e
+                   else ((new_done >> (len(seg_accs) - 1)) & 1))
             new_state.append(reg)
             new_state.append(new_done)
-        for segs, plans in zip(chained, chained_plans):
+        for (segs, anch_e), plans in zip(chained, chained_plans):
             regs = state[reg_at : reg_at + len(segs)]
             done = state[reg_at + len(segs)]
             reg_at += len(segs) + 1
             new_done = done
+            last_hit = None
             for sc, plan in zip(segs, plans):
-                seed = 1 if sc.seg_idx == 0 else ((done >> (sc.seg_idx - 1)) & 1)
+                if sc.seg_idx == 0:
+                    seed = first_i if sc.anch_start_mask else 1
+                else:
+                    seed = (done >> (sc.seg_idx - 1)) & 1
                 reg = advance(sc, plan, regs[sc.seg_idx], seed)
                 hit = ((reg & sc.acc_mask) != 0).astype(xp.int32)
                 new_done = new_done | (hit << sc.seg_idx)
+                if sc.seg_idx == len(segs) - 1:
+                    last_hit = hit
                 new_state.append(reg)
-            acc_or((new_done >> (len(segs) - 1)) & 1)
+            acc_or(last_hit if anch_e else ((new_done >> (len(segs) - 1)) & 1))
             new_state.append(new_done)
 
+        if needs_marker:
+            new_state.append(xp.ones_like(c))
         return tuple(new_state), accept
 
     return transition, n_regs, 0

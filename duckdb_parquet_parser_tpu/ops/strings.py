@@ -130,7 +130,8 @@ def match_payload_stream(xp, payload, payload_len, nn, table, accept,
     4-byte length prefixes on the fly.
 
     Transition priority: `prog` (bit-parallel NFA program, ops/bitprog.py —
-    bitap-class speed for classes/quantifiers/gaps/alternation), then `chain`
+    bitap-class speed for classes/quantifiers/gaps/alternation/anchors),
+    then `chain`
     (Shift-And bitap for pure substring chains), then the DFA table —
     one-hot MXU matmuls with use_mxu=True (see mxu_dfa.py: XLA gathers are
     ~10-25 ns/elem on TPU, the matmul path is compute-bound and far faster),

@@ -30,15 +30,23 @@ SUPPORTED = [
     "abcd[xy]e", "abcde|fgq", "ab?c.*de?f", "aq.*bx.*cy",
     # oversized machine (>31 total positions -> one register per segment)
     "abcdefgabcdefgabq.*cdefgabcdefgqxyz",
+    # edge anchors (whole-pattern, DFA-compiler semantics): LIKE 'lit%',
+    # '%lit', exact matches, anchored gaps/classes/alternations, and edges
+    # where a gap or absorbed optional defeats the anchor
+    "^abc", "abc$", "^abc$", "^a.*z", "a.*z$", "^a.*z$", "^q[ax]+x",
+    "ab?c$", "^ab?c$", "^cat|dog", "cat|dog$", "^.*abc", "abc.*$",
+    "^a?.*bc", "bc.*a?$", "^[ab]{1,2}q$", "^aq|bx$", "^x+y*z$",
+    "^abcdefgabcdefgabq.*cdefgabcdefgqxyz$",
 ]
 
 UNSUPPORTED = [
-    "^abc",            # anchors take the DFA path
-    "abc$",
+    "a^b",             # inner anchors
+    "a$b",
     "(ab)*x",          # unbounded multi-byte repeat
     "a|b|c|d|e|f|g|h|i",  # fan-out cap (flattened > MAX_MACHINES)
     "x{40}y{40}",      # register overflow (positions > 31)
     ".*",              # matches empty everywhere
+    "^.*",             # ditto after the unanchored-wrapper strip
 ]
 
 
@@ -90,7 +98,8 @@ def test_jnp_parity(pages):
     import jax.numpy as jnp
 
     pm, pl, nn = pages
-    for pattern in ["a.*z", "q[ax]+x", "cat|dog|q", "a[bcd]*e", "(ab|cd)x"]:
+    for pattern in ["a.*z", "q[ax]+x", "cat|dog|q", "a[bcd]*e", "(ab|cd)x",
+                    "^ab", "bc$", "^a.*z$", "^cat|dog$"]:
         prog = compile_bitprog(pattern)
         dfa = compile_pattern(pattern)
         h_np, s_np = match_payload_stream(
@@ -140,6 +149,10 @@ def test_fuzz_parity():
             if rng.random() < 0.2:
                 parts.append(".*")
         pattern = "".join(parts)
+        if rng.random() < 0.25:
+            pattern = "^" + pattern
+        if rng.random() < 0.25:
+            pattern = pattern + "$"
         try:
             prog = compile_bitprog(pattern)
         except BitprogUnsupported:

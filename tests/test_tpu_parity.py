@@ -3,7 +3,7 @@
 The suite proper forces the CPU backend (conftest), so actual-TPU numerics
 are exercised here in a child interpreter on the default (device) backend:
 the jax engine scan must reproduce the numpy golden counts on several
-pattern classes (chain / classes / alternation / anchored fallback) and the
+pattern classes (chain / classes / alternation / anchored) and the
 device read_column route must match the host path."""
 
 from __future__ import annotations
@@ -32,7 +32,8 @@ from duckdb_parquet_parser_tpu.models.scan import ScanEngine
 path = %(path)r
 eng = ScanEngine(path)
 out = {"platform": jax.default_backend()}
-for pat in ["alpha.*bravo", "al[pb]ha", "alpha|bravo|charlie", "^alpha"]:
+for pat in ["alpha.*bravo", "al[pb]ha", "alpha|bravo|charlie", "^alpha",
+            "bravo$", "^alpha.*o$"]:
     a = eng.scan("s", pat, engine="jax")
     b = eng.scan("s", pat, engine="numpy")
     out[pat] = bool(
