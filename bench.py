@@ -160,9 +160,19 @@ def bench_reference(path: Path, reps: int) -> dict:
         )
         vals = r.stdout.split()
         out[key] = int(vals[1]) / float(vals[3])
+
+    r = subprocess.run(
+        [str(exe), str(path), "bench-index", "l_comment", str(reps)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    vals = r.stdout.split()
+    if len(vals) >= 4:  # older oracle builds lack the mode
+        out["ref_index_rows_per_s"] = n_values / (float(vals[3]) / reps)
+
     log(f"reference: iter {out['ref_iter_rows_per_s']:.3g} rows/s, "
         f"read_column i64 {out['ref_column_i64_rows_per_s']:.3g}, "
-        f"f64-opt {out['ref_column_f64opt_rows_per_s']:.3g} rows/s")
+        f"f64-opt {out['ref_column_f64opt_rows_per_s']:.3g} rows/s, "
+        f"index {out.get('ref_index_rows_per_s', float('nan')):.3g} rows/s")
     return out
 
 
@@ -350,6 +360,19 @@ def bench_engine(path: Path, reps: int) -> dict:
         out[key] = len(c) / best
         log(f"read_column {col}: {out[key]:.3g} rows/s ({best*1000:.0f} ms)")
 
+    # ── chunked inverted index build (the reference main.cpp workload) ──────
+    from duckdb_parquet_parser_tpu.ops.index import build_index_for_column
+
+    best_idx = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        cidx = build_index_for_column(reader, "l_comment")
+        best_idx = min(best_idx, time.time() - t0)
+    out["index_build_rows_per_s"] = cidx.num_rows / best_idx
+    out["index_chunks"] = cidx.num_chunks
+    log(f"index build: {out['index_build_rows_per_s']:.3g} rows/s "
+        f"({best_idx*1000:.0f} ms, {cidx.num_chunks} chunks)")
+
     # ── decode: optional DOUBLE (real null materialization work) ────────────
     b2 = reader.prescan("l_tax")
     core2 = {k: jax.device_put(v) for k, v in b2.arrays.items()
@@ -477,6 +500,9 @@ def main():
             "read_column_strings": round(
                 eng["read_column_strings_rows_per_s"] / baseline, 1),
         }
+        if "ref_index_rows_per_s" in ref:
+            detail["vs_ref"]["index_build"] = round(
+                eng["index_build_rows_per_s"] / ref["ref_index_rows_per_s"], 1)
     if scaling is not None:
         detail["scaling"] = scaling
     detail["scaling_note"] = (

@@ -23,14 +23,10 @@ def entry_sizes(lens: np.ndarray) -> np.ndarray:
     """Size each entry contributes: ASCII decimal digits of len, plus len
     (reference: src/main.cpp:30 `std::to_string(len) + value`)."""
     lens = np.asarray(lens, np.int64)
-    digits = np.ones_like(lens)
-    big = lens > 0
-    digits[big] = np.floor(np.log10(lens[big].astype(np.float64))).astype(np.int64) + 1
-    # float log10 is exact for the sizes here (< 2^53) but guard boundaries
-    pow10 = 10 ** digits
-    digits[lens >= pow10] += 1
-    pow10 = 10 ** (digits - 1)
-    digits[(lens > 0) & (lens < pow10)] -= 1
+    # digit count via searchsorted over the powers of ten — integer-exact
+    # (str(0) is one character, matching std::to_string)
+    thresholds = 10 ** np.arange(1, 19, dtype=np.int64)
+    digits = np.searchsorted(thresholds, lens, side="right") + 1
     return digits + lens
 
 
@@ -43,14 +39,18 @@ def chunk_boundaries(sizes: np.ndarray, chunk_size: int) -> np.ndarray:
     n = len(sizes)
     prefix = np.zeros(n + 1, np.int64)
     np.cumsum(sizes, out=prefix[1:])
+    # one vectorized searchsorted gives every entry's "next boundary if a
+    # chunk started here" pointer; following the pointer chain from 0 costs
+    # one array read per chunk (the recurrence is inherently sequential, but
+    # ~130 entries/chunk make the chain short)
+    nxt = np.searchsorted(prefix, prefix + chunk_size, side="left")
     starts = [0]
-    base = 0
+    i = 0
     while True:
-        i = int(np.searchsorted(prefix, base + chunk_size, side="left"))
+        i = int(nxt[i])
         if i > n:
             break
         starts.append(i)
-        base = prefix[i]
     # a flush can also trigger exactly at the end; the reference would clear
     # and bump chunk_id only when another entry arrives — so drop a trailing
     # empty chunk start at n
@@ -98,7 +98,10 @@ def build_index(positions, lens, num_rows: int, chunk_size: int = 4096) -> Chunk
     lens = np.asarray(lens, np.int64)
     sizes = entry_sizes(lens)
     starts = chunk_boundaries(sizes, chunk_size)
-    chunk_of = np.searchsorted(starts, np.arange(len(lens)), side="right") - 1
+    # chunk id of each entry: +1 at every chunk start, running sum
+    bump = np.zeros(len(lens) + 1, np.int64)
+    bump[starts] = 1
+    chunk_of = np.cumsum(bump[:-1]) - 1
     t2c = np.zeros(num_rows, np.int64)
     t2c[positions] = chunk_of
     return ChunkedIndex(
@@ -113,9 +116,28 @@ def build_index(positions, lens, num_rows: int, chunk_size: int = 4096) -> Chunk
 
 
 def build_index_for_column(reader, column: str, chunk_size: int = 4096) -> ChunkedIndex:
-    """End-to-end: prescan + decode the column, then build the index."""
+    """End-to-end: prescan + decode the column, then build the index.
+
+    Fast path: the fused native column pack (PS_COLUMN) already emits
+    row-space lengths + validity in one C++ sweep, so the emission stream is
+    two vector ops (flatnonzero + mask) — the [pages, values] numpy
+    stream assembly is the fallback.  Emission sets are identical: the
+    iterator's silently-dropped OOB dictionary indices (reference:
+    src/reader/parquet_reader.cpp:436-439) are NULL in column space, so
+    neither path emits them."""
+    from ..host import bindings
     from ..host.reader import _string_stream
 
-    batch = reader.prescan(column)
+    batch = reader.prescan(
+        column,
+        flags=(bindings.PS_HOST_STRINGS | bindings.PS_STR_VIEWS
+               | bindings.PS_COLUMN),
+    )
+    if int(batch.dims.get("col_mat", 0)):
+        total = int(batch.dims["total_rows"])
+        valid = batch.arrays["col_valid"][:total].view(bool)
+        pos = np.flatnonzero(valid)
+        lens = batch.arrays["col_lens"][:total][pos]
+        return build_index(pos, lens, reader.num_rows(), chunk_size)
     pos, lens, _offs, _chars = _string_stream(batch)
     return build_index(pos, lens, reader.num_rows(), chunk_size)

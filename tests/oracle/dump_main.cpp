@@ -102,6 +102,34 @@ int main(int argc, char** argv) {
     for (size_t i = 0; i < num_rows; i++) std::cout << tuple_to_chunk[i] << "\n";
     return 0;
   }
+  if (mode == "bench-index") {
+    // chunked-index build (the reference main.cpp loop) timed without the
+    // row-map dump that `index` mode prints
+    int reps = argc > 4 ? std::stoi(argv[4]) : 1;
+    size_t chunks = 0;
+    auto t0 = std::chrono::steady_clock::now();
+    for (int r = 0; r < reps; r++) {
+      size_t num_rows = size_t(reader.num_rows());
+      std::vector<size_t> tuple_to_chunk(num_rows);
+      auto it = reader.column_iterator(argv[3]);
+      std::string chunk;
+      size_t chunk_id = 0;
+      while (it.has_next()) {
+        auto [pos, len, ptr] = it.next();
+        if (chunk.size() >= 4096) {
+          chunk.clear();
+          chunk_id++;
+        }
+        chunk += std::to_string(len) + std::string(ptr, len);
+        tuple_to_chunk[pos] = chunk_id;
+      }
+      chunks = chunk_id + 1;
+    }
+    auto t1 = std::chrono::steady_clock::now();
+    double secs = std::chrono::duration<double>(t1 - t0).count();
+    std::cout << "chunks " << chunks << " secs " << secs << "\n";
+    return 0;
+  }
   if (mode == "bench-iter") {
     int reps = argc > 4 ? std::stoi(argv[4]) : 1;
     size_t total = 0, bytes = 0;
