@@ -447,7 +447,7 @@ def bench_scaling() -> dict | None:
         proc = subprocess.run(
             [sys.executable, "-m", "duckdb_parquet_parser_tpu.scaling_bench",
              "--rows", "60000"],
-            capture_output=True, text=True, timeout=900,
+            capture_output=True, text=True, timeout=900, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         line = proc.stdout.strip().splitlines()[-1]
