@@ -134,6 +134,39 @@ def gen_dict_fixture(rows: int) -> Path:
     return path
 
 
+def gen_dict_strings_fixture(rows: int) -> Path:
+    """Low-cardinality BYTE_ARRAY column (city names, 2% nulls) — every data
+    page dictionary-encoded (64 distinct <= non_null/5)."""
+    from duckdb_parquet_parser_tpu.host.schema import ParquetType
+    from duckdb_parquet_parser_tpu.host.writer import ColumnSpec, ParquetWriter
+
+    path = CACHE / f"dictstrings_{rows}.parquet"
+    if path.exists():
+        return path
+    CACHE.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(11)
+    bases = [b"san diego", b"san francisco", b"san antonio", b"new york",
+             b"new orleans", b"chicago", b"boston", b"seattle", b"atlanta",
+             b"houston", b"denver", b"miami", b"dallas", b"portland",
+             b"phoenix", b"detroit"]
+    cities = [b + f"-{k}".encode() for b in bases for k in range(4)]
+    w = ParquetWriter(
+        str(path), [ColumnSpec("city", ParquetType.BYTE_ARRAY, optional=True)],
+        key_value={"pad": "x" * 512},
+    )
+    done = 0
+    while done < rows:
+        n = min(500_000, rows - done)
+        pick = rng.integers(0, len(cities), n)
+        valid = rng.random(n) > 0.02
+        vals = [cities[int(k)] if v else None
+                for k, v in zip(pick, valid)]
+        w.write_row_group({"city": vals})
+        done += n
+    w.close()
+    return path
+
+
 def bench_reference(path: Path, reps: int) -> dict:
     from tests.oracle.build_oracle import build_oracle
 
@@ -167,7 +200,9 @@ def bench_reference(path: Path, reps: int) -> dict:
     )
     vals = r.stdout.split()
     if len(vals) >= 4:  # older oracle builds lack the mode
-        out["ref_index_rows_per_s"] = n_values / (float(vals[3]) / reps)
+        # n_values is the total across the SAME rep count, so the ratio is
+        # already per-rep
+        out["ref_index_rows_per_s"] = n_values / float(vals[3])
 
     log(f"reference: iter {out['ref_iter_rows_per_s']:.3g} rows/s, "
         f"read_column i64 {out['ref_column_i64_rows_per_s']:.3g}, "
@@ -430,6 +465,50 @@ def bench_engine(path: Path, reps: int) -> dict:
     out["decode_dict_rows_per_s"] = total_d / marg_dict
     log(f"decode dict-heavy (DN=100): {out['decode_dict_rows_per_s']:.3g} "
         f"rows/s (marginal {marg_dict*1000:.1f} ms)")
+
+    # ── dict-encoded STRING scan (low-cardinality column: match each dict
+    # entry once on host, map per-row indices through the accept bits on
+    # device — O(dict + values), no byte streaming) ──────────────────────────
+    from duckdb_parquet_parser_tpu.ops.pallas.dict_lookup import dict_lookup
+    from duckdb_parquet_parser_tpu.ops.scan import dfa_match
+
+    spath = gen_dict_strings_fixture(out["rows"])
+    rs = ParquetReader(str(spath))
+    bs = rs.prescan("city", pad_strings=8, flags=bindings.PS_PAYLOAD)
+    total_s = int(bs.arrays["page_num_values"].sum())
+    dict_pat = "^san.*o-[02]$"
+    dfa_s = compile_pattern(dict_pat)
+    dmatch = np.asarray(
+        dfa_match(np, bs.arrays["dict_padded"], bs.arrays["dict_lens"],
+                  dfa_s.table, dfa_s.accept)
+    ).astype(np.int32)
+    core_s = {k: jax.device_put(v) for k, v in bs.arrays.items()
+              if k in D.DECODE_ARRAYS}
+    dm_d = jax.device_put(dmatch)
+    kws = dict(max_def=bs.max_def, out_len=bs.vmax, nn_len=bs.nn_cap)
+
+    def make_dscan(reps_n):
+        def f(c, dmx):
+            def body(i, acc):
+                c2 = dict(c)
+                c2["idx_vals"] = c["idx_vals"] ^ (i % 2)  # live perturbation
+                nonnull, nn_idx = D.decode_levels(jnp, c2, kws["max_def"],
+                                                  kws["out_len"])
+                dict_idx, ok = D.decode_dict_indices(jnp, c2, nn_idx,
+                                                     kws["nn_len"])
+                g = jnp.clip(
+                    c2["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),
+                    0, dmx.shape[0] - 1)
+                dm = dict_lookup(jnp, [dmx], g)[0] != 0
+                return acc + jnp.sum(dm & ok & nonnull)
+            return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
+        return jax.jit(f)
+
+    _, marg_ds = _marginal(make_dscan, (core_s, dm_d), reps_hi=1 + reps)
+    out["scan_dict_strings_rows_per_s"] = total_s / marg_ds
+    log(f"scan dict strings ({dict_pat!r}, DN={int(bs.dims.get('dict_n', 0))}): "
+        f"{out['scan_dict_strings_rows_per_s']:.3g} rows/s "
+        f"(marginal {marg_ds*1000:.1f} ms)")
     return out
 
 

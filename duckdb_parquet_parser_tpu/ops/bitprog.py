@@ -152,7 +152,7 @@ def _parse(pattern: str):
         if c in "*+?{":
             raise BitprogUnsupported(f"dangling quantifier '{c}'")
         if c in "^$":
-            raise BitprogUnsupported("anchors")
+            raise BitprogUnsupported("inner anchors")
         return Lit(frozenset([ord(c)]))
 
     tree = alt()
