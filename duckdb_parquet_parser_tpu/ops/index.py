@@ -39,18 +39,14 @@ def chunk_boundaries(sizes: np.ndarray, chunk_size: int) -> np.ndarray:
     n = len(sizes)
     prefix = np.zeros(n + 1, np.int64)
     np.cumsum(sizes, out=prefix[1:])
-    # one vectorized searchsorted gives every entry's "next boundary if a
-    # chunk started here" pointer; following the pointer chain from 0 costs
-    # one array read per chunk (the recurrence is inherently sequential, but
-    # ~130 entries/chunk make the chain short)
-    nxt = np.searchsorted(prefix, prefix + chunk_size, side="left")
     starts = [0]
-    i = 0
+    base = 0
     while True:
-        i = int(nxt[i])
+        i = int(np.searchsorted(prefix, base + chunk_size, side="left"))
         if i > n:
             break
         starts.append(i)
+        base = prefix[i]
     # a flush can also trigger exactly at the end; the reference would clear
     # and bump chunk_id only when another entry arrives — so drop a trailing
     # empty chunk start at n

@@ -46,7 +46,7 @@ UNSUPPORTED = [
     "a|b|c|d|e|f|g|h|i",  # fan-out cap (flattened > MAX_MACHINES)
     "x{40}y{40}",      # register overflow (positions > 31)
     ".*",              # matches empty everywhere
-    "^.*",             # ditto after the unanchored-wrapper strip
+    "^.*",             # anchor strip leaves '.*' -> ditto
 ]
 
 
