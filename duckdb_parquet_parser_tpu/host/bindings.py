@@ -92,6 +92,22 @@ def _load() -> ct.CDLL:
     lib.dpq_writer_close.restype = ct.c_int
     lib.dpq_writer_abort.argtypes = [ct.c_void_p]
     lib.dpq_writer_abort.restype = None
+    lib.dpq_writer_codec.argtypes = [ct.c_void_p, ct.c_int32, ct.c_char_p,
+                                     ct.c_size_t]
+    lib.dpq_writer_codec.restype = ct.c_int
+
+    lib.dpq_snappy_max_compressed.argtypes = [ct.c_int64]
+    lib.dpq_snappy_max_compressed.restype = ct.c_int64
+    lib.dpq_snappy_compress.argtypes = [
+        ct.c_void_p, ct.c_int64, ct.c_void_p, ct.c_int64, ct.c_char_p,
+        ct.c_size_t,
+    ]
+    lib.dpq_snappy_compress.restype = ct.c_int64
+    lib.dpq_snappy_decompress.argtypes = [
+        ct.c_void_p, ct.c_int64, ct.c_void_p, ct.c_int64, ct.c_char_p,
+        ct.c_size_t,
+    ]
+    lib.dpq_snappy_decompress.restype = ct.c_int
 
     return lib
 
@@ -235,6 +251,35 @@ def _wrap_batch(b: int) -> tuple[dict, dict[str, np.ndarray]]:
             arr = np.zeros(spec["shape"], dtype)
         arrays[name] = arr
     return manifest["dims"], arrays
+
+
+def snappy_compress(data: bytes | np.ndarray) -> bytes:
+    """Raw-format Snappy compression (native codec; engine extension)."""
+    src = np.frombuffer(bytes(data), np.uint8) if isinstance(data, (bytes, bytearray)) \
+        else np.ascontiguousarray(data, np.uint8)
+    cap = int(lib().dpq_snappy_max_compressed(len(src)))
+    out = np.zeros(cap, np.uint8)
+    err = _err_buf()
+    n = lib().dpq_snappy_compress(
+        src.ctypes.data_as(ct.c_void_p), len(src),
+        out.ctypes.data_as(ct.c_void_p), cap, err, _ERRCAP,
+    )
+    if n < 0:
+        raise NativeError(err.value.decode("utf-8", "replace"))
+    return out[:n].tobytes()
+
+
+def snappy_decompress(data: bytes | np.ndarray, out_len: int) -> bytes:
+    """Raw-format Snappy decompression into exactly out_len bytes."""
+    src = np.frombuffer(bytes(data), np.uint8) if isinstance(data, (bytes, bytearray)) \
+        else np.ascontiguousarray(data, np.uint8)
+    out = np.zeros(max(out_len, 1), np.uint8)
+    err = _err_buf()
+    check(lib().dpq_snappy_decompress(
+        src.ctypes.data_as(ct.c_void_p), len(src),
+        out.ctypes.data_as(ct.c_void_p), out_len, err, _ERRCAP,
+    ), err)
+    return out[:out_len].tobytes()
 
 
 def native_cold_scan(

@@ -10,6 +10,7 @@
 #include "dpq_prescan.hpp"
 #include "dpq_reader.hpp"
 #include "dpq_scan.hpp"
+#include "dpq_snappy.hpp"
 #include "dpq_writer.hpp"
 
 using namespace dpq;
@@ -34,6 +35,7 @@ struct WriterHandle {
   std::vector<ColumnDecl> decls;          // collected before open
   std::vector<std::pair<std::string, std::string>> kv;
   std::string path;
+  int32_t codec = C_UNCOMPRESSED;
   std::vector<ColumnData> pending;        // columns of the row group being built
   std::vector<std::vector<uint8_t>> own;  // copies of caller buffers
   std::vector<std::vector<int64_t>> own_offs;
@@ -201,6 +203,32 @@ const void* dpq_batch_view(void* b, const char* name, int64_t* nbytes) {
   return it->second.data();
 }
 
+
+// ── Snappy codec (raw format; engine extension — test surface) ─────────────
+
+int64_t dpq_snappy_max_compressed(int64_t n) {
+  // worst case: preamble (5) + one literal tag chain (~6 bytes per 2^32)
+  return n + n / 6 + 32;
+}
+
+int64_t dpq_snappy_compress(const uint8_t* src, int64_t n, uint8_t* dst,
+                            int64_t cap, char* err, size_t errcap) {
+  DPQ_TRY_INT({
+    auto out = snappy_compress(src, size_t(n));
+    if (int64_t(out.size()) > cap) throw Error("snappy: dst too small");
+    std::memcpy(dst, out.data(), out.size());
+    return int64_t(out.size());
+  })
+}
+
+int dpq_snappy_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
+                          int64_t dst_len, char* err, size_t errcap) {
+  DPQ_TRY_INT({
+    snappy_decompress(src, size_t(n), dst, size_t(dst_len));
+    return 0;
+  })
+}
+
 // ── Writer ──────────────────────────────────────────────────────────────────
 
 void* dpq_writer_new(const char* path, char* err, size_t errcap) {
@@ -227,6 +255,18 @@ int dpq_writer_declare(void* h, const char* name, int32_t type,
     if (precision != INT32_MIN) d.precision = precision;
     if (type_length != INT32_MIN) d.type_length = type_length;
     w->decls.push_back(std::move(d));
+    return 0;
+  })
+}
+
+int dpq_writer_codec(void* h, int32_t codec, char* err, size_t errcap) {
+  DPQ_TRY_INT({
+    auto* w = static_cast<WriterHandle*>(h);
+    if (w->writer) throw Error("writer: set codec before first row group");
+    if (codec != C_UNCOMPRESSED && codec != C_SNAPPY)
+      throw Error(std::string("writer: unsupported codec ") +
+                  compression_name(codec));
+    w->codec = codec;
     return 0;
   })
 }
@@ -283,6 +323,7 @@ int dpq_writer_rg_end(void* h, char* err, size_t errcap) {
     auto* w = static_cast<WriterHandle*>(h);
     if (!w->writer) {
       w->writer = std::make_unique<Writer>(w->path, w->decls);
+      w->writer->set_codec(w->codec);
       for (const auto& [k, v] : w->kv) w->writer->add_key_value(k, v);
     }
     w->writer->write_row_group(w->pending);
@@ -298,6 +339,7 @@ int dpq_writer_close(void* h, char* err, size_t errcap) {
     auto* w = static_cast<WriterHandle*>(h);
     if (!w->writer) {
       w->writer = std::make_unique<Writer>(w->path, w->decls);
+      w->writer->set_codec(w->codec);
       for (const auto& [k, v] : w->kv) w->writer->add_key_value(k, v);
     }
     w->writer->close();

@@ -53,6 +53,20 @@ enum CodecId : int32_t {
   C_LZ4_RAW = 7,
 };
 
+inline const char* compression_name(int32_t c) {
+  switch (c) {
+    case C_UNCOMPRESSED: return "UNCOMPRESSED";
+    case C_SNAPPY: return "SNAPPY";
+    case C_GZIP: return "GZIP";
+    case C_LZO: return "LZO";
+    case C_BROTLI: return "BROTLI";
+    case C_LZ4: return "LZ4";
+    case C_ZSTD: return "ZSTD";
+    case C_LZ4_RAW: return "LZ4_RAW";
+    default: return "UNKNOWN";
+  }
+}
+
 enum PageKind : int32_t {
   P_DATA = 0,
   P_INDEX = 1,

@@ -32,6 +32,7 @@
 #include <thread>
 
 #include "dpq_reader.hpp"
+#include "dpq_snappy.hpp"
 
 namespace dpq {
 
@@ -76,7 +77,10 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       int64_t start = cm.data_page_offset;
       if (cm.dictionary_page_offset)
         start = std::min(start, *cm.dictionary_page_offset);
-      if (!span_ptr(start, std::max<int64_t>(cm.total_compressed_size, 16))) {
+      // compressed chunks decode into batch-owned buffers, so views into
+      // the file mapping are impossible — fall back to the copying tables
+      if (cm.codec != C_UNCOMPRESSED ||
+          !span_ptr(start, std::max<int64_t>(cm.total_compressed_size, 16))) {
         want_views = false;
         break;
       }
@@ -112,6 +116,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     std::vector<uint8_t> chunk_buf;   // fallback copy when the chunk span
                                       // leaves the file (else spans point
                                       // straight into the mmap)
+    std::vector<std::vector<uint8_t>> decomp;  // per-page Snappy buffers
+                                               // (PageTmp spans point here)
     int32_t dict_n = 0;
   };
   std::vector<RgResult> rg_results(size_t(std::max(rg1 - rg0, 0)));
@@ -122,8 +128,12 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
         !g.columns[size_t(lf.chunk_idx)].meta)
       throw Error("column chunk missing metadata");
     const ColumnMeta& cm = *g.columns[size_t(lf.chunk_idx)].meta;
-    if (cm.codec != C_UNCOMPRESSED)
-      throw Error("Only uncompressed parquet files are supported");
+    if (cm.codec != C_UNCOMPRESSED && cm.codec != C_SNAPPY)
+      throw Error(std::string("unsupported codec ") +
+                  compression_name(cm.codec) +
+                  " (UNCOMPRESSED and SNAPPY are supported; the reference "
+                  "rejects everything but UNCOMPRESSED)");
+    const bool compressed = cm.codec == C_SNAPPY;
 
     int64_t chunk_start = cm.data_page_offset;
     if (cm.dictionary_page_offset)
@@ -141,6 +151,17 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
         throw Error("page outside chunk span");
       return chunk_ptr + off;
     };
+    // (ptr, len) of the page's LOGICAL payload: the raw span, or the
+    // batch-owned Snappy decode of it
+    auto page_span = [&](const PageRec& pr)
+        -> std::pair<const uint8_t*, size_t> {
+      const uint8_t* raw = page_bytes(pr);
+      if (!compressed) return {raw, size_t(pr.size)};
+      out.decomp.emplace_back(size_t(std::max<int64_t>(pr.usize, 0)));
+      auto& buf = out.decomp.back();
+      snappy_decompress(raw, size_t(pr.size), buf.data(), buf.size());
+      return {buf.data(), buf.size()};
+    };
 
     int32_t rg_dict_base = -1, rg_dict_size = 0;
 
@@ -153,7 +174,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
         // byte per value (reference: src/reader/column_reader.cpp:128-138).
         rg_dict_base = out.dict_n;
         rg_dict_size = pr.num_values;
-        Cursor cur(page_bytes(pr), size_t(pr.size));
+        auto [dp_ptr, dp_len] = page_span(pr);
+        Cursor cur(dp_ptr, dp_len);
         if (is_ba) {
           out.dict_lens.reserve(out.dict_lens.size() + size_t(pr.num_values));
           for (int32_t i = 0; i < pr.num_values; i++) {
@@ -186,7 +208,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       t.dict_base = rg_dict_base;
       t.dict_size = rg_dict_size;
 
-      Cursor cur(page_bytes(pr), size_t(pr.size));
+      auto [pg_ptr, pg_len] = page_span(pr);
+      Cursor cur(pg_ptr, pg_len);
 
       // Definition levels first — matching the reference's (nonstandard)
       // order; see the header comment in dpq_reader.hpp.
@@ -418,8 +441,12 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   // O(values) sweep in C++ and removes the whole numpy assembly from
   // read_column (reference loop replaced: src/reader/column_reader.cpp:18-71
   // via src/reader/parquet_reader.cpp:133-165).
+  // BYTE_ARRAY offsets point into the file mapping (views mode) or into the
+  // batch-owned str_chars copy (compressed / padded chunks) — the
+  // col_chars_owned dim tells the Python wrapper which chars source to pass.
   const bool want_column =
-      (flags & PS_COLUMN) && (w > 0 || is_bool || (is_ba && want_views));
+      (flags & PS_COLUMN) &&
+      (w > 0 || is_bool || (is_ba && (want_views || want_strings)));
   int64_t total_rows = 0;
   std::vector<int64_t> row0(tmp.size(), 0);
   for (size_t i = 0; i < tmp.size(); i++) {
@@ -438,6 +465,7 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   const int col_w = is_bool ? 1 : w;
   if (want_column) {
     dims["col_mat"] = 1;
+    dims["col_chars_owned"] = (is_ba && !want_views) ? 1 : 0;
     dims["total_rows"] = total_rows;
     const int64_t tr = std::max<int64_t>(total_rows, 1);
     col_valid = store->alloc<uint8_t>("col_valid", {tr});
@@ -547,6 +575,10 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
                          if (v >= 0 && v < t.nn) idx_scratch[size_t(v)] = val;
                        });
       }
+      // copy-mode plain strings: offsets into the global str_chars buffer
+      // (value_at sees k in ascending order, so a running sum of slens is
+      // the per-value char offset within the page)
+      int64_t schar_off = page_schar_fix[size_t(i)];
       auto value_at = [&](int32_t v, int32_t k) {
         const int64_t o = base + v;
         if (t.kind == 1) {  // dictionary page
@@ -565,7 +597,12 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
                         size_t(col_w));
           }
         } else if (is_ba) {
-          col_offs[o] = t.soffs[size_t(k)];
+          if (want_views) {
+            col_offs[o] = t.soffs[size_t(k)];
+          } else {
+            col_offs[o] = schar_off;
+            schar_off += t.slens[size_t(k)];
+          }
           col_lens[o] = t.slens[size_t(k)];
           col_src[o] = 0;
         } else if (is_bool) {
@@ -666,8 +703,9 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     {
       int64_t chars_at = 0;
       for (const auto& res : rg_results) {
-        std::memcpy(s_chars + chars_at, res.str_chars.data(),
-                    res.str_chars.size());
+        if (!res.str_chars.empty())
+          std::memcpy(s_chars + chars_at, res.str_chars.data(),
+                      res.str_chars.size());
         chars_at += int64_t(res.str_chars.size());
       }
     }

@@ -80,6 +80,7 @@ struct PageRec {
   int64_t header_off = 0;
   int64_t data_off = 0;  // after header
   int64_t size = 0;      // compressed_page_size
+  int64_t usize = 0;     // uncompressed_page_size (== size when UNCOMPRESSED)
   int32_t kind = 0;      // PageKind
   int32_t num_values = 0;
   int32_t encoding = 0;  // data pages: value encoding
@@ -525,6 +526,8 @@ class Reader {
         rec.header_off = start + off;
         rec.data_off = start + off + header_size;
         rec.size = ph.compressed_size;
+        rec.usize = ph.uncompressed_size > 0 ? ph.uncompressed_size
+                                             : ph.compressed_size;
         rec.kind = ph.kind;
         if (ph.kind == P_DATA && ph.data) {
           rec.num_values = ph.data->num_values;

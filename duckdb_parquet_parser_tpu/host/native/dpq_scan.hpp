@@ -39,6 +39,7 @@
 #endif
 
 #include "dpq_reader.hpp"
+#include "dpq_snappy.hpp"
 
 namespace dpq {
 
@@ -224,8 +225,13 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
         !g.columns[size_t(lf.chunk_idx)].meta)
       throw Error("column chunk missing metadata");
     const ColumnMeta& cm = *g.columns[size_t(lf.chunk_idx)].meta;
-    if (cm.codec != C_UNCOMPRESSED)
-      throw Error("Only uncompressed parquet files are supported");
+    if (cm.codec != C_UNCOMPRESSED && cm.codec != C_SNAPPY)
+      throw Error(std::string("unsupported codec ") +
+                  compression_name(cm.codec) +
+                  " (UNCOMPRESSED and SNAPPY are supported; the reference "
+                  "rejects everything but UNCOMPRESSED)");
+    const bool compressed = cm.codec == C_SNAPPY;
+    std::vector<uint8_t> dbuf;  // per-page Snappy scratch (reused)
 
     int64_t chunk_start = cm.data_page_offset;
     if (cm.dictionary_page_offset)
@@ -253,11 +259,18 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
       int64_t off = pr.data_off - chunk_start;
       if (off < 0 || off + pr.size > span) throw Error("page outside chunk span");
       const uint8_t* d = chunk_ptr + off;
+      size_t dlen = size_t(pr.size);
+      if (compressed && (pr.kind == P_DICTIONARY || pr.kind == P_DATA)) {
+        dbuf.resize(size_t(std::max<int64_t>(pr.usize, 0)));
+        snappy_decompress(d, dlen, dbuf.data(), dbuf.size());
+        d = dbuf.data();
+        dlen = dbuf.size();
+      }
 
       if (pr.kind == P_DICTIONARY) {
         dict_acc.clear();
         dict_acc.reserve(size_t(pr.num_values));
-        Cursor cur(d, size_t(pr.size));
+        Cursor cur(d, dlen);
         for (int32_t i = 0; i < pr.num_values; i++) {
           uint32_t len = cur.le<uint32_t>();
           const uint8_t* p = cur.bytes(len);
@@ -268,7 +281,7 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
       }
       if (pr.kind != P_DATA) continue;
 
-      Cursor cur(d, size_t(pr.size));
+      Cursor cur(d, dlen);
       int64_t nn = pr.num_values;
       if (lf.max_def > 0) {
         auto t0 = tick();

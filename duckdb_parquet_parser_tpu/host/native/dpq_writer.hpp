@@ -1,4 +1,4 @@
-// dpq_writer.hpp — host-side Parquet writer (uncompressed), the fixture
+// dpq_writer.hpp — host-side Parquet writer (uncompressed or Snappy), the fixture
 // generator and de-facto test harness of the framework.
 //
 // Behavioral constants follow the reference writer so that both readers see
@@ -21,6 +21,7 @@
 #include <unordered_map>
 
 #include "dpq_meta.hpp"
+#include "dpq_snappy.hpp"
 
 namespace dpq {
 
@@ -145,6 +146,16 @@ class Writer {
     kv_.emplace_back(key, value);
   }
 
+  // Page-payload codec (extension beyond the reference, which writes and
+  // reads UNCOMPRESSED only).  Must be set before the first row group.
+  void set_codec(int32_t codec) {
+    if (!rgs_.empty()) throw Error("writer: set codec before first row group");
+    if (codec != C_UNCOMPRESSED && codec != C_SNAPPY)
+      throw Error(std::string("writer: unsupported codec ") +
+                  compression_name(codec));
+    codec_ = codec;
+  }
+
   void write_row_group(const std::vector<ColumnData>& data) {
     if (closed_) throw Error("writer: already closed");
     if (data.size() != cols_.size()) throw Error("writer: column count mismatch");
@@ -164,6 +175,7 @@ class Writer {
 
       Dict dict = analyze(decl, col);
       int64_t col_start = tellp();
+      uncomp_acc_ = 0;
       ChunkMeta cm;
       cm.num_values = col.n;
 
@@ -187,6 +199,7 @@ class Writer {
       }
 
       cm.total_size = tellp() - col_start;
+      cm.total_uncomp = uncomp_acc_;
       rg.chunks.push_back(cm);
     }
 
@@ -243,9 +256,9 @@ class Writer {
         }
         t.f_list(3, tc::BINARY, 1);
         t.elem_binary(cols_[c].name);
-        t.f_i32(4, C_UNCOMPRESSED);
+        t.f_i32(4, codec_);
         t.f_i64(5, cm.num_values);
-        t.f_i64(6, cm.total_size);
+        t.f_i64(6, cm.total_uncomp);
         t.f_i64(7, cm.total_size);
         t.f_i64(9, cm.data_page_offset);
         if (cm.dict_encoded) t.f_i64(11, cm.dict_page_offset);
@@ -281,7 +294,8 @@ class Writer {
   struct ChunkMeta {
     int64_t data_page_offset = 0;
     int64_t dict_page_offset = 0;
-    int64_t total_size = 0;
+    int64_t total_size = 0;    // bytes in the file (compressed)
+    int64_t total_uncomp = 0;  // headers + logical payload bytes
     int64_t num_values = 0;
     bool dict_encoded = false;
   };
@@ -442,13 +456,17 @@ class Writer {
     return out;
   }
 
-  static std::vector<uint8_t> page_with_header(int32_t kind, int32_t num_values,
-                                               int32_t value_encoding,
-                                               const std::vector<uint8_t>& payload) {
+  std::vector<uint8_t> page_with_header(
+      int32_t kind, int32_t num_values, int32_t value_encoding,
+      const std::vector<uint8_t>& payload) const {
+    std::vector<uint8_t> stored;
+    if (codec_ == C_SNAPPY)
+      stored = snappy_compress(payload.data(), payload.size());
+    const std::vector<uint8_t>& body = codec_ == C_SNAPPY ? stored : payload;
     TWriter t;
     t.f_i32(1, kind);
     t.f_i32(2, int32_t(payload.size()));
-    t.f_i32(3, int32_t(payload.size()));
+    t.f_i32(3, int32_t(body.size()));
     if (kind == P_DATA) {
       t.struct_begin(5);
       t.f_i32(1, num_values);
@@ -464,7 +482,9 @@ class Writer {
     }
     t.stop();
     std::vector<uint8_t> out = t.take();
-    out.insert(out.end(), payload.begin(), payload.end());
+    // chunk uncompressed-total accounting (header bytes + logical payload)
+    uncomp_acc_ += int64_t(out.size()) + int64_t(payload.size());
+    out.insert(out.end(), body.begin(), body.end());
     return out;
   }
 
@@ -514,6 +534,8 @@ class Writer {
   std::vector<std::pair<std::string, std::string>> kv_;
   std::vector<RGMeta> rgs_;
   int64_t total_rows_ = 0;
+  int32_t codec_ = C_UNCOMPRESSED;
+  mutable int64_t uncomp_acc_ = 0;  // per-chunk logical byte accumulator
   bool closed_ = false;
 };
 

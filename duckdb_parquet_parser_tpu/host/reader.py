@@ -131,7 +131,8 @@ class PageResult:
 
 
 class ParquetReader:
-    """Opens an uncompressed Parquet file and serves schema, pages, decoded
+    """Opens a Parquet file (UNCOMPRESSED or Snappy — the reference rejects
+    everything but UNCOMPRESSED) and serves schema, pages, decoded
     columns, and device decode batches."""
 
     def __init__(self, path: str | None = None):
@@ -496,13 +497,19 @@ def _wrap_native_column(batch: DecodeBatch, ptype: ParquetType,
     total = int(batch.dims["total_rows"])
     valid = arrays["col_valid"][:total].view(bool)
     if ptype == ParquetType.BYTE_ARRAY:
-        if file_chars is None:
+        # col_chars_owned: offsets index the batch-owned str_chars copy
+        # (compressed chunks — no file views possible) instead of the mmap
+        if int(batch.dims.get("col_chars_owned", 0)):
+            plain_chars = arrays.get("str_chars", np.zeros(0, np.uint8))
+        elif file_chars is not None:
+            plain_chars = file_chars
+        else:
             return None
         dict_chars = arrays.get("dict_chars", np.zeros(0, np.uint8))
         return DecodedColumn(
             ptype,
             StringValues(arrays["col_offs"][:total], arrays["col_lens"][:total],
-                         arrays["col_src"][:total], (file_chars, dict_chars)),
+                         arrays["col_src"][:total], (plain_chars, dict_chars)),
             valid,
         )
     vals = arrays["col_values"][:total]

@@ -39,7 +39,9 @@ class ColumnSpec:
 
 
 class ParquetWriter:
-    """Writes uncompressed Parquet files.
+    """Writes Parquet files (uncompressed by default; codec="snappy" for
+    Snappy page compression — an engine extension; the reference writes and
+    reads UNCOMPRESSED only).
 
     Usage::
 
@@ -57,6 +59,7 @@ class ParquetWriter:
         path: str,
         columns: list[ColumnSpec],
         key_value: dict[str, str] | None = None,
+        codec: str | int = "uncompressed",
     ):
         self._columns = columns
         err = ct.create_string_buffer(4096)
@@ -64,6 +67,12 @@ class ParquetWriter:
         if not self._h:
             raise NativeError(err.value.decode())
         self._closed = False
+        from .schema import CompressionCodec
+
+        cid = (CompressionCodec[codec.upper()] if isinstance(codec, str)
+               else CompressionCodec(codec))
+        if cid != CompressionCodec.UNCOMPRESSED:
+            check(lib().dpq_writer_codec(self._h, int(cid), err, 4096), err)
         for k, v in (key_value or {}).items():
             check(lib().dpq_writer_kv(self._h, k.encode(), v.encode(), err, 4096), err)
         for c in columns:

@@ -62,6 +62,27 @@ assert len(col) == n
 res = cold_scan(r, "s", "alp.*a", exact_counts=True)
 res2 = cold_scan(r, "s", "[abc]l?pha", negate=True)
 assert len(res.page_gid) == len(res2.page_gid)
+
+# Snappy: codec round trip (incl. malformed-input rejection) + a compressed
+# twin through prescan / read_column / cold scan
+blob = bytes(rng.integers(0, 256, 20000, dtype=np.uint8)) + b"abc" * 5000
+assert bindings.snappy_decompress(bindings.snappy_compress(blob), len(blob)) == blob
+try:
+    bindings.snappy_decompress(b"\x7f\x00\xff\xff", 127)
+    raise SystemExit("malformed snappy accepted")
+except bindings.NativeError:
+    pass
+spath = "/tmp/dpq_asan_snappy.parquet"
+ws = ParquetWriter(spath, [ColumnSpec("s", ParquetType.BYTE_ARRAY, optional=True)],
+                   codec="snappy")
+ws.write_row_group({"s": (offs, chars, valid)})
+ws.close()
+rs = ParquetReader(spath)
+cs = rs.read_column("s")
+cu = r.read_column("s")
+assert cs.to_strings() == cu.to_strings()
+res3 = cold_scan(rs, "s", "alp.*a", exact_counts=True)
+assert int(res3.match_counts.sum()) == int(res.match_counts.sum())
 print("ASAN_LANE_OK")
 """
 
@@ -73,8 +94,14 @@ def test_native_surface_asan_clean(tmp_path):
     asan = subprocess.run(
         ["gcc", "-print-file-name=libasan.so"], capture_output=True, text=True
     ).stdout.strip()
+    stdcxx = subprocess.run(
+        ["gcc", "-print-file-name=libstdc++.so.6"], capture_output=True,
+        text=True,
+    ).stdout.strip()
     env = dict(os.environ)
-    env["LD_PRELOAD"] = asan
+    # libstdc++ must be resident when asan initializes, or its __cxa_throw
+    # interceptor aborts on the first native exception
+    env["LD_PRELOAD"] = f"{asan} {stdcxx}"
     env["ASAN_OPTIONS"] = "detect_leaks=0"  # CPython itself "leaks" arenas
     env["JAX_PLATFORMS"] = "cpu"
     proc = subprocess.run(
