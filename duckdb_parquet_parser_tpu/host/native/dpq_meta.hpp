@@ -79,6 +79,16 @@ struct DictPageHead {
   bool is_sorted = false;  // id 3
 };
 
+struct DataPageHeadV2 {
+  int32_t num_values = 0;     // id 1
+  int32_t num_nulls = 0;      // id 2
+  int32_t num_rows = 0;       // id 3
+  int32_t encoding = 0;       // id 4
+  int32_t def_len = 0;        // id 5 (definition_levels_byte_length)
+  int32_t rep_len = 0;        // id 6 (repetition_levels_byte_length)
+  bool is_compressed = true;  // id 7 (default true per spec)
+};
+
 struct PageHead {
   int32_t kind = -1;                  // id 1 (PageKind)
   int32_t uncompressed_size = 0;      // id 2
@@ -86,6 +96,9 @@ struct PageHead {
   std::optional<int32_t> crc;         // id 4
   std::optional<DataPageHead> data;   // id 5
   std::optional<DictPageHead> dict;   // id 7
+  std::optional<DataPageHeadV2> data_v2;  // id 8 (SKIPPED by the reference —
+                                          // metadata.cpp:138-150; the engine
+                                          // reads V2 pages as an extension)
 };
 
 // ── Deserializers ───────────────────────────────────────────────────────────
@@ -243,6 +256,23 @@ inline PageHead read_page_head(TReader& r) {
           }
         });
         h.dict = d;
+        return true;
+      }
+      case 8: {
+        DataPageHeadV2 d;
+        r.read_struct([&](const TReader::Field& g) {
+          switch (g.id) {
+            case 1: d.num_values = r.vi32(); return true;
+            case 2: d.num_nulls = r.vi32(); return true;
+            case 3: d.num_rows = r.vi32(); return true;
+            case 4: d.encoding = r.vi32(); return true;
+            case 5: d.def_len = r.vi32(); return true;
+            case 6: d.rep_len = r.vi32(); return true;
+            case 7: d.is_compressed = r.vbool(g); return true;
+            default: return false;
+          }
+        });
+        h.data_v2 = d;
         return true;
       }
       default: return false;

@@ -198,7 +198,12 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
         out.dict_n += pr.num_values;
         continue;
       }
-      if (pr.kind != P_DATA) continue;  // V2 / index pages carry no V1 payload
+      // V2 data pages (engine extension — the reference skips their header
+      // and decodes nothing): [rep_levels][def_levels][values], level
+      // sections stored uncompressed WITHOUT the u32 prefix (lengths come
+      // from the header), and only the values section codec-compressed.
+      const bool v2 = pr.kind == P_DATA_V2 && pr.num_values > 0;
+      if (pr.kind != P_DATA && !v2) continue;
 
       PageTmp t{};
       t.num_values = pr.num_values;
@@ -208,12 +213,49 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       t.dict_base = rg_dict_base;
       t.dict_size = rg_dict_size;
 
-      auto [pg_ptr, pg_len] = page_span(pr);
+      const uint8_t* pg_ptr;
+      size_t pg_len;
+      if (!v2) {
+        auto ps = page_span(pr);
+        pg_ptr = ps.first;
+        pg_len = ps.second;
+      } else {
+        const int64_t lvl = int64_t(pr.v2_rep_len) + int64_t(pr.v2_def_len);
+        if (lvl < 0 || lvl > pr.size || lvl > pr.usize)
+          throw Error("V2 page level sections exceed the page");
+        const uint8_t* raw = page_bytes(pr);
+        if (compressed && pr.v2_compressed) {
+          out.decomp.emplace_back(size_t(pr.usize));
+          auto& buf = out.decomp.back();
+          if (lvl) std::memcpy(buf.data(), raw, size_t(lvl));
+          snappy_decompress(raw + lvl, size_t(pr.size - lvl),
+                            buf.data() + lvl, size_t(pr.usize - lvl));
+          pg_ptr = buf.data();
+          pg_len = buf.size();
+        } else {
+          pg_ptr = raw;
+          pg_len = size_t(pr.size);
+        }
+      }
       Cursor cur(pg_ptr, pg_len);
 
-      // Definition levels first — matching the reference's (nonstandard)
-      // order; see the header comment in dpq_reader.hpp.
-      if (lf.max_def > 0) {
+      if (v2) {
+        cur.bytes(size_t(pr.v2_rep_len));  // rep levels: decoded-and-ignored
+        if (lf.max_def > 0) {
+          t.def_ptr = cur.bytes(size_t(pr.v2_def_len));
+          t.def_len = pr.v2_def_len;
+          rle_prescan(t.def_ptr, size_t(t.def_len), def_bw, t.num_values,
+                      t.def_runs);
+          t.nn = int32_t(count_matching(t.def_runs, t.def_ptr,
+                                        size_t(t.def_len), def_bw,
+                                        lf.max_def));
+        } else {
+          cur.bytes(size_t(pr.v2_def_len));
+          t.nn = t.num_values;
+        }
+      } else if (lf.max_def > 0) {
+        // Definition levels first — matching the reference's (nonstandard)
+        // order; see the header comment in dpq_reader.hpp.
         uint32_t def_len = cur.le<uint32_t>();
         t.def_ptr = cur.bytes(def_len);
         t.def_len = def_len;
@@ -224,13 +266,16 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
         t.nn = t.num_values;
       }
 
-      if (lf.max_rep > 0) {  // rep levels: decoded-and-ignored by the reference
+      if (!v2 && lf.max_rep > 0) {  // rep levels: decoded-and-ignored
         uint32_t rep_len = cur.le<uint32_t>();
         cur.bytes(rep_len);
       }
 
       const bool enc_dict =
           pr.encoding == E_PLAIN_DICTIONARY || pr.encoding == E_RLE_DICTIONARY;
+      if (!enc_dict && pr.encoding != E_PLAIN)
+        throw Error(std::string("unsupported value encoding ") +
+                    std::to_string(pr.encoding));
 
       if (enc_dict) {
         t.kind = 1;

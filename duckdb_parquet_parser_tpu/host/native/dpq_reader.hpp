@@ -86,6 +86,12 @@ struct PageRec {
   int32_t encoding = 0;  // data pages: value encoding
   int64_t gid = -1;      // global data-page id (-1 for dictionary pages)
   int64_t row_start = 0; // absolute row index of first value (data pages)
+  // DATA_PAGE_V2 extension (the reference skips the V2 header and decodes
+  // nothing from these pages): level-section byte lengths (stored
+  // uncompressed, no u32 prefix) and whether the VALUES section is compressed
+  int32_t v2_def_len = 0;
+  int32_t v2_rep_len = 0;
+  bool v2_compressed = false;
 };
 
 // ── SoA array store (host→Python→device hand-off) ───────────────────────────
@@ -536,6 +542,16 @@ class Reader {
           rec.row_start = rows_before;
           rows_before += ph.data->num_values;
           values_seen += ph.data->num_values;
+        } else if (ph.kind == P_DATA_V2 && ph.data_v2) {
+          rec.num_values = ph.data_v2->num_values;
+          rec.encoding = ph.data_v2->encoding;
+          rec.gid = 0;
+          rec.row_start = rows_before;
+          rec.v2_def_len = ph.data_v2->def_len;
+          rec.v2_rep_len = ph.data_v2->rep_len;
+          rec.v2_compressed = ph.data_v2->is_compressed;
+          rows_before += ph.data_v2->num_values;
+          values_seen += ph.data_v2->num_values;
         } else if (ph.kind == P_DATA_V2) {
           rec.gid = 0;  // numbered but contributes no values (parity)
         } else if (ph.kind == P_DICTIONARY && ph.dict) {
@@ -552,7 +568,7 @@ class Reader {
       for (PageRec rec : job.pages) {
         if (rec.gid >= 0) {
           rec.gid = gid++;
-          if (rec.kind == P_DATA)
+          if (rec.kind == P_DATA || rec.kind == P_DATA_V2)
             rec.row_start += rg_row_base_[size_t(rec.rg)];
           data_gids_.push_back(int64_t(pages_.size()));
         }

@@ -265,6 +265,17 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
         snappy_decompress(d, dlen, dbuf.data(), dbuf.size());
         d = dbuf.data();
         dlen = dbuf.size();
+      } else if (pr.kind == P_DATA_V2 && compressed && pr.v2_compressed) {
+        // V2: level sections stored uncompressed; only values compressed
+        const int64_t lvl = int64_t(pr.v2_rep_len) + int64_t(pr.v2_def_len);
+        if (lvl < 0 || lvl > pr.size || lvl > pr.usize)
+          throw Error("V2 page level sections exceed the page");
+        dbuf.resize(size_t(pr.usize));
+        if (lvl) std::memcpy(dbuf.data(), d, size_t(lvl));
+        snappy_decompress(d + lvl, size_t(pr.size - lvl), dbuf.data() + lvl,
+                          size_t(pr.usize - lvl));
+        d = dbuf.data();
+        dlen = dbuf.size();
       }
 
       if (pr.kind == P_DICTIONARY) {
@@ -279,11 +290,25 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
         dict_n = pr.num_values;
         continue;
       }
-      if (pr.kind != P_DATA) continue;
+      const bool v2 = pr.kind == P_DATA_V2 && pr.num_values > 0;
+      if (pr.kind != P_DATA && !v2) continue;
 
       Cursor cur(d, dlen);
       int64_t nn = pr.num_values;
-      if (lf.max_def > 0) {
+      if (v2) {
+        cur.bytes(size_t(pr.v2_rep_len));  // rep levels: ignored
+        if (lf.max_def > 0) {
+          auto t0 = tick();
+          const uint8_t* dp = cur.bytes(size_t(pr.v2_def_len));
+          runs.clear();
+          rle_prescan(dp, size_t(pr.v2_def_len), def_bw, pr.num_values, runs);
+          nn = count_matching(runs, dp, size_t(pr.v2_def_len), def_bw,
+                              lf.max_def);
+          if (timing) lap(ns_def, t0);
+        } else {
+          cur.bytes(size_t(pr.v2_def_len));
+        }
+      } else if (lf.max_def > 0) {
         auto t0 = tick();
         uint32_t def_len = cur.le<uint32_t>();
         const uint8_t* dp = cur.bytes(def_len);
@@ -292,7 +317,7 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
         nn = count_matching(runs, dp, def_len, def_bw, lf.max_def);
         if (timing) lap(ns_def, t0);
       }
-      if (lf.max_rep > 0) {
+      if (!v2 && lf.max_rep > 0) {
         uint32_t rep_len = cur.le<uint32_t>();
         cur.bytes(rep_len);
       }
