@@ -31,6 +31,7 @@
 #include <cstdio>
 #include <thread>
 
+#include "dpq_delta.hpp"
 #include "dpq_reader.hpp"
 #include "dpq_snappy.hpp"
 
@@ -77,9 +78,14 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       int64_t start = cm.data_page_offset;
       if (cm.dictionary_page_offset)
         start = std::min(start, *cm.dictionary_page_offset);
-      // compressed chunks decode into batch-owned buffers, so views into
-      // the file mapping are impossible — fall back to the copying tables
-      if (cm.codec != C_UNCOMPRESSED ||
+      // compressed chunks and delta-coded strings decode into batch-owned
+      // buffers, so views into the file mapping are impossible — fall back
+      // to the copying tables
+      bool synthesized = false;
+      for (int32_t e : cm.encodings)
+        synthesized |= (e == E_DELTA_LENGTH_BYTE_ARRAY ||
+                        e == E_DELTA_BYTE_ARRAY);
+      if (cm.codec != C_UNCOMPRESSED || synthesized ||
           !span_ptr(start, std::max<int64_t>(cm.total_compressed_size, 16))) {
         want_views = false;
         break;
@@ -273,7 +279,15 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
 
       const bool enc_dict =
           pr.encoding == E_PLAIN_DICTIONARY || pr.encoding == E_RLE_DICTIONARY;
-      if (!enc_dict && pr.encoding != E_PLAIN)
+      const bool enc_ok =
+          enc_dict || pr.encoding == E_PLAIN ||
+          (is_bool && pr.encoding == E_RLE) ||
+          (is_ba && (pr.encoding == E_DELTA_LENGTH_BYTE_ARRAY ||
+                     pr.encoding == E_DELTA_BYTE_ARRAY)) ||
+          (!is_ba && !is_bool && w > 0 &&
+           (pr.encoding == E_DELTA_BINARY_PACKED ||
+            pr.encoding == E_BYTE_STREAM_SPLIT));
+      if (!enc_ok)
         throw Error(std::string("unsupported value encoding ") +
                     std::to_string(pr.encoding));
 
@@ -283,14 +297,46 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
         t.val_len = int64_t(cur.left());
         t.val_ptr = cur.bytes(size_t(t.val_len));
         rle_prescan(t.val_ptr, size_t(t.val_len), t.idx_bw, t.nn, t.idx_runs);
+      } else if (is_bool && pr.encoding == E_RLE) {
+        // RLE booleans (pyarrow's V2 default for BOOLEAN): u32-prefixed
+        // hybrid runs of 1-bit values — expanded here to the bit-packed
+        // PLAIN layout so every downstream path stays unchanged
+        t.kind = 0;
+        uint32_t rle_len = cur.le<uint32_t>();
+        const uint8_t* rp = cur.bytes(rle_len);
+        std::vector<Run> bruns;
+        rle_prescan(rp, rle_len, 1, t.nn, bruns);
+        out.decomp.emplace_back(size_t((t.nn + 7) / 8));
+        auto& bits = out.decomp.back();
+        expand_runs_to(bruns, rp, size_t(rle_len), 1,
+                       [&](int32_t v, int32_t val) {
+                         if (val && v >= 0 && v < t.nn)
+                           bits[size_t(v >> 3)] |= uint8_t(1u << (v & 7));
+                       });
+        t.val_ptr = bits.data();
+        t.val_len = int64_t(bits.size());
       } else if (is_bool) {
         t.kind = 0;
         t.val_len = int64_t((t.nn + 7) / 8);
         t.val_ptr = cur.bytes(size_t(t.val_len));
       } else if (is_ba) {
         t.kind = 0;
-        t.val_len = int64_t(cur.left());
-        t.val_ptr = cur.bytes(size_t(t.val_len));
+        if (pr.encoding == E_DELTA_LENGTH_BYTE_ARRAY ||
+            pr.encoding == E_DELTA_BYTE_ARRAY) {
+          // delta-coded strings re-serialize to the PLAIN u32-prefixed
+          // layout once on host; downstream (payload matrices, string
+          // tables, device kernels) is encoding-oblivious
+          out.decomp.push_back(
+              pr.encoding == E_DELTA_LENGTH_BYTE_ARRAY
+                  ? delta_length_ba_to_plain(cur, t.nn)
+                  : delta_ba_to_plain(cur, t.nn));
+          const auto& buf = out.decomp.back();
+          t.val_ptr = buf.data();
+          t.val_len = int64_t(buf.size());
+        } else {
+          t.val_len = int64_t(cur.left());
+          t.val_ptr = cur.bytes(size_t(t.val_len));
+        }
         if (want_strings) {
           Cursor vc(t.val_ptr, size_t(t.val_len));
           t.schar_start = int64_t(out.str_chars.size());
@@ -312,6 +358,24 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
             t.soffs.push_back(int64_t(p - map_));
           }
         }
+      } else if (w > 0 && pr.encoding == E_DELTA_BINARY_PACKED) {
+        if (lf.type != T_INT32 && lf.type != T_INT64)
+          throw Error("DELTA_BINARY_PACKED on a non-integer column");
+        t.kind = 0;
+        auto vals = delta_binary_values(cur, t.nn);
+        out.decomp.emplace_back(size_t(t.nn) * size_t(w));
+        auto& buf = out.decomp.back();
+        for (int64_t i = 0; i < t.nn; i++)
+          std::memcpy(buf.data() + i * w, &vals[size_t(i)], size_t(w));
+        t.val_ptr = buf.data();
+        t.val_len = int64_t(buf.size());
+      } else if (w > 0 && pr.encoding == E_BYTE_STREAM_SPLIT) {
+        t.kind = 0;
+        out.decomp.push_back(
+            byte_stream_split_to_plain(cur.head(), cur.left(), t.nn, w));
+        const auto& buf = out.decomp.back();
+        t.val_ptr = buf.data();
+        t.val_len = int64_t(buf.size());
       } else if (w > 0) {
         t.kind = 0;
         t.val_len = int64_t(t.nn) * w;

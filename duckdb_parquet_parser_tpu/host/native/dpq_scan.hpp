@@ -324,6 +324,10 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
 
       const bool enc_dict =
           pr.encoding == E_PLAIN_DICTIONARY || pr.encoding == E_RLE_DICTIONARY;
+      if (!enc_dict && pr.encoding != E_PLAIN)
+        throw Error(std::string("cold scan: unsupported value encoding ") +
+                    std::to_string(pr.encoding) +
+                    " (callers fall back to the prescan path)");
       int64_t accepted = 0;   // pre-negation accepts among finalized values
       int64_t values = nn;    // participating values
 

@@ -386,22 +386,29 @@ def cold_scan(
         )
     pat = like_to_regex(pattern) if like else pattern
     chain = substring_chain(pat)
-    if chain:
-        _dims, arrays = bindings.native_cold_scan(
-            reader._h, reader.find_column(column), 0, -1,
-            negate=negate, exact=exact_counts, needles=chain,
-        )
-    else:
-        try:
-            dfa = compile_pattern(pat)
-        except UnsupportedPattern:
-            batch = reader.prescan(column, pad_strings=8)
-            return scan_batch_fallback(batch, pat, negate=negate)
-        _dims, arrays = bindings.native_cold_scan(
-            reader._h, reader.find_column(column), 0, -1,
-            negate=negate, exact=exact_counts, table=dfa.table,
-            accept=dfa.accept.astype(np.uint8),
-        )
+    try:
+        if chain:
+            _dims, arrays = bindings.native_cold_scan(
+                reader._h, reader.find_column(column), 0, -1,
+                negate=negate, exact=exact_counts, needles=chain,
+            )
+        else:
+            try:
+                dfa = compile_pattern(pat)
+            except UnsupportedPattern:
+                batch = reader.prescan(column, pad_strings=8)
+                return scan_batch_fallback(batch, pat, negate=negate)
+            _dims, arrays = bindings.native_cold_scan(
+                reader._h, reader.find_column(column), 0, -1,
+                negate=negate, exact=exact_counts, table=dfa.table,
+                accept=dfa.accept.astype(np.uint8),
+            )
+    except bindings.NativeError as e:
+        if "unsupported value encoding" not in str(e):
+            raise
+        # delta-coded string pages: the prescan path re-serializes them
+        batch = reader.prescan(column, pad_strings=8)
+        return scan_batch(batch, pat, negate=negate)
     return PageMatchResult(
         page_gid=arrays["page_gid"].copy(),
         match_counts=arrays["match_counts"].copy(),
