@@ -109,6 +109,21 @@ def _load() -> ct.CDLL:
     ]
     lib.dpq_snappy_decompress.restype = ct.c_int
 
+    lib.dpq_codec_supported.argtypes = [ct.c_int32]
+    lib.dpq_codec_supported.restype = ct.c_int
+    lib.dpq_codec_max_compressed.argtypes = [ct.c_int32, ct.c_int64]
+    lib.dpq_codec_max_compressed.restype = ct.c_int64
+    lib.dpq_codec_compress.argtypes = [
+        ct.c_int32, ct.c_void_p, ct.c_int64, ct.c_void_p, ct.c_int64,
+        ct.c_char_p, ct.c_size_t,
+    ]
+    lib.dpq_codec_compress.restype = ct.c_int64
+    lib.dpq_codec_decompress.argtypes = [
+        ct.c_int32, ct.c_void_p, ct.c_int64, ct.c_void_p, ct.c_int64,
+        ct.c_char_p, ct.c_size_t,
+    ]
+    lib.dpq_codec_decompress.restype = ct.c_int
+
     return lib
 
 
@@ -277,6 +292,41 @@ def snappy_decompress(data: bytes | np.ndarray, out_len: int) -> bytes:
     err = _err_buf()
     check(lib().dpq_snappy_decompress(
         src.ctypes.data_as(ct.c_void_p), len(src),
+        out.ctypes.data_as(ct.c_void_p), out_len, err, _ERRCAP,
+    ), err)
+    return out[:out_len].tobytes()
+
+
+def codec_supported(codec: int) -> bool:
+    """Whether the native library was built with this page codec."""
+    return bool(lib().dpq_codec_supported(int(codec)))
+
+
+def codec_compress(codec: int, data: bytes | np.ndarray) -> bytes:
+    """Compress a page payload with any supported codec (engine extension)."""
+    src = np.frombuffer(bytes(data), np.uint8) if isinstance(data, (bytes, bytearray)) \
+        else np.ascontiguousarray(data, np.uint8)
+    cap = int(lib().dpq_codec_max_compressed(int(codec), len(src)))
+    out = np.zeros(max(cap, 1), np.uint8)
+    err = _err_buf()
+    n = lib().dpq_codec_compress(
+        int(codec), src.ctypes.data_as(ct.c_void_p), len(src),
+        out.ctypes.data_as(ct.c_void_p), cap, err, _ERRCAP,
+    )
+    if n < 0:
+        raise NativeError(err.value.decode("utf-8", "replace"))
+    return out[:n].tobytes()
+
+
+def codec_decompress(codec: int, data: bytes | np.ndarray,
+                     out_len: int) -> bytes:
+    """Decompress a page payload into exactly out_len bytes."""
+    src = np.frombuffer(bytes(data), np.uint8) if isinstance(data, (bytes, bytearray)) \
+        else np.ascontiguousarray(data, np.uint8)
+    out = np.zeros(max(out_len, 1), np.uint8)
+    err = _err_buf()
+    check(lib().dpq_codec_decompress(
+        int(codec), src.ctypes.data_as(ct.c_void_p), len(src),
         out.ctypes.data_as(ct.c_void_p), out_len, err, _ERRCAP,
     ), err)
     return out[:out_len].tobytes()

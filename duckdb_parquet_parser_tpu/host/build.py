@@ -14,25 +14,64 @@ import threading
 from pathlib import Path
 
 _NATIVE_DIR = Path(__file__).resolve().parent / "native"
-_SOURCES = [
-    "dpq_common.hpp",
-    "dpq_thrift.hpp",
-    "dpq_meta.hpp",
-    "dpq_reader.hpp",
-    "dpq_prescan.hpp",
-    "dpq_scan.hpp",
-    "dpq_writer.hpp",
-    "dpq_capi.cpp",
-]
 
 _lock = threading.Lock()
 _cached_path: Path | None = None
 
+_LIB_DIRS = [
+    Path("/usr/lib/x86_64-linux-gnu"),
+    Path("/usr/lib/aarch64-linux-gnu"),
+    Path("/usr/lib64"),
+    Path("/usr/lib"),
+    Path("/usr/local/lib"),
+]
 
-def _digest() -> str:
+
+def _find_lib(*patterns: str) -> Path | None:
+    for d in _LIB_DIRS:
+        if not d.is_dir():
+            continue
+        for pat in patterns:
+            hits = sorted(d.glob(pat))
+            if hits:
+                return hits[0]
+    return None
+
+
+def _codec_flags() -> list[str]:
+    """Compile defines + link args for the optional page codecs.
+
+    zlib/zstd ship dev headers in this image; lz4/brotli ship only the
+    runtime .so.1 (prototypes are declared in dpq_codec.hpp), so those are
+    linked by full path.  Missing libraries simply drop the codec —
+    dpq_codec.hpp gates each on its DPQ_HAVE_* define.
+    """
+    flags: list[str] = []
+    inc = Path("/usr/include")
+    z = _find_lib("libz.so", "libz.so.*")
+    if (inc / "zlib.h").exists() and z is not None:
+        flags += ["-DDPQ_HAVE_ZLIB", str(z)]
+    zstd = _find_lib("libzstd.so", "libzstd.so.*")
+    if (inc / "zstd.h").exists() and zstd is not None:
+        flags += ["-DDPQ_HAVE_ZSTD", str(zstd)]
+    lz4 = _find_lib("liblz4.so", "liblz4.so.*")
+    if lz4 is not None:
+        flags += ["-DDPQ_HAVE_LZ4", str(lz4)]
+    bdec = _find_lib("libbrotlidec.so", "libbrotlidec.so.*")
+    benc = _find_lib("libbrotlienc.so", "libbrotlienc.so.*")
+    if bdec is not None and benc is not None:
+        flags += ["-DDPQ_HAVE_BROTLI", str(bdec), str(benc)]
+    return flags
+
+
+def _digest(extra: list[str]) -> str:
     h = hashlib.sha256()
-    for name in _SOURCES:
-        h.update((_NATIVE_DIR / name).read_bytes())
+    for path in sorted(_NATIVE_DIR.glob("*.hpp")) + sorted(
+        _NATIVE_DIR.glob("*.cpp")
+    ):
+        h.update(path.name.encode())
+        h.update(path.read_bytes())
+    h.update("\0".join(extra).encode())
     return h.hexdigest()[:16]
 
 
@@ -52,7 +91,8 @@ def build_library(force: bool = False, sanitize: bool = False) -> Path:
             )
         )
         cache_dir.mkdir(parents=True, exist_ok=True)
-        tag = _digest() + ("-asan" if sanitize else "")
+        codec_flags = _codec_flags()
+        tag = _digest(codec_flags) + ("-asan" if sanitize else "")
         so_path = cache_dir / f"libdpqhost-{tag}.so"
         if not so_path.exists() or force:
             tmp = so_path.with_suffix(".so.tmp")
@@ -66,6 +106,7 @@ def build_library(force: bool = False, sanitize: bool = False) -> Path:
                 "-Wall",
                 "-Wextra",
                 str(_NATIVE_DIR / "dpq_capi.cpp"),
+                *codec_flags,
                 "-o",
                 str(tmp),
             ]

@@ -10,7 +10,7 @@
 #include "dpq_prescan.hpp"
 #include "dpq_reader.hpp"
 #include "dpq_scan.hpp"
-#include "dpq_snappy.hpp"
+#include "dpq_codec.hpp"
 #include "dpq_writer.hpp"
 
 using namespace dpq;
@@ -229,6 +229,39 @@ int dpq_snappy_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
   })
 }
 
+// ── Generic page codecs (GZIP/ZSTD/LZ4/LZ4_RAW/BROTLI; engine extension) ────
+
+int dpq_codec_supported(int32_t codec) {
+  return codec_supported(codec) ? 1 : 0;
+}
+
+int64_t dpq_codec_max_compressed(int32_t codec, int64_t n) {
+  if (codec == C_SNAPPY) return dpq_snappy_max_compressed(n);
+  // generous over every linked codec's bound (zlib/zstd/lz4/brotli are all
+  // well under n + n/6 even incompressible; framing overhead is O(100) B)
+  return n + n / 6 + 1024;
+}
+
+int64_t dpq_codec_compress(int32_t codec, const uint8_t* src, int64_t n,
+                           uint8_t* dst, int64_t cap, char* err,
+                           size_t errcap) {
+  DPQ_TRY_INT({
+    auto out = codec_compress(codec, src, size_t(n));
+    if (int64_t(out.size()) > cap) throw Error("codec: dst too small");
+    if (!out.empty()) std::memcpy(dst, out.data(), out.size());
+    return int64_t(out.size());
+  })
+}
+
+int dpq_codec_decompress(int32_t codec, const uint8_t* src, int64_t n,
+                         uint8_t* dst, int64_t dst_len, char* err,
+                         size_t errcap) {
+  DPQ_TRY_INT({
+    codec_decompress(codec, src, size_t(n), dst, size_t(dst_len));
+    return 0;
+  })
+}
+
 // ── Writer ──────────────────────────────────────────────────────────────────
 
 void* dpq_writer_new(const char* path, char* err, size_t errcap) {
@@ -263,9 +296,10 @@ int dpq_writer_codec(void* h, int32_t codec, char* err, size_t errcap) {
   DPQ_TRY_INT({
     auto* w = static_cast<WriterHandle*>(h);
     if (w->writer) throw Error("writer: set codec before first row group");
-    if (codec != C_UNCOMPRESSED && codec != C_SNAPPY)
+    if (!codec_supported(codec))
       throw Error(std::string("writer: unsupported codec ") +
-                  compression_name(codec));
+                  compression_name(codec) + " (supported: " +
+                  codec_supported_list() + ")");
     w->codec = codec;
     return 0;
   })

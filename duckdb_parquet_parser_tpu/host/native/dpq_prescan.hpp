@@ -33,7 +33,7 @@
 
 #include "dpq_delta.hpp"
 #include "dpq_reader.hpp"
-#include "dpq_snappy.hpp"
+#include "dpq_codec.hpp"
 
 namespace dpq {
 
@@ -134,12 +134,12 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
         !g.columns[size_t(lf.chunk_idx)].meta)
       throw Error("column chunk missing metadata");
     const ColumnMeta& cm = *g.columns[size_t(lf.chunk_idx)].meta;
-    if (cm.codec != C_UNCOMPRESSED && cm.codec != C_SNAPPY)
+    if (!codec_supported(cm.codec))
       throw Error(std::string("unsupported codec ") +
-                  compression_name(cm.codec) +
-                  " (UNCOMPRESSED and SNAPPY are supported; the reference "
-                  "rejects everything but UNCOMPRESSED)");
-    const bool compressed = cm.codec == C_SNAPPY;
+                  compression_name(cm.codec) + " (supported: " +
+                  codec_supported_list() +
+                  "; the reference rejects everything but UNCOMPRESSED)");
+    const bool compressed = cm.codec != C_UNCOMPRESSED;
 
     int64_t chunk_start = cm.data_page_offset;
     if (cm.dictionary_page_offset)
@@ -165,7 +165,7 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       if (!compressed) return {raw, size_t(pr.size)};
       out.decomp.emplace_back(size_t(std::max<int64_t>(pr.usize, 0)));
       auto& buf = out.decomp.back();
-      snappy_decompress(raw, size_t(pr.size), buf.data(), buf.size());
+      codec_decompress(cm.codec, raw, size_t(pr.size), buf.data(), buf.size());
       return {buf.data(), buf.size()};
     };
 
@@ -234,8 +234,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
           out.decomp.emplace_back(size_t(pr.usize));
           auto& buf = out.decomp.back();
           if (lvl) std::memcpy(buf.data(), raw, size_t(lvl));
-          snappy_decompress(raw + lvl, size_t(pr.size - lvl),
-                            buf.data() + lvl, size_t(pr.usize - lvl));
+          codec_decompress(cm.codec, raw + lvl, size_t(pr.size - lvl),
+                           buf.data() + lvl, size_t(pr.usize - lvl));
           pg_ptr = buf.data();
           pg_len = buf.size();
         } else {

@@ -39,7 +39,7 @@
 #endif
 
 #include "dpq_reader.hpp"
-#include "dpq_snappy.hpp"
+#include "dpq_codec.hpp"
 
 namespace dpq {
 
@@ -225,12 +225,12 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
         !g.columns[size_t(lf.chunk_idx)].meta)
       throw Error("column chunk missing metadata");
     const ColumnMeta& cm = *g.columns[size_t(lf.chunk_idx)].meta;
-    if (cm.codec != C_UNCOMPRESSED && cm.codec != C_SNAPPY)
+    if (!codec_supported(cm.codec))
       throw Error(std::string("unsupported codec ") +
-                  compression_name(cm.codec) +
-                  " (UNCOMPRESSED and SNAPPY are supported; the reference "
-                  "rejects everything but UNCOMPRESSED)");
-    const bool compressed = cm.codec == C_SNAPPY;
+                  compression_name(cm.codec) + " (supported: " +
+                  codec_supported_list() +
+                  "; the reference rejects everything but UNCOMPRESSED)");
+    const bool compressed = cm.codec != C_UNCOMPRESSED;
     std::vector<uint8_t> dbuf;  // per-page Snappy scratch (reused)
 
     int64_t chunk_start = cm.data_page_offset;
@@ -262,7 +262,7 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
       size_t dlen = size_t(pr.size);
       if (compressed && (pr.kind == P_DICTIONARY || pr.kind == P_DATA)) {
         dbuf.resize(size_t(std::max<int64_t>(pr.usize, 0)));
-        snappy_decompress(d, dlen, dbuf.data(), dbuf.size());
+        codec_decompress(cm.codec, d, dlen, dbuf.data(), dbuf.size());
         d = dbuf.data();
         dlen = dbuf.size();
       } else if (pr.kind == P_DATA_V2 && compressed && pr.v2_compressed) {
@@ -272,8 +272,8 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
           throw Error("V2 page level sections exceed the page");
         dbuf.resize(size_t(pr.usize));
         if (lvl) std::memcpy(dbuf.data(), d, size_t(lvl));
-        snappy_decompress(d + lvl, size_t(pr.size - lvl), dbuf.data() + lvl,
-                          size_t(pr.usize - lvl));
+        codec_decompress(cm.codec, d + lvl, size_t(pr.size - lvl),
+                         dbuf.data() + lvl, size_t(pr.usize - lvl));
         d = dbuf.data();
         dlen = dbuf.size();
       }

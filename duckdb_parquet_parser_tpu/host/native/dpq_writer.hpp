@@ -21,7 +21,7 @@
 #include <unordered_map>
 
 #include "dpq_meta.hpp"
-#include "dpq_snappy.hpp"
+#include "dpq_codec.hpp"
 
 namespace dpq {
 
@@ -150,9 +150,10 @@ class Writer {
   // reads UNCOMPRESSED only).  Must be set before the first row group.
   void set_codec(int32_t codec) {
     if (!rgs_.empty()) throw Error("writer: set codec before first row group");
-    if (codec != C_UNCOMPRESSED && codec != C_SNAPPY)
+    if (!codec_supported(codec))
       throw Error(std::string("writer: unsupported codec ") +
-                  compression_name(codec));
+                  compression_name(codec) + " (supported: " +
+                  codec_supported_list() + ")");
     codec_ = codec;
   }
 
@@ -460,9 +461,10 @@ class Writer {
       int32_t kind, int32_t num_values, int32_t value_encoding,
       const std::vector<uint8_t>& payload) const {
     std::vector<uint8_t> stored;
-    if (codec_ == C_SNAPPY)
-      stored = snappy_compress(payload.data(), payload.size());
-    const std::vector<uint8_t>& body = codec_ == C_SNAPPY ? stored : payload;
+    if (codec_ != C_UNCOMPRESSED)
+      stored = codec_compress(codec_, payload.data(), payload.size());
+    const std::vector<uint8_t>& body =
+        codec_ != C_UNCOMPRESSED ? stored : payload;
     TWriter t;
     t.f_i32(1, kind);
     t.f_i32(2, int32_t(payload.size()));

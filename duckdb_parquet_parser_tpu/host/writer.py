@@ -39,9 +39,10 @@ class ColumnSpec:
 
 
 class ParquetWriter:
-    """Writes Parquet files (uncompressed by default; codec="snappy" for
-    Snappy page compression — an engine extension; the reference writes and
-    reads UNCOMPRESSED only).
+    """Writes Parquet files (uncompressed by default; codec="snappy",
+    "gzip", "zstd", "lz4", "lz4_raw", or "brotli" enables page compression
+    — an engine extension; the reference writes and reads UNCOMPRESSED
+    only).
 
     Usage::
 

@@ -63,8 +63,8 @@ res = cold_scan(r, "s", "alp.*a", exact_counts=True)
 res2 = cold_scan(r, "s", "[abc]l?pha", negate=True)
 assert len(res.page_gid) == len(res2.page_gid)
 
-# Snappy: codec round trip (incl. malformed-input rejection) + a compressed
-# twin through prescan / read_column / cold scan
+# Codecs: round trip (incl. malformed-input rejection) + a compressed twin
+# through prescan / read_column / cold scan, for every codec in the build
 blob = bytes(rng.integers(0, 256, 20000, dtype=np.uint8)) + b"abc" * 5000
 assert bindings.snappy_decompress(bindings.snappy_compress(blob), len(blob)) == blob
 try:
@@ -72,17 +72,28 @@ try:
     raise SystemExit("malformed snappy accepted")
 except bindings.NativeError:
     pass
-spath = "/tmp/dpq_asan_snappy.parquet"
-ws = ParquetWriter(spath, [ColumnSpec("s", ParquetType.BYTE_ARRAY, optional=True)],
-                   codec="snappy")
-ws.write_row_group({"s": (offs, chars, valid)})
-ws.close()
-rs = ParquetReader(spath)
-cs = rs.read_column("s")
+from duckdb_parquet_parser_tpu.host.schema import CompressionCodec
 cu = r.read_column("s")
-assert cs.to_strings() == cu.to_strings()
-res3 = cold_scan(rs, "s", "alp.*a", exact_counts=True)
-assert int(res3.match_counts.sum()) == int(res.match_counts.sum())
+for codec in ("snappy", "gzip", "zstd", "lz4", "lz4_raw", "brotli"):
+    cid = int(CompressionCodec[codec.upper()])
+    if not bindings.codec_supported(cid):
+        continue
+    enc = bindings.codec_compress(cid, blob)
+    assert bindings.codec_decompress(cid, enc, len(blob)) == blob
+    for bad in (enc[: len(enc) // 2], b"\x7f\x00\xff\xff", enc + b"x" * 9):
+        try:
+            bindings.codec_decompress(cid, bad, len(blob))
+        except bindings.NativeError:
+            pass
+    spath = "/tmp/dpq_asan_%s.parquet" % codec
+    ws = ParquetWriter(spath, [ColumnSpec("s", ParquetType.BYTE_ARRAY, optional=True)],
+                       codec=codec)
+    ws.write_row_group({"s": (offs, chars, valid)})
+    ws.close()
+    rs = ParquetReader(spath)
+    assert rs.read_column("s").to_strings() == cu.to_strings(), codec
+    res3 = cold_scan(rs, "s", "alp.*a", exact_counts=True)
+    assert int(res3.match_counts.sum()) == int(res.match_counts.sum()), codec
 print("ASAN_LANE_OK")
 """
 

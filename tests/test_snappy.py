@@ -229,11 +229,11 @@ def test_reference_rejects_snappy(twins):
     assert "Only uncompressed" in (res.stderr + res.stdout)
 
 
-def test_engine_rejects_other_codecs(tmp_path):
-    import pyarrow.parquet as pq
+def test_engine_rejects_unbuilt_codecs():
+    # Every pyarrow-writable codec is now supported (tests/test_codecs.py);
+    # LZO has no system library anywhere, so it pins the rejection path.
+    from duckdb_parquet_parser_tpu.host.schema import CompressionCodec
 
-    table = pa.table({"x": pa.array(np.arange(100), type=pa.int64())})
-    path = tmp_path / "zstd.parquet"
-    pq.write_table(table, path, compression="zstd")
-    with pytest.raises(Exception, match="unsupported codec ZSTD"):
-        ParquetReader(str(path)).read_column("x")
+    assert not bindings.codec_supported(int(CompressionCodec.LZO))
+    with pytest.raises(NativeError, match="unsupported codec LZO"):
+        bindings.codec_decompress(int(CompressionCodec.LZO), b"\x00", 1)
