@@ -27,6 +27,19 @@ struct SchemaElement {
   std::optional<int32_t> field_id;      // id 9
 };
 
+// Column-chunk Statistics (Thrift struct; engine extension — the reference
+// parses these only to discard them, reference: src/reader/metadata.cpp:26-32;
+// the engine keeps them and exposes typed min/max/null_count through
+// ParquetReader.column_stats()).
+struct Stats {
+  std::optional<std::string> max;            // id 1 (deprecated physical order)
+  std::optional<std::string> min;            // id 2 (deprecated physical order)
+  std::optional<int64_t> null_count;         // id 3
+  std::optional<int64_t> distinct_count;     // id 4
+  std::optional<std::string> max_value;      // id 5 (logical order)
+  std::optional<std::string> min_value;      // id 6 (logical order)
+};
+
 struct ColumnMeta {
   int32_t type = 0;                              // id 1
   std::vector<int32_t> encodings;                // id 2
@@ -38,6 +51,7 @@ struct ColumnMeta {
   int64_t data_page_offset = 0;                  // id 9
   std::optional<int64_t> index_page_offset;      // id 10
   std::optional<int64_t> dictionary_page_offset; // id 11
+  std::optional<Stats> stats;                    // id 12
 };
 
 struct ColumnChunk {
@@ -144,6 +158,22 @@ inline ColumnMeta read_column_meta(TReader& r) {
       case 9: m.data_page_offset = r.vi64(); return true;
       case 10: m.index_page_offset = r.vi64(); return true;
       case 11: m.dictionary_page_offset = r.vi64(); return true;
+      case 12: {
+        Stats s;
+        r.read_struct([&](const TReader::Field& sf) {
+          switch (sf.id) {
+            case 1: s.max = r.vstring(); return true;
+            case 2: s.min = r.vstring(); return true;
+            case 3: s.null_count = r.vi64(); return true;
+            case 4: s.distinct_count = r.vi64(); return true;
+            case 5: s.max_value = r.vstring(); return true;
+            case 6: s.min_value = r.vstring(); return true;
+            default: return false;
+          }
+        });
+        m.stats = std::move(s);
+        return true;
+      }
       default: return false;
     }
   });

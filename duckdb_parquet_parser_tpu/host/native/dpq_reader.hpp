@@ -700,6 +700,24 @@ inline std::string Reader::meta_json() const {
            << ",\"data_page_offset\":" << m.data_page_offset;
         if (m.dictionary_page_offset)
           os << ",\"dictionary_page_offset\":" << *m.dictionary_page_offset;
+        if (m.stats) {
+          const auto& s = *m.stats;
+          auto hex = [&os](const char* key, const std::string& v) {
+            static const char* d = "0123456789abcdef";
+            os << ",\"" << key << "\":\"";
+            for (unsigned char b : v) os << d[b >> 4] << d[b & 15];
+            os << '"';
+          };
+          os << ",\"stats\":{\"present\":true";
+          if (s.null_count) os << ",\"null_count\":" << *s.null_count;
+          if (s.distinct_count)
+            os << ",\"distinct_count\":" << *s.distinct_count;
+          if (s.min_value) hex("min_value", *s.min_value);
+          if (s.max_value) hex("max_value", *s.max_value);
+          if (s.min) hex("min", *s.min);
+          if (s.max) hex("max", *s.max);
+          os << '}';
+        }
         os << ",\"encodings\":[";
         for (size_t k = 0; k < m.encodings.size(); k++) {
           if (k) os << ',';

@@ -253,6 +253,61 @@ class ParquetReader:
     def file_size(self) -> int:
         return int(self._meta["file_size"])
 
+    def column_stats(self, column: str | int) -> list[dict]:
+        """Per-row-group column-chunk Statistics, decoded to typed values.
+
+        Engine extension: the reference parses the Statistics struct only to
+        discard it (reference: src/reader/metadata.cpp:26-32).  Returns one
+        dict per row group — empty when the writer emitted no stats —
+        with any of `min` / `max` (typed: int/float/bool/bytes), `null_count`
+        and `distinct_count`.  The logical-order min_value/max_value fields
+        are preferred over the deprecated physical-order min/max pair.
+        """
+        idx = self.find_column(column) if isinstance(column, str) else column
+        if idx < 0 or idx >= len(self._columns):
+            raise KeyError(f"Column not found: {column}")
+        info = self._columns[idx]
+        chunk_idx = info.column_index
+
+        def typed(hexv: str):
+            raw = bytes.fromhex(hexv)
+            t = info.type
+            try:
+                if t == ParquetType.BOOLEAN:
+                    return bool(raw[0]) if raw else None
+                if t == ParquetType.INT32:
+                    return int.from_bytes(raw[:4], "little", signed=True)
+                if t == ParquetType.INT64:
+                    return int.from_bytes(raw[:8], "little", signed=True)
+                if t == ParquetType.FLOAT:
+                    return float(np.frombuffer(raw[:4], "<f4")[0])
+                if t == ParquetType.DOUBLE:
+                    return float(np.frombuffer(raw[:8], "<f8")[0])
+            except (IndexError, ValueError):
+                return None
+            return raw  # BYTE_ARRAY / FLBA / INT96: raw bytes
+
+        out = []
+        for rg in self._meta["row_groups"]:
+            cols = rg["columns"]
+            s = (cols[chunk_idx].get("stats")
+                 if chunk_idx < len(cols) else None)
+            if not s:
+                out.append({})
+                continue
+            d = {}
+            for key in ("null_count", "distinct_count"):
+                if key in s:
+                    d[key] = int(s[key])
+            mn = s.get("min_value", s.get("min"))
+            mx = s.get("max_value", s.get("max"))
+            if mn is not None:
+                d["min"] = typed(mn)
+            if mx is not None:
+                d["max"] = typed(mx)
+            out.append(d)
+        return out
+
     def read_range(self, offset: int, length: int) -> bytes:
         return bindings.native_read_range(self._h, offset, length).tobytes()
 
