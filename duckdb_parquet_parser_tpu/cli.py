@@ -125,6 +125,39 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Total chunks: {idx.num_chunks}")
         return 0
 
+    if argv and argv[0] == "stats":
+        # Page Index stats + optional stats-based pruning (engine extension;
+        # the reference never reads the ColumnIndex/OffsetIndex region).
+        ap = argparse.ArgumentParser(prog="dpq-tpu stats")
+        ap.add_argument("file")
+        ap.add_argument("column")
+        ap.add_argument("--prune-op",
+                        choices=["==", "<", "<=", ">", ">=", "between"])
+        ap.add_argument("--value", help="predicate value (typed per column)")
+        ap.add_argument("--hi", help="upper bound for 'between'")
+        args = ap.parse_args(argv[1:])
+        reader = ParquetReader()
+        if not reader.open(args.file):
+            print(f"error: cannot open {args.file}", file=sys.stderr)
+            return 1
+        ps = reader.page_stats(args.column)
+        n_st = int(ps.has_stats.sum())
+        print(f"Column '{args.column}': {len(ps)} data pages, "
+              f"{n_st} with ColumnIndex stats")
+        for rg_stat in reader.column_stats(args.column):
+            print(f"  row-group stats: {rg_stat}")
+        if args.prune_op:
+            info = reader.columns()[reader.find_column(args.column)]
+            conv = (bytes.fromhex if info.type.name in
+                    ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY") else
+                    (float if info.type.name in ("FLOAT", "DOUBLE") else int))
+            val = conv(args.value)
+            hi = conv(args.hi) if args.hi is not None else None
+            pruned = ps.prune(args.prune_op, val, hi)
+            print(f"Pages that cannot match ({len(pruned)}):")
+            print(" ".join(str(int(g)) for g in pruned))
+        return 0
+
     ap = argparse.ArgumentParser(
         prog="dpq-tpu", description="TPU-native Parquet scan engine"
     )

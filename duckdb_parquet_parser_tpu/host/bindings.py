@@ -64,6 +64,9 @@ def _load() -> ct.CDLL:
     lib.dpq_batch_manifest.restype = ct.c_void_p
     lib.dpq_batch_view.argtypes = [ct.c_void_p, ct.c_char_p, ct.POINTER(ct.c_int64)]
     lib.dpq_batch_view.restype = ct.c_void_p
+    lib.dpq_page_stats.argtypes = [ct.c_void_p, ct.c_int32, ct.c_char_p,
+                                   ct.c_size_t]
+    lib.dpq_page_stats.restype = ct.c_void_p
 
     lib.dpq_writer_new.argtypes = [ct.c_char_p, ct.c_char_p, ct.c_size_t]
     lib.dpq_writer_new.restype = ct.c_void_p
@@ -330,6 +333,17 @@ def codec_decompress(codec: int, data: bytes | np.ndarray,
         out.ctypes.data_as(ct.c_void_p), out_len, err, _ERRCAP,
     ), err)
     return out[:out_len].tobytes()
+
+
+def native_page_stats(h: int, leaf: int) -> tuple[dict, dict[str, np.ndarray]]:
+    """Page Index (ColumnIndex/OffsetIndex) per-data-page stats (see
+    native/dpq_pageindex.hpp); returns (dims, arrays) aligned with global
+    page ids."""
+    err = _err_buf()
+    b = lib().dpq_page_stats(h, leaf, err, _ERRCAP)
+    if not b:
+        raise NativeError(err.value.decode("utf-8", "replace"))
+    return _wrap_batch(b)
 
 
 def native_cold_scan(

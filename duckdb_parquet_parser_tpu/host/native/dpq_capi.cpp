@@ -7,6 +7,7 @@
 #include <cstring>
 #include <string>
 
+#include "dpq_pageindex.hpp"
 #include "dpq_prescan.hpp"
 #include "dpq_reader.hpp"
 #include "dpq_scan.hpp"
@@ -144,6 +145,16 @@ void* dpq_prescan(void* h, int32_t leaf_idx, int32_t rg0, int32_t rg1,
 }
 
 void dpq_batch_free(void* b) { delete static_cast<ArrayStore*>(b); }
+
+// Page Index (ColumnIndex/OffsetIndex) stats per data page — ArrayStore
+// handle with gid/row_start/has_stats/null_page/null_count, raw min/max
+// byte planes, and OffsetIndex locations (see dpq_pageindex.hpp).
+void* dpq_page_stats(void* h, int32_t leaf_idx, char* err, size_t errcap) {
+  DPQ_TRY({
+    auto store = static_cast<Reader*>(h)->page_stats(leaf_idx);
+    return static_cast<void*>(store.release());
+  })
+}
 
 // Fused cold-path regex scan.  Chain mode when n_needles > 0 (needles packed
 // back-to-back in `needle_buf` with lengths in `needle_lens`); otherwise DFA

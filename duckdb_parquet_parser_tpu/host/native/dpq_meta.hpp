@@ -58,6 +58,12 @@ struct ColumnChunk {
   std::string file_path;           // id 1
   int64_t file_offset = 0;         // id 2
   std::optional<ColumnMeta> meta;  // id 3
+  // Page-index locations (engine extension — the reference parses chunk
+  // ids 1-3 only, reference: src/reader/metadata.cpp:68-86)
+  std::optional<int64_t> offset_index_offset;  // id 4
+  std::optional<int32_t> offset_index_length;  // id 5
+  std::optional<int64_t> column_index_offset;  // id 6
+  std::optional<int32_t> column_index_length;  // id 7
 };
 
 struct RowGroup {
@@ -187,6 +193,10 @@ inline ColumnChunk read_column_chunk(TReader& r) {
       case 1: c.file_path = r.vstring(); return true;
       case 2: c.file_offset = r.vi64(); return true;
       case 3: c.meta = read_column_meta(r); return true;
+      case 4: c.offset_index_offset = r.vi64(); return true;
+      case 5: c.offset_index_length = r.vi32(); return true;
+      case 6: c.column_index_offset = r.vi64(); return true;
+      case 7: c.column_index_length = r.vi32(); return true;
       default: return false;
     }
   });

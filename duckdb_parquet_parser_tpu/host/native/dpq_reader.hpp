@@ -409,6 +409,11 @@ class Reader {
 
   // Fused cold-path regex scan (see dpq_scan.hpp): per-data-page match /
   // value counts for one BYTE_ARRAY column, straight off the file mapping.
+  // Page Index (ColumnIndex/OffsetIndex) stats per data page, aligned with
+  // global page ids (see dpq_pageindex.hpp; engine extension — the
+  // reference never reads the page-index region).
+  std::unique_ptr<ArrayStore> page_stats(int leaf_idx) const;
+
   std::unique_ptr<ArrayStore> cold_scan(int leaf_idx, const ColdPattern& pat,
                                         int rg0, int rg1) const;
 

@@ -55,6 +55,9 @@ class TReader {
   }
 
   bool vbool(const Field& f) const { return f.type == tc::BOOL_TRUE; }
+  // Bool LIST elements (unlike field-header bools) occupy one byte each on
+  // the wire: 1 = true, 2 = false.
+  bool vbool_elem() { return cur_.u8() == tc::BOOL_TRUE; }
   int32_t vi32() { return int32_t(cur_.zigzag()); }
   int64_t vi64() { return cur_.zigzag(); }
   double vdouble() { return cur_.le<double>(); }
@@ -122,6 +125,12 @@ class TReader {
       case tc::LIST:
       case tc::SET: {
         ListHead lh = list();
+        // bool list ELEMENTS are one byte each (field-header bools carry
+        // their value in the type tag and consume nothing)
+        if (lh.elem_type == tc::BOOL_TRUE || lh.elem_type == tc::BOOL_FALSE) {
+          cur_.bytes(size_t(lh.count));
+          return;
+        }
         for (int32_t i = 0; i < lh.count; i++) skip(lh.elem_type);
         return;
       }

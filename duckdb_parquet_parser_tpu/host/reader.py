@@ -28,6 +28,90 @@ from .schema import (
 from ..ops import decode as _decode
 
 
+def _decode_stat_value(raw: bytes, t: ParquetType):
+    """Statistics/ColumnIndex value bytes -> typed Python value."""
+    try:
+        if t == ParquetType.BOOLEAN:
+            return bool(raw[0]) if raw else None
+        if t == ParquetType.INT32:
+            return int.from_bytes(raw[:4], "little", signed=True)
+        if t == ParquetType.INT64:
+            return int.from_bytes(raw[:8], "little", signed=True)
+        if t == ParquetType.FLOAT:
+            return float(np.frombuffer(raw[:4], "<f4")[0])
+        if t == ParquetType.DOUBLE:
+            return float(np.frombuffer(raw[:8], "<f8")[0])
+    except (IndexError, ValueError):
+        return None
+    return raw  # BYTE_ARRAY / FLBA / INT96: raw bytes
+
+
+@dataclass
+class PageStats:
+    """Per-data-page Page Index stats for one column (engine extension —
+    the reference never reads the ColumnIndex/OffsetIndex region; chunk
+    parse: reference src/reader/metadata.cpp:68-86).
+
+    Arrays are aligned with each other and with global page ids.  `mins` /
+    `maxs` hold typed values (None where stats are absent or the page is
+    all-null); per the format spec a stored min is a LOWER bound and a
+    stored max an UPPER bound of the true page extremes (writers may
+    truncate), so pruning on them is sound.
+    """
+
+    gid: np.ndarray          # [n] i64 global page ids
+    row_start: np.ndarray    # [n] i64 first row (engine page index)
+    has_stats: np.ndarray    # [n] u8: chunk had a ColumnIndex
+    null_page: np.ndarray    # [n] u8: page is entirely null
+    null_count: np.ndarray   # [n] i64, -1 when absent
+    mins: list               # [n] typed lower bounds (None when absent)
+    maxs: list               # [n] typed upper bounds (None when absent)
+    oi_offset: np.ndarray    # [n] i64 OffsetIndex page offset, -1 absent
+    oi_csize: np.ndarray     # [n] i64 OffsetIndex compressed size, -1 absent
+    oi_first_row: np.ndarray  # [n] i64 OffsetIndex first_row_index, -1 absent
+
+    def __len__(self) -> int:
+        return len(self.gid)
+
+    def prune(self, op: str, value, hi=None) -> np.ndarray:
+        """Global page ids that CANNOT contain a value satisfying the
+        predicate — the stats analog of the regex scan's "pages with no
+        matching values" report.  `op` is one of '==', '<', '<=', '>',
+        '>=', 'between' (inclusive; pass `hi`).  Pages without stats are
+        never pruned; all-null pages always are."""
+        if op == "between":
+            if hi is None:
+                raise ValueError("between requires hi")
+            lo_v, hi_v = value, hi
+        elif op in ("==", "<", "<=", ">", ">="):
+            lo_v = hi_v = value
+        else:
+            raise ValueError(f"unknown op {op!r}")
+        out = []
+        for i in range(len(self.gid)):
+            if not self.has_stats[i]:
+                continue
+            if self.null_page[i]:
+                out.append(int(self.gid[i]))
+                continue
+            mn, mx = self.mins[i], self.maxs[i]
+            if mn is None or mx is None:
+                continue
+            if op == "==" or op == "between":
+                dead = mx < lo_v or mn > hi_v
+            elif op == ">":
+                dead = mx <= lo_v
+            elif op == ">=":
+                dead = mx < lo_v
+            elif op == "<":
+                dead = mn >= lo_v
+            else:  # '<='
+                dead = mn > lo_v
+            if dead:
+                out.append(int(self.gid[i]))
+        return np.asarray(out, np.int64)
+
+
 class StringValues:
     """Columnar BYTE_ARRAY values: per-row (offset, length, source buffer)
     with `bytes` objects materialized only on access — the decode itself is
@@ -270,22 +354,7 @@ class ParquetReader:
         chunk_idx = info.column_index
 
         def typed(hexv: str):
-            raw = bytes.fromhex(hexv)
-            t = info.type
-            try:
-                if t == ParquetType.BOOLEAN:
-                    return bool(raw[0]) if raw else None
-                if t == ParquetType.INT32:
-                    return int.from_bytes(raw[:4], "little", signed=True)
-                if t == ParquetType.INT64:
-                    return int.from_bytes(raw[:8], "little", signed=True)
-                if t == ParquetType.FLOAT:
-                    return float(np.frombuffer(raw[:4], "<f4")[0])
-                if t == ParquetType.DOUBLE:
-                    return float(np.frombuffer(raw[:8], "<f8")[0])
-            except (IndexError, ValueError):
-                return None
-            return raw  # BYTE_ARRAY / FLBA / INT96: raw bytes
+            return _decode_stat_value(bytes.fromhex(hexv), info.type)
 
         out = []
         for rg in self._meta["row_groups"]:
@@ -307,6 +376,36 @@ class ParquetReader:
                 d["max"] = typed(mx)
             out.append(d)
         return out
+
+    def page_stats(self, column: str | int) -> PageStats:
+        """Page Index (ColumnIndex/OffsetIndex) stats per data page, typed
+        and aligned with global page ids — see PageStats.  Engine extension:
+        the reference never reads the page-index region."""
+        idx = self.find_column(column) if isinstance(column, str) else column
+        if idx < 0 or idx >= len(self._columns):
+            raise KeyError(f"Column not found: {column}")
+        info = self._columns[idx]
+        dims, a = bindings.native_page_stats(self._h, idx)
+        n = int(dims["n_pages"])
+        mins: list = [None] * n
+        maxs: list = [None] * n
+        mo, xo = a["min_offs"], a["max_offs"]
+        mc = a["min_chars"].tobytes()[: int(dims["min_chars_len"])]
+        xc = a["max_chars"].tobytes()[: int(dims["max_chars_len"])]
+        has, np_ = a["has_stats"], a["null_page"]
+        for i in range(n):
+            if not has[i] or np_[i]:
+                continue
+            mins[i] = _decode_stat_value(mc[int(mo[i]):int(mo[i + 1])],
+                                         info.type)
+            maxs[i] = _decode_stat_value(xc[int(xo[i]):int(xo[i + 1])],
+                                         info.type)
+        return PageStats(
+            gid=a["gid"], row_start=a["row_start"], has_stats=has,
+            null_page=np_, null_count=a["null_count"], mins=mins, maxs=maxs,
+            oi_offset=a["oi_offset"], oi_csize=a["oi_csize"],
+            oi_first_row=a["oi_first_row"],
+        )
 
     def read_range(self, offset: int, length: int) -> bytes:
         return bindings.native_read_range(self._h, offset, length).tobytes()
