@@ -210,6 +210,11 @@ class TWriter {
 
   // Raw list-element emitters (list elements have no field headers).
   void elem_i32(int32_t v) { put_zigzag(buf_, v); }
+  void elem_i64(int64_t v) { put_zigzag(buf_, v); }
+  // bool LIST elements are one byte each on the wire (1 = true, 2 = false)
+  void elem_bool(bool v) {
+    buf_.push_back(v ? tc::BOOL_TRUE : tc::BOOL_FALSE);
+  }
   void elem_binary(const std::string& s) {
     put_uleb(buf_, s.size());
     buf_.insert(buf_.end(), s.begin(), s.end());

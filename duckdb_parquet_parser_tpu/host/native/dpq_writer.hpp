@@ -180,6 +180,17 @@ class Writer {
       ChunkMeta cm;
       cm.num_values = col.n;
 
+      const bool stats_ok = stats_supported(decl.type);
+      auto track = [&](int64_t at, int64_t cnt,
+                       const std::vector<uint8_t>& page) {
+        PageCI ci = stats_ok ? page_ci(decl, col, at, cnt) : PageCI{};
+        ci.first_row = at;
+        ci.offset = tellp();
+        emit(page);
+        ci.csize = int32_t(tellp() - ci.offset);
+        cm.pages.push_back(std::move(ci));
+      };
+
       if (dict.use) {
         cm.dict_page_offset = col_start;
         emit(dict_page(decl, col, dict));
@@ -190,13 +201,27 @@ class Writer {
         // reference's dictionary page-boundary rule.
         int64_t per_page = kMaxPlainPageBytes / std::max<int64_t>(1, (bw + 7) / 8);
         if (per_page == 0) per_page = 1;
-        for (int64_t at = 0; at < col.n; at += per_page)
-          emit(dict_data_page(decl, col, dict, bw, at,
-                              std::min(per_page, col.n - at), max_def));
+        for (int64_t at = 0; at < col.n; at += per_page) {
+          int64_t cnt = std::min(per_page, col.n - at);
+          track(at, cnt, dict_data_page(decl, col, dict, bw, at, cnt, max_def));
+        }
       } else {
         cm.data_page_offset = col_start;
         for (auto [at, cnt] : plain_boundaries(decl, col))
-          emit(plain_data_page(decl, col, at, cnt, max_def));
+          track(at, cnt, plain_data_page(decl, col, at, cnt, max_def));
+      }
+
+      // chunk-level Statistics aggregation
+      cm.has_stats = stats_ok;
+      for (const PageCI& p : cm.pages) {
+        cm.null_count += p.null_count;
+        if (!p.comparable) cm.has_stats = false;
+        if (p.null_page || !p.comparable) continue;
+        if (!cm.has_minmax || stat_less(decl.type, p.min_v, cm.min_v))
+          cm.min_v = p.min_v;
+        if (!cm.has_minmax || stat_less(decl.type, cm.max_v, p.max_v))
+          cm.max_v = p.max_v;
+        cm.has_minmax = true;
       }
 
       cm.total_size = tellp() - col_start;
@@ -211,6 +236,50 @@ class Writer {
   void close() {
     if (closed_) return;
     closed_ = true;
+
+    // ── Page Index region (engine extension; written between the last data
+    // page and the footer: all ColumnIndexes, then all OffsetIndexes, the
+    // layout arrow produces).  The reference writer emits neither.
+    for (size_t g = 0; g < rgs_.size(); g++)
+      for (size_t c = 0; c < rgs_[g].chunks.size(); c++) {
+        ChunkMeta& cm = rgs_[g].chunks[c];
+        if (!cm.has_stats || cm.pages.empty()) continue;
+        TWriter ci;
+        const int32_t n = int32_t(cm.pages.size());
+        ci.f_list(1, tc::BOOL_TRUE, n);  // null_pages
+        for (const PageCI& p : cm.pages) ci.elem_bool(p.null_page);
+        ci.f_list(2, tc::BINARY, n);  // min_values ("" on null pages)
+        for (const PageCI& p : cm.pages)
+          ci.elem_binary(p.null_page ? std::string() : p.min_v);
+        ci.f_list(3, tc::BINARY, n);  // max_values
+        for (const PageCI& p : cm.pages)
+          ci.elem_binary(p.null_page ? std::string() : p.max_v);
+        ci.f_i32(4, boundary_order(cols_[c].type, cm.pages));
+        ci.f_list(5, tc::I64, n);  // null_counts
+        for (const PageCI& p : cm.pages) ci.elem_i64(p.null_count);
+        ci.stop();
+        cm.ci_off = tellp();
+        cm.ci_len = int32_t(ci.size());
+        emit(ci.buf());
+      }
+    for (RGMeta& rg : rgs_)
+      for (ChunkMeta& cm : rg.chunks) {
+        if (cm.pages.empty()) continue;
+        TWriter oi;
+        oi.f_list(1, tc::STRUCT, int32_t(cm.pages.size()));
+        for (const PageCI& p : cm.pages) {
+          oi.elem_struct_begin();
+          oi.f_i64(1, p.offset);
+          oi.f_i32(2, p.csize);
+          oi.f_i64(3, p.first_row);  // row-group-relative, per spec
+          oi.elem_struct_end();
+        }
+        oi.stop();
+        cm.oi_off = tellp();
+        cm.oi_len = int32_t(oi.size());
+        emit(oi.buf());
+      }
+
     int64_t footer_start = tellp();
 
     TWriter t;
@@ -263,7 +332,24 @@ class Writer {
         t.f_i64(7, cm.total_size);
         t.f_i64(9, cm.data_page_offset);
         if (cm.dict_encoded) t.f_i64(11, cm.dict_page_offset);
+        if (cm.has_stats) {
+          t.struct_begin(12);  // Statistics (engine extension)
+          t.f_i64(3, cm.null_count);
+          if (cm.has_minmax) {
+            t.f_binary(5, cm.max_v);
+            t.f_binary(6, cm.min_v);
+          }
+          t.struct_end();
+        }
         t.struct_end();
+        if (cm.oi_off >= 0) {
+          t.f_i64(4, cm.oi_off);
+          t.f_i32(5, cm.oi_len);
+        }
+        if (cm.ci_off >= 0) {
+          t.f_i64(6, cm.ci_off);
+          t.f_i32(7, cm.ci_len);
+        }
         t.elem_struct_end();
       }
       t.f_i64(2, rg_bytes);
@@ -281,6 +367,16 @@ class Writer {
       }
     }
 
+    // column_orders (field 7): TypeDefinedOrder per leaf — without this,
+    // readers (arrow included) must ignore the min/max statistics above.
+    t.f_list(7, tc::STRUCT, int32_t(cols_.size()));
+    for (size_t c = 0; c < cols_.size(); c++) {
+      t.elem_struct_begin();
+      t.struct_begin(1);  // ColumnOrder union: 1 = TYPE_ORDER (empty struct)
+      t.struct_end();
+      t.elem_struct_end();
+    }
+
     t.stop();
 
     out_.write(reinterpret_cast<const char*>(t.buf().data()),
@@ -292,6 +388,20 @@ class Writer {
   }
 
  private:
+  // Per-data-page location + value stats, collected at emit time for the
+  // Page Index (engine extension — the reference writer emits neither
+  // Statistics nor ColumnIndex/OffsetIndex).
+  struct PageCI {
+    int64_t offset = 0;     // file offset of the page header
+    int32_t csize = 0;      // compressed size INCLUDING the header
+    int64_t first_row = 0;  // row-group-relative first row
+    int64_t null_count = 0;
+    bool null_page = false;
+    bool comparable = true;  // false when non-null values exist but none
+                             // order (all-NaN float pages)
+    std::string min_v, max_v;
+  };
+
   struct ChunkMeta {
     int64_t data_page_offset = 0;
     int64_t dict_page_offset = 0;
@@ -299,6 +409,13 @@ class Writer {
     int64_t total_uncomp = 0;  // headers + logical payload bytes
     int64_t num_values = 0;
     bool dict_encoded = false;
+    std::vector<PageCI> pages;  // data pages only (dict pages excluded)
+    bool has_stats = false;
+    bool has_minmax = false;
+    std::string min_v, max_v;   // chunk-level (Statistics field 12)
+    int64_t null_count = 0;
+    int64_t ci_off = -1, oi_off = -1;  // page-index locations (close())
+    int32_t ci_len = 0, oi_len = 0;
   };
   struct RGMeta {
     int64_t num_rows = 0;
@@ -327,6 +444,92 @@ class Writer {
                          size_t(col.offs[i + 1] - col.offs[i]));
     return std::string(reinterpret_cast<const char*>(col.fixed + i * col.width),
                        size_t(col.width));
+  }
+
+  // ── Statistics / Page Index helpers ───────────────────────────────────────
+
+  // INT96 has no defined order; everything else gets min/max stats.
+  static bool stats_supported(int32_t type) { return type != T_INT96; }
+
+  // Logical order on stat value bytes: signed ints, IEEE floats (NaN is
+  // excluded at collection time), unsigned lexicographic bytes.
+  static bool stat_less(int32_t type, const std::string& a,
+                        const std::string& b) {
+    auto as = [](const std::string& s, auto v) {
+      std::memcpy(&v, s.data(), sizeof(v));
+      return v;
+    };
+    switch (type) {
+      case T_BOOLEAN: return uint8_t(a[0]) < uint8_t(b[0]);
+      case T_INT32: return as(a, int32_t{}) < as(b, int32_t{});
+      case T_INT64: return as(a, int64_t{}) < as(b, int64_t{});
+      case T_FLOAT: return as(a, float{}) < as(b, float{});
+      case T_DOUBLE: return as(a, double{}) < as(b, double{});
+      default: return a < b;  // BYTE_ARRAY / FLBA: unsigned lexicographic
+    }
+  }
+
+  // Value i's stat bytes; false when it does not participate (NaN floats).
+  static bool stat_bytes(const ColumnDecl& decl, const ColumnData& col,
+                         int64_t i, std::string* out) {
+    *out = cell_bytes(decl, col, i);
+    if (decl.type == T_FLOAT) {
+      float v;
+      std::memcpy(&v, out->data(), 4);
+      return v == v;
+    }
+    if (decl.type == T_DOUBLE) {
+      double v;
+      std::memcpy(&v, out->data(), 8);
+      return v == v;
+    }
+    return true;
+  }
+
+  // Per-page null_count + min/max over rows [at, at+cnt).
+  PageCI page_ci(const ColumnDecl& decl, const ColumnData& col, int64_t at,
+                 int64_t cnt) const {
+    PageCI ci;
+    ci.first_row = at;
+    bool have = false;
+    std::string v;
+    for (int64_t i = at; i < at + cnt; i++) {
+      if (is_null(col, i)) {
+        ci.null_count++;
+        continue;
+      }
+      if (!stat_bytes(decl, col, i, &v)) {
+        ci.comparable = false;
+        continue;
+      }
+      if (!have || stat_less(decl.type, v, ci.min_v)) ci.min_v = v;
+      if (!have || stat_less(decl.type, ci.max_v, v)) ci.max_v = v;
+      have = true;
+    }
+    ci.null_page = ci.null_count == cnt;
+    if (!have && !ci.null_page) ci.comparable = false;
+    if (have) ci.comparable = true;
+    return ci;
+  }
+
+  // ColumnIndex.boundary_order: 1 ascending / 2 descending / 0 unordered
+  // over the non-null pages' [min, max] sequences.
+  static int32_t boundary_order(int32_t type, const std::vector<PageCI>& ps) {
+    bool asc = true, desc = true;
+    const PageCI* prev = nullptr;
+    for (const PageCI& p : ps) {
+      if (p.null_page) continue;
+      if (prev) {
+        if (stat_less(type, p.min_v, prev->min_v) ||
+            stat_less(type, p.max_v, prev->max_v))
+          asc = false;
+        if (stat_less(type, prev->min_v, p.min_v) ||
+            stat_less(type, prev->max_v, p.max_v))
+          desc = false;
+      }
+      prev = &p;
+    }
+    return asc ? 1 : (desc ? 2 : 0);
   }
 
   // Estimated PLAIN size of one row, for page splitting (nulls cost 0).

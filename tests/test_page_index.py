@@ -186,14 +186,67 @@ def test_page_index_with_compression_and_v2(tmp_path):
         np.testing.assert_array_equal(ps.oi_first_row, ps.row_start)
 
 
-def test_own_writer_has_no_page_index(tmp_path):
+def test_own_writer_page_index_roundtrip(tmp_path):
+    # our writer emits ColumnIndex/OffsetIndex too (engine extension); its
+    # OffsetIndex must agree with our header-walking page indexer and its
+    # bounds must prune soundly — incl. dict-encoded pages and all-null pages
     from duckdb_parquet_parser_tpu.host.schema import ParquetType
     from duckdb_parquet_parser_tpu.host.writer import ColumnSpec, ParquetWriter
 
+    rng = np.random.default_rng(7)
+    n = 12000
+    vals = np.sort(rng.integers(0, 10**6, n))
+    valid = np.ones(n, np.uint8)
+    valid[3000:3500] = 0
+    # dict pages hold ~1024 rows (1-byte indices); a 2500-row null prefix
+    # makes the leading dict pages fully null
+    kvalid = np.ones(n, np.uint8)
+    kvalid[:2500] = 0
     path = tmp_path / "own.parquet"
-    w = ParquetWriter(str(path), [ColumnSpec("i", ParquetType.INT64)])
-    w.write_row_group({"i": np.arange(4000)})
+    w = ParquetWriter(str(path), [
+        ColumnSpec("x", ParquetType.INT64, optional=True),
+        ColumnSpec("k", ParquetType.INT32,  # low-cardinality: dict pages
+                   optional=True),
+    ])
+    kdata = ((vals % 7).astype(np.int32), kvalid)
+    w.write_row_group({"x": (vals, valid), "k": kdata})
+    w.write_row_group({"x": (vals, valid), "k": kdata})
     w.close()
-    ps = ParquetReader(str(path)).page_stats("i")
-    assert len(ps) > 0 and not ps.has_stats.any()
-    assert (ps.oi_offset == -1).all()
+
+    r = ParquetReader(str(path))
+    for col in ("x", "k"):
+        ps = r.page_stats(col)
+        assert len(ps) > 3 and ps.has_stats.all()
+        np.testing.assert_array_equal(ps.oi_first_row, ps.row_start)
+        for i in range(len(ps)):
+            e = r.page_index_entry(int(ps.gid[i]))
+            hdr = e.data_offset - int(ps.oi_offset[i])
+            assert 0 < hdr < 64
+            assert e.data_size == int(ps.oi_csize[i]) - hdr
+
+    kps = r.page_stats("k")
+    assert kps.null_page.any()  # the null prefix produced all-null pages
+    assert all(kps.mins[i] is None for i in range(len(kps))
+               if kps.null_page[i])
+
+    ps = r.page_stats("x")
+    full = np.concatenate([vals, vals])
+    fullv = np.concatenate([valid, valid]).astype(bool)
+    n_rows = 2 * n
+    med = int(vals[n // 2])
+    pruned = ps.prune("<", med)
+    assert len(pruned) > len(ps) // 4
+    spans = {int(ps.gid[i]): (int(ps.row_start[i]),
+                              int(ps.row_start[i + 1]) if i + 1 < len(ps)
+                              else n_rows)
+             for i in range(len(ps))}
+    for gid in pruned:
+        a, b = spans[int(gid)]
+        seg = full[a:b][fullv[a:b]]
+        assert not np.any(seg < med)
+
+    # pyarrow detects the page index on our files
+    import pyarrow.parquet as pq
+
+    c = pq.ParquetFile(str(path)).metadata.row_group(0).column(0)
+    assert c.has_column_index and c.has_offset_index

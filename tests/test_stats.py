@@ -74,17 +74,50 @@ def test_stats_absent_when_not_written(tmp_path):
     assert r.column_stats("x") == [{}]
 
 
-def test_stats_absent_in_own_writer_output(tmp_path):
-    # our writer (like the reference's) emits no Statistics — the accessor
-    # must degrade to empty dicts, not error
+def test_own_writer_stats_roundtrip_and_pyarrow(tmp_path):
+    # engine extension on the WRITE side too: our writer emits Statistics
+    # (+ column_orders, without which readers must ignore min/max); both our
+    # reader and pyarrow see the same typed values
+    import pyarrow.parquet as pq
+
     from duckdb_parquet_parser_tpu.host.schema import ParquetType
     from duckdb_parquet_parser_tpu.host.writer import ColumnSpec, ParquetWriter
 
+    rng = np.random.default_rng(3)
+    n = 500
+    valid = (rng.random(n) > 0.3).astype(np.uint8)
+    ints = rng.integers(-(1 << 40), 1 << 40, n)
+    words = [b"kiwi", b"apple", b"zebra-fruit"]
+    vals = [words[int(rng.integers(3))] for _ in range(n)]
+    offs = np.zeros(n + 1, np.int64)
+    offs[1:] = np.cumsum([len(v) for v in vals])
+    chars = np.frombuffer(b"".join(vals), np.uint8)
     path = tmp_path / "own.parquet"
-    w = ParquetWriter(str(path), [ColumnSpec("i", ParquetType.INT64)])
-    w.write_row_group({"i": np.arange(50)})
+    w = ParquetWriter(str(path), [
+        ColumnSpec("i", ParquetType.INT64, optional=True),
+        ColumnSpec("s", ParquetType.BYTE_ARRAY),
+        ColumnSpec("d", ParquetType.DOUBLE),
+    ])
+    d = rng.random(n)
+    w.write_row_group({"i": (ints, valid), "s": (offs, chars, None), "d": d})
     w.close()
-    assert ParquetReader(str(path)).column_stats("i") == [{}]
+
+    r = ParquetReader(str(path))
+    live = ints[valid.astype(bool)]
+    got = r.column_stats("i")[0]
+    assert got["min"] == live.min() and got["max"] == live.max()
+    assert got["null_count"] == int((~valid.astype(bool)).sum())
+    gs = r.column_stats("s")[0]
+    assert gs["min"] == min(vals) and gs["max"] == max(vals)
+    gd = r.column_stats("d")[0]
+    assert gd["min"] == d.min() and gd["max"] == d.max()
+
+    md = pq.ParquetFile(str(path)).metadata.row_group(0)
+    assert md.column(0).statistics.min == live.min()
+    assert md.column(0).statistics.max == live.max()
+    assert md.column(0).statistics.null_count == got["null_count"]
+    assert md.column(1).statistics.min == min(vals)
+    assert md.column(2).statistics.max == d.max()
 
 
 def test_stats_unknown_column_raises(stats_file):
