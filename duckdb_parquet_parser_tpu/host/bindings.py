@@ -49,7 +49,8 @@ def _load() -> ct.CDLL:
 
     lib.dpq_prescan.argtypes = [
         ct.c_void_p, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int64, ct.c_int64,
-        ct.c_int64, ct.c_int64, ct.c_char_p, ct.c_size_t,
+        ct.c_int64, ct.c_int64, ct.c_int64, ct.c_int64, ct.c_char_p,
+        ct.c_size_t,
     ]
     lib.dpq_prescan.restype = ct.c_void_p
     lib.dpq_cold_scan.argtypes = [
@@ -235,6 +236,7 @@ class _BatchOwner:
 def native_prescan(
     h: int, leaf: int, rg0: int, rg1: int, align: int, pad_strings: int,
     flags: int = PS_HOST_STRINGS, payload_align: int = 0,
+    row_lo: int = -1, row_hi: int = -1,
 ) -> tuple[dict, dict[str, np.ndarray]]:
     """Runs the structural pre-scan, returning (dims, arrays as numpy).
 
@@ -244,7 +246,8 @@ def native_prescan(
     views via `_BatchOwner`."""
     err = _err_buf()
     b = lib().dpq_prescan(
-        h, leaf, rg0, rg1, align, pad_strings, flags, payload_align, err, _ERRCAP
+        h, leaf, rg0, rg1, align, pad_strings, flags, payload_align, row_lo,
+        row_hi, err, _ERRCAP
     )
     if not b:
         raise NativeError(err.value.decode("utf-8", "replace"))

@@ -136,10 +136,12 @@ int dpq_read_range(void* h, int64_t off, int64_t len, uint8_t* out, char* err,
 
 void* dpq_prescan(void* h, int32_t leaf_idx, int32_t rg0, int32_t rg1,
                   int64_t align, int64_t pad_strings, int64_t flags,
-                  int64_t payload_align, char* err, size_t errcap) {
+                  int64_t payload_align, int64_t row_lo, int64_t row_hi,
+                  char* err, size_t errcap) {
   DPQ_TRY({
     auto batch = static_cast<Reader*>(h)->prescan(
-        leaf_idx, rg0, rg1, align, pad_strings, flags, payload_align);
+        leaf_idx, rg0, rg1, align, pad_strings, flags, payload_align, row_lo,
+        row_hi);
     return static_cast<void*>(batch.release());
   })
 }

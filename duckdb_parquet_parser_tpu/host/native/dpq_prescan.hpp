@@ -41,7 +41,9 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
                                                    int rg1, int64_t align,
                                                    int64_t pad_strings,
                                                    int64_t flags,
-                                                   int64_t payload_align) const {
+                                                   int64_t payload_align,
+                                                   int64_t row_lo,
+                                                   int64_t row_hi) const {
   if (leaf_idx < 0 || size_t(leaf_idx) >= leaves_.size())
     throw Error("leaf index out of range");
   const Leaf& lf = leaves_[size_t(leaf_idx)];
@@ -210,6 +212,10 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       // from the header), and only the values section codec-compressed.
       const bool v2 = pr.kind == P_DATA_V2 && pr.num_values > 0;
       if (pr.kind != P_DATA && !v2) continue;
+      // Row-bounded reads (read_rows): skip data pages entirely outside
+      // [row_lo, row_hi); dictionary pages above are always kept.
+      if (row_lo >= 0 && pr.row_start + pr.num_values <= row_lo) continue;
+      if (row_hi >= 0 && pr.row_start >= row_hi) continue;
 
       PageTmp t{};
       t.num_values = pr.num_values;

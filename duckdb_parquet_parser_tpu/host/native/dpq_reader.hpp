@@ -402,10 +402,14 @@ class Reader {
   // overrides `align` for the payload pitch so independent per-row-group
   // prescans of the same file land on ONE compiled device shape (the
   // streaming cold path's shape-bucketing knob).
+  // row_lo/row_hi (when >= 0) restrict the batch to data pages overlapping
+  // [row_lo, row_hi) — the page-granular substrate of read_rows().
   std::unique_ptr<ArrayStore> prescan(int leaf_idx, int rg0, int rg1,
                                       int64_t align, int64_t pad_strings,
                                       int64_t flags,
-                                      int64_t payload_align = 0) const;
+                                      int64_t payload_align = 0,
+                                      int64_t row_lo = -1,
+                                      int64_t row_hi = -1) const;
 
   // Fused cold-path regex scan (see dpq_scan.hpp): per-data-page match /
   // value counts for one BYTE_ARRAY column, straight off the file mapping.

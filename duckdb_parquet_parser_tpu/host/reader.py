@@ -421,6 +421,8 @@ class ParquetReader:
         pad_strings: int = 0,
         flags: int = bindings.PS_HOST_STRINGS,
         payload_align: int = 0,
+        row_lo: int = -1,
+        row_hi: int = -1,
     ) -> DecodeBatch:
         idx = self.find_column(column) if isinstance(column, str) else column
         if idx < 0:
@@ -430,7 +432,8 @@ class ParquetReader:
 
             align = get_config().batch_align
         dims, arrays = bindings.native_prescan(
-            self._h, idx, rg0, rg1, align, pad_strings, flags, payload_align
+            self._h, idx, rg0, rg1, align, pad_strings, flags, payload_align,
+            row_lo, row_hi
         )
         return DecodeBatch(dims, arrays)
 
@@ -474,6 +477,62 @@ class ParquetReader:
         if info.type == ParquetType.FIXED_LEN_BYTE_ARRAY:
             return _materialize_flba(batch)
         return _materialize_fixed(batch)
+
+    def read_rows(self, column: str | int, row_lo: int,
+                  row_hi: int) -> DecodedColumn:
+        """Decode only rows [row_lo, row_hi) — page-granular serving read.
+
+        Engine extension: the reference can only decode whole column chunks
+        (reference: src/reader/parquet_reader.cpp:133-165).  The pre-scan
+        restricts itself to the data pages overlapping the row span (via the
+        page index built at open), so a point lookup touches one ~1 KB page
+        instead of the row group.
+        """
+        idx = self.find_column(column) if isinstance(column, str) else column
+        if idx < 0 or idx >= len(self._columns):
+            raise KeyError(f"Column not found: {column}")
+        n = self.num_rows()
+        row_lo = max(0, int(row_lo))
+        row_hi = min(n, int(row_hi))
+        if row_hi <= row_lo:
+            info = self._columns[idx]
+            return DecodedColumn(info.type, np.zeros(0, np.int64),
+                                 np.zeros(0, bool))
+        # row groups overlapping the span (skip whole chunks outright)
+        rg0 = rg1 = 0
+        base = 0
+        for g, rg in enumerate(self._meta["row_groups"]):
+            nr = int(rg["num_rows"])
+            if base + nr <= row_lo:
+                rg0 = g + 1
+            if base < row_hi:
+                rg1 = g + 1
+            base += nr
+        info = self._columns[idx]
+        if info.type == ParquetType.BYTE_ARRAY:
+            batch = self.prescan(
+                idx, rg0, rg1,
+                flags=(bindings.PS_HOST_STRINGS | bindings.PS_STR_VIEWS
+                       | bindings.PS_COLUMN),
+                row_lo=row_lo, row_hi=row_hi,
+            )
+            col = _wrap_native_column(batch, info.type, self._file_view())
+            if col is None:
+                col = _materialize_strings(batch, file_chars=self._file_view())
+        else:
+            batch = self.prescan(idx, rg0, rg1, flags=bindings.PS_COLUMN,
+                                 row_lo=row_lo, row_hi=row_hi)
+            col = _wrap_native_column(batch, info.type, None)
+            if col is None:
+                col = (_materialize_flba(batch)
+                       if info.type == ParquetType.FIXED_LEN_BYTE_ARRAY
+                       else _materialize_fixed(batch))
+        # trim the edge pages' surplus rows
+        first = int(batch.arrays["page_row_start"][0])
+        a = row_lo - first
+        b = row_hi - first
+        return DecodedColumn(col.type, col.values[a:b],
+                             np.asarray(col.valid)[a:b])
 
     def read_pages(self, column: str | int, row_group_idx: int = 0) -> list["PageResult"]:
         """Per-page decode results for one column chunk (parity: reference
