@@ -39,6 +39,7 @@ CACHE = Path(os.environ.get("DPQ_BENCH_DIR", "/tmp/dpq_bench"))
 PATTERN = "special.*requests"  # TPC-H Q13-style filter
 PATTERN_GENERAL = "spe[cs]ial.*requ[ea]sts"  # classes: bit-parallel NFA path
 PATTERN_ALT = "carefully|quickly|special"   # alternation: packed registers
+PATTERN_WIDE = "[a-z ]{30,45}requests"      # 53 positions: carry-chained regs
 
 
 def log(*a):
@@ -327,6 +328,14 @@ def bench_engine(path: Path, reps: int) -> dict:
     out["scan_alternation_rows_per_s"] = total / marg_alt
     log(f"scan alternation {PATTERN_ALT!r}: {total/marg_alt:.3g} rows/s "
         f"(marginal {marg_alt*1000:.1f} ms)")
+
+    # WIDE pattern (>31 positions — carry-chained register chunks; the MXU
+    # DFA fallback this replaces ran at 84-104M rows/s)
+    _, marg_wide = _marginal(make_scan_for(PATTERN_WIDE), (pd, pld, nnd),
+                             reps_hi=1 + reps)
+    out["scan_wide_rows_per_s"] = total / marg_wide
+    log(f"scan wide {PATTERN_WIDE!r}: {total/marg_wide:.3g} rows/s "
+        f"(marginal {marg_wide*1000:.1f} ms)")
 
     # length-bucketed serving layout (ResidentColumn's): each bucket walks
     # only to its own max payload length

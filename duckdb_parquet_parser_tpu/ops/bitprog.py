@@ -24,9 +24,16 @@ the per-byte cost at a handful of [N] int32 vector ops with ZERO gathers:
     marker register that the value-boundary reset zeroes) and non-sticky
     accepts sampled at the value's last byte.
 
-Anything outside this family (inner anchors, nested unbounded groups, huge
-counted repeats) raises BitprogUnsupported and callers fall back to the MXU
-DFA — survivor sets are identical either way (tested against the DFA/numpy
+  * WIDE segments (> 31 positions — long literals, big counted repeats)
+    span up to MAX_WIDE_REGS carry-chained registers: the old top position
+    shifts into the next register's bit 0, and optional tops additionally
+    forward their post-smear entering bit, so quantifier runs and accept
+    runs cross register boundaries transparently.
+
+Anything outside this family (inner anchors, nested unbounded groups,
+counted repeats beyond MAX_COUNTED, segments beyond 124 positions, >16-way
+fan-out) raises BitprogUnsupported and callers fall back to the MXU DFA —
+survivor sets are identical either way (tested against the DFA/numpy
 oracle).
 
 A pure substring chain lowers to singleton-class ONE positions: the emitted
@@ -40,10 +47,11 @@ from dataclasses import dataclass, field
 
 from .regex import ANY, UnsupportedPattern, escape_set, parse_class_at
 
-MAX_MACHINES = 8       # top-level alternation fan-out bound
+MAX_MACHINES = 16      # top-level alternation fan-out bound
 MAX_SEGMENTS = 8       # '.*' gaps per machine (done bits share an int32)
-MAX_POSITIONS = 31     # per segment register (int32 bits 0..30)
-MAX_COUNTED = 16       # {m,n} expansion bound per atom
+MAX_POSITIONS = 31     # positions per register (int32 bits 0..30)
+MAX_WIDE_REGS = 4      # registers a single WIDE segment may span (carry-chained)
+MAX_COUNTED = 64       # {m,n} expansion bound per atom
 
 
 class BitprogUnsupported(UnsupportedPattern):
@@ -294,8 +302,8 @@ def _segment(tokens: list) -> Machine:
     if len(m.segments) > MAX_SEGMENTS:
         raise BitprogUnsupported("too many '.*' gaps")
     for s in m.segments:
-        if len(s.cls) > MAX_POSITIONS:
-            raise BitprogUnsupported("segment too long for one register")
+        if len(s.cls) > MAX_POSITIONS * MAX_WIDE_REGS:
+            raise BitprogUnsupported("segment too long")
     return m
 
 
@@ -307,11 +315,14 @@ class BitProgram:
 
     @property
     def n_registers(self) -> int:
-        """Unpacked upper bound (one register per segment + a done word per
-        machine + the first-byte marker); make_bitprog_transition packs
-        gap-free machines into shared registers and reports the true
-        count."""
-        return sum(len(m.segments) + 1 for m in self.machines) + 1
+        """Unpacked upper bound (one register per 31-position segment chunk
+        + a done word per machine + the first-byte marker);
+        make_bitprog_transition packs gap-free machines into shared
+        registers and reports the true count."""
+        return sum(
+            sum(-(-len(s.cls) // MAX_POSITIONS) for s in m.segments) + 1
+            for m in self.machines
+        ) + 1
 
 
 def compile_bitprog(pattern: str) -> BitProgram:
@@ -473,6 +484,37 @@ def _merge(a: _SegConsts, b: _SegConsts) -> _SegConsts:
                       a.acc_now_mask | b.acc_now_mask)
 
 
+def _chunk_consts(seg: Segment) -> list[_SegConsts]:
+    """Split a segment into <=MAX_POSITIONS-bit register chunks.
+
+    Chunk k+1's entering set is fed by two carries out of chunk k (computed
+    in the transition): the SHIFT carry — the old top position bit moves to
+    the next chunk's bit 0 — and, when the top position is optional, the
+    SMEAR carry — the post-smear entering bit skips across the boundary.
+    Local smears then continue the skip within the next chunk (an optional
+    run crossing the boundary re-starts its run count at bit 0, so the local
+    smear count covers it).  The accept mask (last position + its trailing
+    optional run) is computed over GLOBAL positions and sliced per chunk, so
+    a run crossing the boundary accepts from either side."""
+    n = len(seg.cls)
+    acc_pos = set()
+    for i in range(n - 1, -1, -1):
+        acc_pos.add(i)
+        if seg.quant[i] not in (Q_OPT, Q_STAR):
+            break
+    chunks = []
+    for base in range(0, n, MAX_POSITIONS):
+        sub = Segment(cls=seg.cls[base:base + MAX_POSITIONS],
+                      quant=seg.quant[base:base + MAX_POSITIONS])
+        sc = _seg_consts(sub, 0)
+        sc.acc_mask = sum(1 << (i - base) for i in acc_pos
+                          if base <= i < base + MAX_POSITIONS)
+        if base:
+            sc.start_mask = 0  # only chunk 0 carries the segment start bit
+        chunks.append(sc)
+    return chunks
+
+
 @dataclass
 class _MaskPlan:
     """Per-register byte-class membership plan (chosen at build time)."""
@@ -541,17 +583,18 @@ def make_bitprog_transition(xp, prog: BitProgram):
     out of positions inside segment s-1's acc_mask (the trailing-optional
     run plus its anchor), and any such bit set done bit s-1 on the previous
     byte — so the seed already covers the crossing.  Oversized machines keep
-    the one-register-per-segment layout."""
+    the one-register-per-segment layout, and segments beyond MAX_POSITIONS
+    split into carry-chained register chunks (_chunk_consts)."""
     class_ids: dict[frozenset, int] = {}
     specs: list[list[tuple[int, int]]] = []
 
     packed: list[_SegConsts] = []   # shared registers of gap-free machines
     fused = []    # (consts, seg_offs, seg_accs, anch_e) per gapped machine
-    chained = []  # per oversized machine: ([_SegConsts], anch_e)
+    chained = []  # per oversized machine: ([[chunk consts] per seg], anch_e)
     needs_marker = any(m.anch_s for m in prog.machines)
 
     for m in prog.machines:
-        if len(m.segments) == 1:
+        if len(m.segments) == 1 and len(m.segments[0].cls) <= MAX_POSITIONS:
             seg = m.segments[0]
 
             def _flagged(base):
@@ -590,23 +633,25 @@ def make_bitprog_transition(xp, prog: BitProgram):
             continue
         segs = []
         for s_idx, seg in enumerate(m.segments):
-            sc = _seg_consts(seg, 0)
-            sc.seg_idx = s_idx
+            chunks = _chunk_consts(seg)
+            for sc in chunks:
+                sc.seg_idx = s_idx
             if s_idx == 0 and m.anch_s:
-                sc.anch_start_mask, sc.start_mask = sc.start_mask, 0
-            segs.append(sc)
+                c0 = chunks[0]
+                c0.anch_start_mask, c0.start_mask = c0.start_mask, 0
+            segs.append(chunks)
         chained.append((segs, m.anch_e))
 
     packed_plans = [_mask_plan(sc, class_ids, specs) for sc in packed]
     fused_plans = [_mask_plan(sc, class_ids, specs) for sc, _, _, _ in fused]
     chained_plans = [
-        [_mask_plan(sc, class_ids, specs) for sc in segs]
+        [[_mask_plan(sc, class_ids, specs) for sc in chunks] for chunks in segs]
         for segs, _ in chained
     ]
     bit_planes = sorted({
         k
         for plan in (packed_plans + fused_plans
-                     + [p for seg in chained_plans for p in seg])
+                     + [p for seg in chained_plans for ch in seg for p in ch])
         if plan.bslice is not None
         for k, _, _ in plan.bslice[3]
     })
@@ -617,7 +662,8 @@ def make_bitprog_transition(xp, prog: BitProgram):
     # non-sticky by definition and need no extra word.  Fused machines carry
     # (reg, done); the marker register drives '^' first-byte seeding.
     n_regs = (sum(2 if sc.acc_mask else 1 for sc in packed)
-              + 2 * len(fused) + sum(len(s) + 1 for s, _ in chained)
+              + 2 * len(fused)
+              + sum(sum(len(ch) for ch in s) + 1 for s, _ in chained)
               + (1 if needs_marker else 0))
 
     def transition(state, c):
@@ -731,22 +777,49 @@ def make_bitprog_transition(xp, prog: BitProgram):
             new_state.append(reg)
             new_state.append(new_done)
         for (segs, anch_e), plans in zip(chained, chained_plans):
-            regs = state[reg_at : reg_at + len(segs)]
-            done = state[reg_at + len(segs)]
-            reg_at += len(segs) + 1
+            n_chunk_regs = sum(len(ch) for ch in segs)
+            regs = state[reg_at : reg_at + n_chunk_regs]
+            done = state[reg_at + n_chunk_regs]
+            reg_at += n_chunk_regs + 1
             new_done = done
             last_hit = None
-            for sc, plan in zip(segs, plans):
-                if sc.seg_idx == 0:
-                    seed = first_i if sc.anch_start_mask else 1
+            r = 0
+            for s_idx, (chunks, cplans) in enumerate(zip(segs, plans)):
+                if s_idx == 0:
+                    seed = first_i if chunks[0].anch_start_mask else 1
                 else:
-                    seed = (done >> (sc.seg_idx - 1)) & 1
-                reg = advance(sc, plan, regs[sc.seg_idx], seed)
-                hit = ((reg & sc.acc_mask) != 0).astype(xp.int32)
-                new_done = new_done | (hit << sc.seg_idx)
-                if sc.seg_idx == len(segs) - 1:
+                    seed = (done >> (s_idx - 1)) & 1
+                hit = None
+                prev_old = prev_f = prev_sc = None
+                for c_idx, (sc, plan) in enumerate(zip(chunks, cplans)):
+                    old = regs[r]
+                    r += 1
+                    if c_idx:
+                        # carries across the register boundary: the old top
+                        # position shifts into bit 0; a post-smear entering
+                        # bit on an optional top position skips across too
+                        top = prev_sc.width - 1
+                        carry = (prev_old >> top) & 1
+                        if prev_sc.o_mask & (1 << top):
+                            carry = carry | ((prev_f >> top) & 1)
+                        seed_c = carry
+                    else:
+                        seed_c = seed
+                    f = (old << 1) | seed_c
+                    for _ in range(sc.smears):
+                        f = f | ((f & sc.o_mask) << 1)
+                    b = byte_mask(plan)
+                    nxt = f & b
+                    if sc.r_mask:
+                        nxt = nxt | (old & sc.r_mask & b)
+                    if sc.acc_mask:
+                        h = ((nxt & sc.acc_mask) != 0).astype(xp.int32)
+                        hit = h if hit is None else (hit | h)
+                    new_state.append(nxt)
+                    prev_old, prev_f, prev_sc = old, f, sc
+                new_done = new_done | (hit << s_idx)
+                if s_idx == len(segs) - 1:
                     last_hit = hit
-                new_state.append(reg)
             acc_or(last_hit if anch_e else ((new_done >> (len(segs) - 1)) & 1))
             new_state.append(new_done)
 

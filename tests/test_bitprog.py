@@ -30,6 +30,16 @@ SUPPORTED = [
     "abcd[xy]e", "abcde|fgq", "ab?c.*de?f", "aq.*bx.*cy",
     # oversized machine (>31 total positions -> one register per segment)
     "abcdefgabcdefgabq.*cdefgabcdefgqxyz",
+    # WIDE segments (>31 positions -> carry-chained register chunks)
+    "a{40}",                      # 40 positions, 2 chunks
+    "x{40}y{40}",                 # 80 positions, 3 chunks
+    "q[ab]{28,36}z",              # optional run crossing the chunk boundary
+    "a{30}b+c",                   # repeatable position at the chunk top
+    "a{30}b*c",                   # star at the chunk top (smear carry)
+    "a{28}zb?c?d?e",              # optionals straddling the boundary
+    "a{29}b?c?",                  # accept run crossing the boundary
+    "a{40}.*b{35}",               # two wide segments chained through a gap
+    "aa|bb|cc|dd|ee|ff|gg|hh|ii", # 9-way alternation (fan-out > 8)
     # edge anchors (whole-pattern, DFA-compiler semantics): LIKE 'lit%',
     # '%lit', exact matches, anchored gaps/classes/alternations, and edges
     # where a gap or absorbed optional defeats the anchor
@@ -37,14 +47,16 @@ SUPPORTED = [
     "ab?c$", "^ab?c$", "^cat|dog", "cat|dog$", "^.*abc", "abc.*$",
     "^a?.*bc", "bc.*a?$", "^[ab]{1,2}q$", "^aq|bx$", "^x+y*z$",
     "^abcdefgabcdefgabq.*cdefgabcdefgqxyz$",
+    "^a{40}$", "^x{40}y{40}",     # anchored wide segments
 ]
 
 UNSUPPORTED = [
     "a^b",             # inner anchors
     "a$b",
     "(ab)*x",          # unbounded multi-byte repeat
-    "a|b|c|d|e|f|g|h|i",  # fan-out cap (flattened > MAX_MACHINES)
-    "x{40}y{40}",      # register overflow (positions > 31)
+    "aa|bb|cc|dd|ee|ff|gg|hh|ii|jj|kk|ll|mm|nn|oo|pp|qq",  # > MAX_MACHINES
+    "x{70}",           # counted repeat > MAX_COUNTED
+    "a" * 130,         # segment > MAX_POSITIONS * MAX_WIDE_REGS
     ".*",              # matches empty everywhere
     "^.*",             # anchor strip leaves '.*' -> ditto
 ]
@@ -188,6 +200,97 @@ def test_fused_chain_packing():
         np, compile_bitprog("abcdefgabcdefgabq.*cdefgabcdefgqxyz")
     )
     assert n_regs_wide == 3
+
+
+def test_wide_segment_semantics():
+    """Hand-picked values around the 31-position register boundary of WIDE
+    segments (shift carry, smear carry, self-loop at the chunk top, accept
+    runs crossing the boundary) — vs Python re."""
+    import re
+
+    cases = {
+        "a{40}": [b"a" * 40, b"a" * 39, b"a" * 41, b"x" + b"a" * 40 + b"y",
+                  b"a" * 80, b"b" * 40, b""],
+        "x{40}y{40}": [b"x" * 40 + b"y" * 40, b"x" * 39 + b"y" * 40,
+                       b"x" * 40 + b"y" * 39, b"x" * 45 + b"y" * 45,
+                       b"z" + b"x" * 40 + b"y" * 40 + b"z",
+                       b"x" * 40 + b"z" + b"y" * 40],
+        "q[ab]{28,36}z": [b"q" + b"a" * k + b"z" for k in range(26, 39)]
+                        + [b"q" + b"ab" * 16 + b"z"],
+        "a{30}b+c": [b"a" * 30 + b"bc", b"a" * 30 + b"b" * 9 + b"c",
+                     b"a" * 30 + b"c", b"a" * 29 + b"bc", b"a" * 31 + b"bc"],
+        "a{30}b*c": [b"a" * 30 + b"c", b"a" * 30 + b"bbbc",
+                     b"a" * 30 + b"bd", b"a" * 29 + b"c"],
+        "a{28}zb?c?d?e": [b"a" * 28 + b"z" + t + b"e"
+                          for t in (b"", b"b", b"bc", b"bcd", b"bd", b"cd")]
+                        + [b"a" * 28 + b"zbcd", b"a" * 27 + b"ze"],
+        "a{29}b?c?": [b"a" * 29, b"a" * 29 + b"b", b"a" * 29 + b"bc",
+                      b"a" * 28, b"a" * 29 + b"c"],
+        "a{40}.*b{35}": [b"a" * 40 + b"qq" + b"b" * 35, b"a" * 40 + b"b" * 35,
+                         b"a" * 40 + b"b" * 34, b"a" * 39 + b"q" + b"b" * 35,
+                         b"a" * 40 + b"q" * 50 + b"b" * 40],
+        "^a{40}$": [b"a" * 40, b"a" * 39, b"a" * 41, b"xa" * 20 + b"a" * 40],
+        "aa|bb|cc|dd|ee|ff|gg|hh|ii": [b"xaay", b"ii", b"hh", b"ab", b"",
+                                       b"zffz", b"i", b"abcdefghi"],
+    }
+    for pattern, vals in cases.items():
+        prog = compile_bitprog(pattern)
+        dfa = compile_pattern(pattern)
+        rx = re.compile(pattern.encode())
+        buf = bytearray()
+        for v in vals:
+            buf += len(v).to_bytes(4, "little") + v
+        pm = np.frombuffer(bytes(buf), np.uint8)[None, :].copy()
+        pl = np.array([len(buf)], np.int32)
+        nn = np.array([len(vals)], np.int32)
+        hits, seen = match_payload_stream(
+            np, pm, pl, nn, dfa.table, dfa.accept, prog=prog
+        )
+        expect = sum(1 for v in vals if rx.search(v))
+        assert hits[0] == expect, (pattern, hits[0], expect)
+        assert seen[0] == len(vals)
+
+
+def test_wide_fuzz_parity():
+    """Random long patterns (wide segments) over random long payloads."""
+    rng = np.random.default_rng(99)
+    checked = 0
+    for _ in range(40):
+        # random run of counted atoms totalling 32-90 positions
+        parts, total = [], 0
+        while total < int(rng.integers(32, 90)):
+            a = ["a", "b", "[ab]", "[^b]", "."][int(rng.integers(5))]
+            k = int(rng.integers(1, 20))
+            q = ["", "?", "+", "*"][int(rng.integers(4))] if k == 1 else ""
+            parts.append(a + (f"{{{k}}}" if k > 1 else "") + q)
+            total += k
+        pattern = "".join(parts)
+        try:
+            prog = compile_bitprog(pattern)
+        except BitprogUnsupported:
+            continue
+        pm, pl, nn = _pages(rng, n_pages=12, vals_per_page=4, maxlen=110,
+                            alphabet=b"aabbq")
+        # oracle: Python re over the parsed values (the DFA oracle can
+        # state-blow-up on long counted repeats of overlapping classes)
+        import re
+
+        rx = re.compile(pattern.encode())
+        expect = np.zeros(len(pl), np.int32)
+        for p in range(len(pl)):
+            row, off = pm[p].tobytes(), 0
+            for _ in range(nn[p]):
+                ln = int.from_bytes(row[off:off + 4], "little")
+                if rx.search(row[off + 4:off + 4 + ln]):
+                    expect[p] += 1
+                off += 4 + ln
+        table = np.zeros((1, 256), np.int32)
+        h_bp, _ = match_payload_stream(
+            np, pm, pl, nn, table, np.zeros(1, bool), prog=prog
+        )
+        np.testing.assert_array_equal(h_bp, expect, err_msg=pattern)
+        checked += 1
+    assert checked > 20
 
 
 def test_fused_boundary_semantics():
