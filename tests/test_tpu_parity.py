@@ -33,7 +33,7 @@ path = %(path)r
 eng = ScanEngine(path)
 out = {"platform": jax.default_backend()}
 for pat in ["alpha.*bravo", "al[pb]ha", "alpha|bravo|charlie", "^alpha",
-            "bravo$", "^alpha.*o$"]:
+            "bravo$", "^alpha.*o$", "[a-z]{3,35}o$"]:
     a = eng.scan("s", pat, engine="jax")
     b = eng.scan("s", pat, engine="numpy")
     out[pat] = bool(
