@@ -284,6 +284,11 @@ def bench_engine(path: Path, reps: int) -> dict:
     )
     from duckdb_parquet_parser_tpu.ops.regex import substring_chain
 
+    from duckdb_parquet_parser_tpu.ops.scan import scan_steps
+
+    steps = scan_steps(batch.arrays["page_payload_len"])
+    log(f"scan steps: {steps} (payload pitch {batch.arrays['payload'].shape[1]})")
+
     def make_scan_for(pattern):
         d = compile_pattern(pattern)
         try:
@@ -298,7 +303,7 @@ def bench_engine(path: Path, reps: int) -> dict:
                 def body(i, acc):
                     hits, _ = match_payload_stream(
                         jnp, p, pl, n + (i % 2), d.table, d.accept,
-                        use_mxu=True, chain=chain, prog=prog,
+                        use_mxu=True, chain=chain, prog=prog, max_steps=steps,
                     )
                     return acc + jnp.sum(hits)
                 return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))

@@ -153,12 +153,15 @@ class ScanEngine:
 
             n = batch.n_pages
             bp = min(batch_pages, max(n, 1))
+            from ..ops.scan import scan_steps
+
+            steps = scan_steps(batch.arrays["page_payload_len"])
 
             @jax.jit
             def step(payload, plen, nn):
                 hits, _ = match_payload_stream(
                     jnp, payload, plen, nn, dfa.table, dfa.accept, use_mxu=True,
-                    chain=chain, prog=prog,
+                    chain=chain, prog=prog, max_steps=steps,
                 )
                 return (nn - hits) if negate else hits
 

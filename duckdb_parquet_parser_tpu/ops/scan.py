@@ -62,6 +62,18 @@ def dfa_match(xp, chars, lens, table, accept):
     return jnp.take(acc, state)
 
 
+def scan_steps(plen, quantum: int = 128) -> int:
+    """Step bound for the streaming matcher: the true max payload length,
+    rounded up to `quantum` so compiled shapes stay stable across batches.
+
+    The payload matrix pitch carries +260 bytes of header-window slack
+    (dpq_prescan.hpp), and the matcher's cost is dominated by the SEQUENTIAL
+    step count — walking the pitch instead of the real max wastes ~25% of
+    the scan on 1 KB pages (measured; see ops/pallas/README.md round 2d)."""
+    m = int(np.max(plen)) if len(plen) else 1
+    return max(-(-m // quantum) * quantum, 1)
+
+
 def length_buckets(plen: np.ndarray, max_buckets: int = 2,
                    min_bucket: int = 1024) -> list[tuple[np.ndarray, int]]:
     """Bucket pages by payload length to cut wasted scan steps.
@@ -287,6 +299,7 @@ def scan_batch_device(batch, pattern: str, *, negate: bool = False,
         np.ascontiguousarray(dfa.accept, bool).tobytes(),
         batch.vmax, batch.nn_cap, batch.max_def, bool(negate), bool(use_mxu),
         tuple(chain) if chain else None, prog_pattern,
+        scan_steps(arrays["page_payload_len"]),
     )
     counts, values = step(
         core, jnp.asarray(arrays["payload"]),
