@@ -686,10 +686,18 @@ def make_bitprog_transition(xp, prog: BitProgram):
             if plan.bslice is not None:
                 all_bits, cmask, cval, var = plan.bslice
                 if var:
-                    m = None
-                    for k, s_bits, c_bits in var:
-                        sel = xp.where(bit_tests[k], s_bits, c_bits)
-                        m = sel if m is None else (m & sel)
+                    # AND-tree, not a serial chain: the per-byte cost is the
+                    # step's critical-path DEPTH (round 2d ablations), so
+                    # reduce in log2(planes) levels
+                    sels = [xp.where(bit_tests[k], s_bits, c_bits)
+                            for k, s_bits, c_bits in var]
+                    while len(sels) > 1:
+                        nxt = [sels[i] & sels[i + 1]
+                               for i in range(0, len(sels) - 1, 2)]
+                        if len(sels) % 2:
+                            nxt.append(sels[-1])
+                        sels = nxt
+                    m = sels[0]
                 else:
                     m = xp.full_like(c, all_bits)
                 if cmask:
