@@ -11,9 +11,10 @@ the per-byte cost at a handful of [N] int32 vector ops with ZERO gathers:
     membership folds into the per-byte mask via interval compares, with
     compare results shared across all positions/segments using a class;
   * quantifiers ? / * / + / {m,n} become optional (O) / repeatable (R)
-    position masks: repeats are a self-loop term `reg & R & B`, optionals an
-    epsilon smear `F |= (F & O) << 1` iterated log2(longest optional run)
-    times on the pre-byte entering set;
+    position masks: repeats are a self-loop term `reg & R & B`, optionals a
+    DOUBLING epsilon smear `F |= (F & T_k) << 2^k` (T_k = all-optional
+    2^k-spans, _smear_plan) — log2(longest optional run) steps on the
+    pre-byte entering set;
   * '.*' gaps split the pattern into SEGMENTS chained through sticky done
     bits exactly like the bitap needle chain (a segment seeds only after its
     predecessor has completed);
@@ -421,6 +422,29 @@ def _bitslice_plan(singletons: dict[int, int]):
     return all_bits, const_mask, const_val, tuple(var_planes)
 
 
+def _smear_plan(o_mask: int) -> tuple:
+    """Doubling schedule for the epsilon-smear fixed point.
+
+    `F |= (F & O) << 1` iterated r times (r = longest optional run) is
+    serial critical-path depth; the same fixed point follows from
+    log2(r) doubling steps `F |= (F & T_k) << 2^k`, where T_k marks
+    positions whose next 2^k positions are ALL optional (so the jump's
+    intermediate landings all lie inside the run): T_0 = O,
+    T_{k+1} = T_k & (T_k >> 2^k).  Returns ((shift, mask), ...).
+
+    Masks are computed PER MACHINE (before register packing merges them):
+    packed machines sit at adjacent bit offsets, and a merged-mask T_k
+    could otherwise splice one machine's trailing optionals onto the next
+    machine's leading ones, letting a jump cross the machine boundary."""
+    plan = []
+    t, d = o_mask, 1
+    while t:
+        plan.append((d, t))
+        t = t & (t >> d)
+        d *= 2
+    return tuple(plan)
+
+
 @dataclass
 class _SegConsts:
     """Per-register compile-time constants of one (possibly packed) segment."""
@@ -429,7 +453,7 @@ class _SegConsts:
     any_bits: int          # positions with class == ANY
     r_mask: int            # repeatable positions
     o_mask: int            # optional positions
-    smears: int            # epsilon-smear iterations
+    smear_plan: tuple      # ((shift, mask), ...) doubling epsilon smears
     acc_mask: int          # STICKY completion bits (last position + trailing
                            # opts of end-unanchored machines)
     start_mask: int        # always-seeded start bits (unanchored machines)
@@ -454,13 +478,6 @@ def _seg_consts(seg: Segment, base: int) -> _SegConsts:
     o_mask = sum(
         1 << (base + i) for i, q in enumerate(seg.quant) if q in (Q_OPT, Q_STAR)
     )
-    # epsilon-smear iterations: each `F |= (F & O) << 1` extends the skip
-    # reach by one position, so the longest optional run bounds the count
-    # (runs are short — MAX_COUNTED caps them at 16)
-    smears = run = 0
-    for q in seg.quant:
-        run = run + 1 if q in (Q_OPT, Q_STAR) else 0
-        smears = max(smears, run)
     # accept mask: the last position plus the trailing optional run above it
     # (a prefix reaching any of those bits completes the segment via skips)
     acc_mask = 0
@@ -468,16 +485,23 @@ def _seg_consts(seg: Segment, base: int) -> _SegConsts:
         acc_mask |= 1 << (base + i)
         if seg.quant[i] not in (Q_OPT, Q_STAR):
             break
-    return _SegConsts(weights, any_bits, r_mask, o_mask, smears, acc_mask,
-                      1 << base, 0, base + len(seg.cls))
+    return _SegConsts(weights, any_bits, r_mask, o_mask, _smear_plan(o_mask),
+                      acc_mask, 1 << base, 0, base + len(seg.cls))
 
 
 def _merge(a: _SegConsts, b: _SegConsts) -> _SegConsts:
     w = dict(a.weights)
     for cid, bits in b.weights.items():
         w[cid] = w.get(cid, 0) | bits
+    # smear plans merge per shift distance: each mask was computed from one
+    # machine's own optionals, so the union cannot splice runs across the
+    # packing boundary (see _smear_plan)
+    plan: dict[int, int] = dict(a.smear_plan)
+    for d, m in b.smear_plan:
+        plan[d] = plan.get(d, 0) | m
     return _SegConsts(w, a.any_bits | b.any_bits, a.r_mask | b.r_mask,
-                      a.o_mask | b.o_mask, max(a.smears, b.smears),
+                      a.o_mask | b.o_mask,
+                      tuple(sorted(plan.items())),
                       a.acc_mask | b.acc_mask, a.start_mask | b.start_mask, 0,
                       max(a.width, b.width),
                       a.anch_start_mask | b.anch_start_mask,
@@ -724,8 +748,8 @@ def make_bitprog_transition(xp, prog: BitProgram):
             if clear:
                 f = f & ~clear
             f = f | seed
-            for _ in range(sc.smears):
-                inc = (f & sc.o_mask) << 1
+            for d, m in sc.smear_plan:
+                inc = (f & m) << d
                 if clear:
                     inc = inc & ~clear
                 f = f | inc
@@ -814,8 +838,8 @@ def make_bitprog_transition(xp, prog: BitProgram):
                     else:
                         seed_c = seed
                     f = (old << 1) | seed_c
-                    for _ in range(sc.smears):
-                        f = f | ((f & sc.o_mask) << 1)
+                    for d, m in sc.smear_plan:
+                        f = f | ((f & m) << d)
                     b = byte_mask(plan)
                     nxt = f & b
                     if sc.r_mask:
