@@ -270,11 +270,19 @@ def bench_engine(path: Path, reps: int) -> dict:
     t_prescan = time.time() - t0
     total = int(batch.arrays["page_num_values"].sum())
 
+    from duckdb_parquet_parser_tpu.ops.scan import scan_steps
+
+    steps = scan_steps(batch.arrays["page_payload_len"])
     t0 = time.time()
-    pd = jax.device_put(batch.arrays["payload"])
+    pd_raw = jax.device_put(batch.arrays["payload"])
     pld = jax.device_put(batch.arrays["page_payload_len"])
     nnd = jax.device_put(batch.arrays["page_nn"])
+    # resident serving layout: byte-column stream pre-transposed on device
+    # (transposing inside the query jit rematerializes ~90 MB per call once
+    # the matrix outgrows VMEM — ops/pallas/README.md round 2e)
+    pd = jax.jit(lambda x: jnp.transpose(x[:, :steps]))(pd_raw)
     jax.block_until_ready((pd, pld, nnd))
+    del pd_raw
     t_upload = time.time() - t0
 
     # ── steady-state scan (marginal cost of one full re-scan) ───────────────
@@ -284,9 +292,6 @@ def bench_engine(path: Path, reps: int) -> dict:
     )
     from duckdb_parquet_parser_tpu.ops.regex import substring_chain
 
-    from duckdb_parquet_parser_tpu.ops.scan import scan_steps
-
-    steps = scan_steps(batch.arrays["page_payload_len"])
     log(f"scan steps: {steps} (payload pitch {batch.arrays['payload'].shape[1]})")
 
     def make_scan_for(pattern):
@@ -303,7 +308,8 @@ def bench_engine(path: Path, reps: int) -> dict:
                 def body(i, acc):
                     hits, _ = match_payload_stream(
                         jnp, p, pl, n + (i % 2), d.table, d.accept,
-                        use_mxu=True, chain=chain, prog=prog, max_steps=steps,
+                        use_mxu=True, chain=chain, prog=prog,
+                        transposed=True,
                     )
                     return acc + jnp.sum(hits)
                 return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
@@ -351,26 +357,25 @@ def bench_engine(path: Path, reps: int) -> dict:
     buckets = length_buckets(np.where(kind_np == 1, 0, plen_np))
     if len(buckets) > 1:
         dev_buckets = []
-        for idx, steps in buckets:
+        for idx, bsteps in buckets:
             dev_buckets.append((
-                jax.device_put(np.ascontiguousarray(batch.arrays["payload"][idx])),
+                jax.device_put(np.ascontiguousarray(
+                    batch.arrays["payload"][idx][:, :bsteps].T)),
                 jax.device_put(np.ascontiguousarray(plen_np[idx])),
                 jax.device_put(np.ascontiguousarray(batch.arrays["page_nn"][idx])),
-                steps,
+                bsteps,
             ))
         dfa_b = compile_pattern(PATTERN)
         from duckdb_parquet_parser_tpu.ops.bitprog import compile_bitprog
         prog_b = compile_bitprog(PATTERN)
 
-        steps_of = [s for (_p, _pl, _n, s) in dev_buckets]  # static per bucket
-
         def make_bucketed(reps_n):
             def f(b1, b2):
                 def body(i, acc):
-                    for (p, pl, n), steps in zip((b1, b2), steps_of):
+                    for p, pl, n in (b1, b2):
                         hits, _ = match_payload_stream(
                             jnp, p, pl, n + (i % 2), dfa_b.table, dfa_b.accept,
-                            prog=prog_b, max_steps=steps,
+                            prog=prog_b, transposed=True,
                         )
                         acc = acc + jnp.sum(hits)
                     return acc

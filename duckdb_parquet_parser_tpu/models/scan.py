@@ -428,7 +428,11 @@ class ResidentColumn:
     Pages live on device in LENGTH BUCKETS (ops/scan.length_buckets): the
     streaming matcher walks each bucket only to its own max payload length,
     recovering the padded-tail steps a single compiled shape wastes
-    (~15-20% on 1 KB-page data)."""
+    (~15-20% on 1 KB-page data).  Each bucket's byte stream is stored
+    PRE-TRANSPOSED ([steps, n] — the layout the per-step column slices
+    consume): transposing inside the query jit rematerializes ~90 MB per
+    call once the matrix outgrows VMEM (~1 ms/query measured on the 2M-row
+    fixture; ops/pallas/README.md round 2e)."""
 
     def __init__(self, reader: ParquetReader, column: str):
         import jax
@@ -452,9 +456,11 @@ class ResidentColumn:
                 k: jax.device_put(np.ascontiguousarray(arrays[k][idx]))
                 for k in _decode.DECODE_ARRAYS if k in arrays
             }
-            payload = jax.device_put(np.ascontiguousarray(arrays["payload"][idx]))
+            payload_t = jax.device_put(
+                np.ascontiguousarray(arrays["payload"][idx][:, :steps].T)
+            )
             plen = jax.device_put(np.ascontiguousarray(plen_np[idx]))
-            self._buckets.append((idx, steps, core, payload, plen))
+            self._buckets.append((idx, steps, core, payload_t, plen))
         self._gid = arrays["page_gid"].copy()
         self._dfa_match = _dfa_match
 
@@ -501,7 +507,7 @@ class ResidentColumn:
                 _np.ascontiguousarray(dfa.accept, bool).tobytes(),
                 self._batch.vmax, self._batch.nn_cap, self._batch.max_def,
                 bool(negate), True, tuple(chain) if chain else None,
-                prog_pattern, steps,
+                prog_pattern, steps, True,
             )
             pending.append((idx, step(core, payload, plen, dict_match_d)))
         for idx, (c, v) in pending:

@@ -203,7 +203,7 @@ def scan_batch(batch, pattern: str, *, negate: bool = False, xp=np) -> PageMatch
 @_functools.lru_cache(maxsize=64)
 def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
                       max_def, negate, use_mxu, chain_key, prog_pattern=None,
-                      max_steps=None):
+                      max_steps=None, transposed=False):
     """jit-compiled single-device scan step, cached per automaton + batch
     shape class (the DFA tables must be compile-time constants for the
     gather-free transition builders).  `prog_pattern` selects the
@@ -231,6 +231,7 @@ def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
             jnp, payload, jnp.where(is_dict, 0, plen),
             jnp.where(is_dict, 0, nn), table, accept, use_mxu=use_mxu,
             chain=chain, prog=prog, max_steps=max_steps,
+            transposed=transposed,
         )
         plain_counts = (nn - hits) if negate else hits
 

@@ -122,7 +122,8 @@ def make_bitap_transition(xp, needles: list[bytes]):
 
 def match_payload_stream(xp, payload, payload_len, nn, table, accept,
                          max_steps: int | None = None, use_mxu: bool = False,
-                         chain: list[bytes] | None = None, prog=None):
+                         chain: list[bytes] | None = None, prog=None,
+                         transposed: bool = False):
     """Streaming DFA over raw PLAIN BYTE_ARRAY payloads.
 
     Returns (accept_counts [N] i32, values_seen [N] i32): number of values per
@@ -136,14 +137,25 @@ def match_payload_stream(xp, payload, payload_len, nn, table, accept,
     one-hot MXU matmuls with use_mxu=True (see mxu_dfa.py: XLA gathers are
     ~10-25 ns/elem on TPU, the matmul path is compute-bound and far faster),
     plain table gather otherwise (the numpy oracle).
+
+    `transposed=True` means `payload` is ALREADY the [P, N] byte-column
+    stream the scan consumes.  The in-jit transpose is rematerialized on
+    every call once the matrix outgrows VMEM (~1 ms per query on the 90 MB
+    2M-row fixture — measured, ops/pallas/README.md round 2e), so resident
+    serving layouts store the stream pre-transposed and pass it here.
     """
-    n, p = payload.shape
+    if transposed:
+        p, n = payload.shape
+    else:
+        n, p = payload.shape
     steps = int(max_steps or p)
     n_states = table.shape[0]
     tflat = xp.asarray(table, dtype=xp.int32).reshape(-1)
     acc_i = xp.asarray(accept).astype(xp.int32)
     acc0 = int(np.asarray(accept)[0])  # accept of the empty string
-    payload_i = payload.astype(np.int32) if xp is np else None
+    payload_i = None
+    if xp is np:
+        payload_i = (payload.T if transposed else payload).astype(np.int32)
     nn = xp.asarray(nn, dtype=xp.int32)
     payload_len = xp.asarray(payload_len, dtype=xp.int32)
 
@@ -232,7 +244,7 @@ def match_payload_stream(xp, payload, payload_len, nn, table, accept,
     # xs stay u8: lax.scan materializes its xs, so a pre-widened int32
     # [P, N] matrix would write+read 4x the payload bytes through HBM;
     # widening per step is one fused op on the sliced column instead.
-    cols = xp.transpose(payload)  # [P, N] u8
+    cols = payload if transposed else xp.transpose(payload)  # [P, N] u8
 
     def step(carry, xs):
         b, c8 = xs

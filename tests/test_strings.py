@@ -172,6 +172,39 @@ def test_bitap_chain_matches_dfa(tmp_path_factory, pattern, xp):
     assert np.array_equal(np.asarray(seen), dev.arrays["page_nn"])
 
 
+@pytest.mark.parametrize("xp", [np, jnp])
+@pytest.mark.parametrize("pattern", ["alpha", "a.*z", "^q", "x{2,3}"])
+def test_transposed_stream_parity(plain_file, xp, pattern):
+    """transposed=True (the pre-transposed resident serving layout) must be
+    bit-identical to the [N, P] entry point on every transition kind."""
+    from duckdb_parquet_parser_tpu.ops.bitprog import (
+        BitprogUnsupported,
+        compile_bitprog,
+    )
+    from duckdb_parquet_parser_tpu.ops.regex import substring_chain
+
+    r = ParquetReader(plain_file)
+    _, dev = _both(r)
+    dfa = compile_pattern(pattern)
+    try:
+        prog = compile_bitprog(pattern)
+        chain = None
+    except BitprogUnsupported:
+        prog = None
+        chain = substring_chain(pattern)
+    payload = dev.arrays["payload"]
+    args = (dev.arrays["page_payload_len"], dev.arrays["page_nn"],
+            dfa.table, dfa.accept)
+    kw = dict(use_mxu=(xp is jnp), chain=chain, prog=prog)
+    want, seen0 = match_payload_stream(xp, xp.asarray(payload), *args, **kw)
+    got, seen1 = match_payload_stream(
+        xp, xp.asarray(np.ascontiguousarray(payload.T)), *args,
+        transposed=True, **kw,
+    )
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+    assert np.array_equal(np.asarray(seen1), np.asarray(seen0))
+
+
 def test_substring_chain_detection():
     from duckdb_parquet_parser_tpu.ops.regex import substring_chain
 
