@@ -104,6 +104,14 @@ def _run_regex_scan(reader: ParquetReader, args) -> int:
         e = reader.page_index_entry(int(gid))
         print(f"  page {int(gid)} (row_group={e.row_group_idx}, "
               f"size={e.data_size})")
+    if args.rows:
+        from .ops.scan import match_rows
+
+        rows = match_rows(reader.prescan(args.regex_column, pad_strings=8),
+                          pattern, negate=args.neg_regex)
+        head = ", ".join(str(r) for r in rows[:10])
+        tail = ", ..." if len(rows) > 10 else ""
+        print(f"Matching rows ({len(rows)}): {head}{tail}")
     return 0
 
 
@@ -166,6 +174,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--regex", help="pattern to match against values")
     ap.add_argument("--neg-regex", action="store_true",
                     help="invert the match (NOT LIKE)")
+    ap.add_argument("--rows", action="store_true",
+                    help="also list the absolute row ids of matching values")
     ap.add_argument("--like", action="store_true",
                     help="treat the pattern as a SQL LIKE expression")
     ap.add_argument("--engine", choices=["native", "numpy", "jax"],

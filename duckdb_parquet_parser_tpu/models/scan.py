@@ -101,6 +101,28 @@ class ScanEngine:
         batch = self.reader.prescan(column, pad_strings=8)
         return scan_batch(batch, pat, negate=negate, xp=np)
 
+    def matching_rows(
+        self, column: str, pattern: str, *, negate: bool = False,
+        like: bool = False,
+    ) -> np.ndarray:
+        """Absolute row ids of the non-null values matching `pattern` — the
+        row-level result the page scan prunes toward ('WHERE col ~ pattern').
+        Same participation/negate semantics as scan(); combine with
+        read_rows() for point decodes of the hits."""
+        from ..host.schema import ParquetType
+        from ..ops.regex import like_to_regex
+        from ..ops.scan import match_rows
+
+        info = self.reader.column(column)
+        if info.type != ParquetType.BYTE_ARRAY:
+            raise TypeError(
+                f"regex scan requires a BYTE_ARRAY column; '{column}' is "
+                f"{info.type_name()}"
+            )
+        pat = like_to_regex(pattern) if like else pattern
+        batch = self.reader.prescan(column, pad_strings=8)
+        return match_rows(batch, pat, negate=negate)
+
     def cold_scan(
         self, column: str, pattern: str, *, negate: bool = False,
         like: bool = False, exact_counts: bool = False,

@@ -314,6 +314,67 @@ def scan_batch_device(batch, pattern: str, *, negate: bool = False,
     )
 
 
+def match_rows(batch, pattern: str, *, negate: bool = False) -> np.ndarray:
+    """Global row ids of the NON-NULL values matching `pattern` — the
+    row-level companion to the page-pruning scan (the 'WHERE col ~ pattern'
+    primitive; value participation and negate semantics are exactly
+    scan_batch's, so `len(match_rows(...))` == `scan_batch(...).match_
+    counts.sum()`).  Rows are absolute file row indices, like the reference
+    iterator's emission positions (reference: src/reader/
+    parquet_reader.cpp:330-345); nulls never emit, matching the iterator's
+    non-null-only stream.  Requires a pad_strings prescan.  Returns a
+    sorted int64 array."""
+    try:
+        dfa = compile_pattern(pattern)
+    except UnsupportedPattern:
+        return match_rows_fallback(batch, pattern, negate=negate)
+
+    arrays = batch.arrays
+    vmax = batch.vmax
+    nonnull, nn_idx = _decode.decode_levels(np, arrays, batch.max_def, vmax)
+    is_dict = arrays["page_kind"] == 1
+    emit = np.zeros((batch.n_pages, vmax), bool)
+
+    has_plain = "str_padded" in arrays and arrays["str_padded"].shape[0] > 0
+    if batch.dims.get("nn_total", 0) > 0 and "str_padded" not in arrays:
+        raise ValueError("batch was prescanned without pad_strings")
+    if has_plain and (~is_dict).any():
+        match = np.asarray(dfa_match(
+            np, arrays["str_padded"], arrays["str_lens"], dfa.table, dfa.accept
+        ))
+        entry = np.clip(arrays["str_nn_start"][:-1, None] + nn_idx,
+                        0, len(match) - 1)
+        emit |= (match[entry] ^ negate) & nonnull & ~is_dict[:, None]
+    has_dict = "dict_padded" in arrays and int(batch.dims.get("dict_n", 0)) > 0
+    if has_dict and is_dict.any():
+        dict_match = np.asarray(dfa_match(
+            np, arrays["dict_padded"], arrays["dict_lens"], dfa.table, dfa.accept
+        ))
+        dict_idx, ok = _decode.decode_dict_indices(np, arrays, nn_idx, batch.nn_cap)
+        g = np.clip(arrays["page_dict_base"][:, None] + np.clip(dict_idx, 0, None),
+                    0, len(dict_match) - 1)
+        emit |= (dict_match[g] ^ negate) & ok & nonnull & is_dict[:, None]
+
+    rows = (arrays["page_row_start"][:, None].astype(np.int64)
+            + np.arange(vmax, dtype=np.int64)[None, :])
+    return np.sort(rows[emit])
+
+
+def match_rows_fallback(batch, pattern: str, *, negate: bool = False) -> np.ndarray:
+    """Host `re` fallback for patterns outside the DFA subset — identical
+    row sets."""
+    from ..host.reader import _string_stream  # late import to avoid cycle
+
+    rx = _re.compile(pattern.encode("utf-8", "surrogateescape"))
+    pos, lens, offs, chars = _string_stream(batch)
+    keep = [
+        int(p)
+        for p, ln, off in zip(pos, lens, offs)
+        if bool(rx.search(chars[off:off + ln].tobytes())) ^ negate
+    ]
+    return np.asarray(sorted(keep), np.int64)
+
+
 def scan_batch_fallback(batch, pattern: str, *, negate: bool = False) -> PageMatchResult:
     """Host fallback (full `re` semantics) producing identical survivor sets
     for patterns the DFA subset cannot express."""
