@@ -1,0 +1,140 @@
+"""Differential fuzz vs pyarrow: random schemas x codecs x page versions x
+dictionary modes x page/row-group sizes, read back column-by-column.
+
+The per-feature oracle tests (test_codecs / test_datapage_v2 /
+test_v2_encodings / test_stats) each pin one axis; this sweep exercises the
+CROSS PRODUCT with randomized data — the integration surface where layout
+interactions (dict pages under V2 under zstd with 300-byte pages...) would
+hide.  pyarrow is both the writer and the value oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+pa = pytest.importorskip("pyarrow")
+import pyarrow.parquet as pq  # noqa: E402
+
+from duckdb_parquet_parser_tpu.host.bindings import lib  # noqa: E402
+from duckdb_parquet_parser_tpu.host.reader import ParquetReader  # noqa: E402
+
+# codecs our build supports (runtime-gated: brotli/lz4 .so may be absent)
+_CODEC_IDS = {"NONE": 0, "SNAPPY": 1, "GZIP": 2, "LZ4": 5, "ZSTD": 6}
+CODECS = [name for name, cid in _CODEC_IDS.items()
+          if cid == 0 or lib().dpq_codec_supported(cid)]
+
+
+def _rand_column(rng, kind: str, n: int, null_p: float):
+    mask = rng.random(n) < null_p
+
+    def nullable(vals):
+        return [None if m else v for v, m in zip(vals, mask)]
+
+    if kind == "int32":
+        return pa.array(nullable(rng.integers(-(1 << 31), 1 << 31, n).tolist()),
+                        type=pa.int32())
+    if kind == "int64":
+        return pa.array(nullable(rng.integers(-(1 << 62), 1 << 62, n).tolist()),
+                        type=pa.int64())
+    if kind == "float32":
+        return pa.array(nullable(rng.standard_normal(n).astype(np.float32).tolist()),
+                        type=pa.float32())
+    if kind == "float64":
+        return pa.array(nullable((rng.standard_normal(n) * 1e6).tolist()),
+                        type=pa.float64())
+    if kind == "bool":
+        return pa.array(nullable((rng.random(n) < 0.5).tolist()), type=pa.bool_())
+    # binary: mixed cardinality drives dict vs plain; empties included
+    uniq = int(rng.integers(2, 40)) if rng.random() < 0.5 else None
+    pool = None
+    if uniq:
+        pool = [bytes(rng.integers(32, 127, rng.integers(0, 30)).astype(np.uint8))
+                for _ in range(uniq)]
+    vals = []
+    for _ in range(n):
+        if pool is not None:
+            vals.append(pool[int(rng.integers(uniq))])
+        else:
+            vals.append(bytes(rng.integers(32, 127, rng.integers(0, 40))
+                              .astype(np.uint8)))
+    return pa.array(nullable(vals), type=pa.binary())
+
+
+KINDS = ["int32", "int64", "float32", "float64", "bool", "binary"]
+
+
+def _check_column(col, want_list, kind):
+    got_valid = np.asarray(col.valid)
+    want_valid = np.array([v is not None for v in want_list])
+    np.testing.assert_array_equal(got_valid, want_valid)
+    for i, w in enumerate(want_list):
+        if w is None:
+            continue
+        g = col.values[i]
+        if kind == "binary":
+            assert bytes(g) == w, (kind, i)
+        elif kind in ("float32", "float64"):
+            assert g == np.float32(w) if kind == "float32" else g == w, (kind, i)
+        elif kind == "bool":
+            assert bool(g) == w, (kind, i)
+        else:
+            assert int(g) == w, (kind, i)
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_pyarrow_cross_product(tmp_path, seed):
+    rng = np.random.default_rng(1000 + seed)
+    n = int(rng.integers(50, 1200))
+    kinds = list(rng.choice(KINDS, size=int(rng.integers(2, 5)), replace=True))
+    names = [f"c{i}_{k}" for i, k in enumerate(kinds)]
+    null_ps = [float(rng.choice([0.0, 0.1, 0.5])) for _ in kinds]
+    table = pa.table({
+        nm: _rand_column(rng, k, n, p)
+        for nm, k, p in zip(names, kinds, null_ps)
+    })
+
+    codec = CODECS[int(rng.integers(len(CODECS)))]
+    version = ["1.0", "2.0"][int(rng.integers(2))]
+    use_dict = bool(rng.integers(2))
+    path = tmp_path / f"fuzz_{seed}.parquet"
+    pq.write_table(
+        table, path,
+        compression=codec if codec != "NONE" else "NONE",
+        use_dictionary=use_dict,
+        data_page_version=version,
+        data_page_size=int(rng.integers(256, 4096)),
+        row_group_size=max(int(rng.integers(20, n + 1)), 20),
+        write_statistics=bool(rng.integers(2)),
+    )
+
+    r = ParquetReader(str(path))
+    for nm, k in zip(names, kinds):
+        got = r.read_column(nm)
+        want = table.column(nm).to_pylist()
+        _check_column(got, want, k)
+
+    # scan + row-level matches over the first binary column (count oracle =
+    # Python re over the pyarrow values; exercises the matcher on
+    # pyarrow-written page layouts: V2 levels, dict pages, tiny pages)
+    import re
+
+    from duckdb_parquet_parser_tpu.models.scan import ScanEngine
+    from duckdb_parquet_parser_tpu.ops.scan import match_rows
+
+    bin_cols = [nm for nm, k in zip(names, kinds) if k == "binary"]
+    if bin_cols:
+        nm = bin_cols[0]
+        vals = table.column(nm).to_pylist()
+        pattern = ["[0-9]", "a.*z", "^[!-9]", ".{5,20}$"][seed % 4]
+        rx = re.compile(pattern.encode())
+        want_hits = sum(1 for v in vals if v is not None and rx.search(v))
+        eng = ScanEngine(str(path))
+        res = eng.scan(nm, pattern, engine="numpy")
+        assert int(res.match_counts.sum()) == want_hits, (pattern, nm)
+        cold = eng.cold_scan(nm, pattern, exact_counts=True)
+        assert int(cold.match_counts.sum()) == want_hits, (pattern, nm)
+        rows = match_rows(r.prescan(nm, pad_strings=8), pattern)
+        assert len(rows) == want_hits and all(
+            vals[i] is not None and rx.search(vals[i]) for i in rows
+        ), (pattern, nm)
