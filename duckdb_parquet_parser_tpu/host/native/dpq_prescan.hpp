@@ -265,22 +265,27 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
           cur.bytes(size_t(pr.v2_def_len));
           t.nn = t.num_values;
         }
-      } else if (lf.max_def > 0) {
-        // Definition levels first — matching the reference's (nonstandard)
-        // order; see the header comment in dpq_reader.hpp.
-        uint32_t def_len = cur.le<uint32_t>();
-        t.def_ptr = cur.bytes(def_len);
-        t.def_len = def_len;
-        rle_prescan(t.def_ptr, def_len, def_bw, t.num_values, t.def_runs);
-        t.nn = int32_t(
-            count_matching(t.def_runs, t.def_ptr, def_len, def_bw, lf.max_def));
       } else {
-        t.nn = t.num_values;
-      }
-
-      if (!v2 && lf.max_rep > 0) {  // rep levels: decoded-and-ignored
-        uint32_t rep_len = cur.le<uint32_t>();
-        cur.bytes(rep_len);
+        // v1 level sections.  The spec layout is [rep][def]; the reference
+        // reads def first (header comment in dpq_reader.hpp), which only
+        // DIFFERS on max_rep > 0 pages — real nested files, where that
+        // order misparses both sections (the reference emits garbage
+        // there; docs/reference_bugs.md).  Spec order for nested columns,
+        // identical byte consumption everywhere else.
+        if (lf.max_rep > 0) {  // rep levels: decoded-and-ignored (the value
+          uint32_t rep_len = cur.le<uint32_t>();  // stream stays flat, like
+          cur.bytes(rep_len);                     // the reference's)
+        }
+        if (lf.max_def > 0) {
+          uint32_t def_len = cur.le<uint32_t>();
+          t.def_ptr = cur.bytes(def_len);
+          t.def_len = def_len;
+          rle_prescan(t.def_ptr, def_len, def_bw, t.num_values, t.def_runs);
+          t.nn = int32_t(count_matching(t.def_runs, t.def_ptr, def_len,
+                                        def_bw, lf.max_def));
+        } else {
+          t.nn = t.num_values;
+        }
       }
 
       const bool enc_dict =

@@ -13,10 +13,11 @@
 //     (reference: include/reader/rle_decoder.hpp:20-24)
 //   * literal (bit-packed) runs advertise groups*8 values
 //     (reference: include/reader/rle_decoder.hpp:41-46)
-//   * definition levels are read BEFORE repetition levels (the reference
-//     deviates from the Parquet v1 page layout here; its own writer emits no
-//     rep levels so the swap is invisible — we match the reference)
-//     (reference: src/reader/column_reader.cpp:147-164)
+//   * v1 level sections are read in SPEC order ([rep][def]).  The reference
+//     reads def before rep (src/reader/column_reader.cpp:147-164) — a
+//     deviation that is invisible on its own writer's files (no rep levels)
+//     but misparses REAL nested files (docs/reference_bugs.md); we follow
+//     the spec there, byte-identical everywhere the reference works
 //   * out-of-range dictionary indices decode to NULL in column reads
 //     (reference: src/reader/column_reader.cpp:190-194)
 //   * page headers for DATA_PAGE and DATA_PAGE_V2 get global page ids;

@@ -308,18 +308,22 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
         } else {
           cur.bytes(size_t(pr.v2_def_len));
         }
-      } else if (lf.max_def > 0) {
-        auto t0 = tick();
-        uint32_t def_len = cur.le<uint32_t>();
-        const uint8_t* dp = cur.bytes(def_len);
-        runs.clear();
-        rle_prescan(dp, def_len, def_bw, pr.num_values, runs);
-        nn = count_matching(runs, dp, def_len, def_bw, lf.max_def);
-        if (timing) lap(ns_def, t0);
-      }
-      if (!v2 && lf.max_rep > 0) {
-        uint32_t rep_len = cur.le<uint32_t>();
-        cur.bytes(rep_len);
+      } else {
+        // v1 spec order [rep][def] on nested columns (see dpq_prescan.hpp —
+        // the reference's def-first order misparses real nested pages)
+        if (lf.max_rep > 0) {
+          uint32_t rep_len = cur.le<uint32_t>();
+          cur.bytes(rep_len);
+        }
+        if (lf.max_def > 0) {
+          auto t0 = tick();
+          uint32_t def_len = cur.le<uint32_t>();
+          const uint8_t* dp = cur.bytes(def_len);
+          runs.clear();
+          rle_prescan(dp, def_len, def_bw, pr.num_values, runs);
+          nn = count_matching(runs, dp, def_len, def_bw, lf.max_def);
+          if (timing) lap(ns_def, t0);
+        }
       }
 
       const bool enc_dict =

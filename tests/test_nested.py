@@ -1,0 +1,93 @@
+"""Nested (repeated) columns: v1 level sections in spec order.
+
+The reference reads def levels before rep levels — wrong for real nested
+files (docs/reference_bugs.md #5).  The engine follows the spec when
+max_rep > 0; the decoded LEAF stream (flat values, def<max_def slots as
+nulls — the reference's decoded-and-ignored rep contract) must match
+pyarrow's flattened view.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+pa = pytest.importorskip("pyarrow")
+import pyarrow.parquet as pq  # noqa: E402
+
+from duckdb_parquet_parser_tpu.host.reader import ParquetReader  # noqa: E402
+
+
+def _flat_leaf_oracle(lists, max_def):
+    """pyarrow list column -> expected (valid, values) leaf stream: one slot
+    per leaf value, plus one NULL slot for each null/empty list."""
+    valid, values = [], []
+    for lst in lists:
+        if lst is None or len(lst) == 0:
+            valid.append(False)
+            values.append(None)
+            continue
+        for v in lst:
+            valid.append(v is not None)
+            values.append(v)
+    return valid, values
+
+
+@pytest.mark.parametrize("version", ["1.0", "2.0"])
+@pytest.mark.parametrize("use_dict", [False, True], ids=["plain", "dict"])
+def test_list_int64(tmp_path, version, use_dict):
+    rng = np.random.default_rng(11)
+    lists = []
+    for i in range(800):
+        x = rng.random()
+        if x < 0.1:
+            lists.append(None)
+        elif x < 0.2:
+            lists.append([])
+        else:
+            pool = rng.integers(0, 9, rng.integers(1, 6)).tolist()
+            lists.append([None if rng.random() < 0.1 else int(v) for v in pool])
+    t = pa.table({"l": pa.array(lists, type=pa.list_(pa.int64()))})
+    path = tmp_path / "l.parquet"
+    pq.write_table(t, path, compression="NONE", use_dictionary=use_dict,
+                   data_page_version=version, data_page_size=512,
+                   row_group_size=300)
+    r = ParquetReader(str(path))
+    col = r.read_column("element")
+    want_valid, want_values = _flat_leaf_oracle(lists, max_def=3)
+    assert len(col) == len(want_valid)
+    np.testing.assert_array_equal(np.asarray(col.valid), want_valid)
+    for i, (ok, w) in enumerate(zip(want_valid, want_values)):
+        if ok:
+            assert int(col.values[i]) == w, i
+
+
+def test_list_strings_iterator(tmp_path):
+    rng = np.random.default_rng(12)
+    words = [b"alpha", b"bravo", b"charlie", b""]
+    lists = []
+    for _ in range(500):
+        x = rng.random()
+        if x < 0.15:
+            lists.append(None)
+        else:
+            lists.append([words[int(rng.integers(len(words)))]
+                          for _ in range(int(rng.integers(0, 4)))])
+    t = pa.table({"l": pa.array(lists, type=pa.list_(pa.binary()))})
+    path = tmp_path / "s.parquet"
+    pq.write_table(t, path, compression="NONE", data_page_version="1.0",
+                   data_page_size=400)
+    r = ParquetReader(str(path))
+    col = r.read_column("element")
+    want_valid, want_values = _flat_leaf_oracle(lists, max_def=3)
+    np.testing.assert_array_equal(np.asarray(col.valid), want_valid)
+    got = [bytes(col.values[i]) for i, ok in enumerate(want_valid) if ok]
+    assert got == [w for w in want_values if w is not None]
+
+    # the streaming iterator emits the same flat non-null stream
+    it = r.column_iterator("element")
+    emitted = []
+    while it.has_next():
+        _pos, _ln, s = it.next()
+        emitted.append(s)
+    assert emitted == got
