@@ -108,6 +108,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     std::vector<Run> def_runs, idx_runs;
     const uint8_t* def_ptr = nullptr;
     int64_t def_len = 0;
+    const uint8_t* rep_ptr = nullptr;  // nested columns (max_rep > 0)
+    int64_t rep_len = 0;
     const uint8_t* val_ptr = nullptr;
     int64_t val_len = 0;
     std::vector<int32_t> slens;   // PS_HOST_STRINGS / PS_STR_VIEWS
@@ -252,8 +254,10 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       Cursor cur(pg_ptr, pg_len);
 
       if (v2) {
-        cur.bytes(size_t(pr.v2_rep_len));  // rep levels: decoded-and-ignored
-        if (lf.max_def > 0) {
+        t.rep_ptr = cur.bytes(size_t(pr.v2_rep_len));  // flat decode ignores
+        t.rep_len = pr.v2_rep_len;                     // these; list
+        if (lf.max_def > 0) {                          // reconstruction reads
+                                                       // the rep_levels plane
           t.def_ptr = cur.bytes(size_t(pr.v2_def_len));
           t.def_len = pr.v2_def_len;
           rle_prescan(t.def_ptr, size_t(t.def_len), def_bw, t.num_values,
@@ -272,9 +276,10 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
         // order misparses both sections (the reference emits garbage
         // there; docs/reference_bugs.md).  Spec order for nested columns,
         // identical byte consumption everywhere else.
-        if (lf.max_rep > 0) {  // rep levels: decoded-and-ignored (the value
-          uint32_t rep_len = cur.le<uint32_t>();  // stream stays flat, like
-          cur.bytes(rep_len);                     // the reference's)
+        if (lf.max_rep > 0) {  // flat decode ignores these; list
+          uint32_t rep_len = cur.le<uint32_t>();  // reconstruction reads the
+          t.rep_ptr = cur.bytes(rep_len);         // rep_levels plane
+          t.rep_len = rep_len;
         }
         if (lf.max_def > 0) {
           uint32_t def_len = cur.le<uint32_t>();
@@ -544,6 +549,12 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     if (tp->kind == 1) any_dict_pages = true;
   if (materialize && lf.max_def > 0)
     a_deflev = store->alloc<uint8_t>("def_levels", {N, vmax});
+  // nested columns: materialized repetition levels (list reconstruction —
+  // host/reader.py::read_list_column; the flat decode path never reads them)
+  uint8_t* a_replev = nullptr;
+  const int rep_bw = lf.max_rep > 0 ? level_bit_width(lf.max_rep) : 0;
+  if (lf.max_rep > 0)
+    a_replev = store->alloc<uint8_t>("rep_levels", {N, vmax});
   if (materialize && any_dict_pages) {
     a_idxv = store->alloc<int32_t>("idx_vals", {N, vmax});
     std::memset(a_idxv, 0xFF, size_t(N) * size_t(vmax) * sizeof(int32_t));
@@ -608,6 +619,7 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   const int64_t i_lo = int64_t(blk) * PACK_BLOCK;
   const int64_t i_hi = std::min(N, i_lo + PACK_BLOCK);
   std::vector<int32_t> idx_scratch;  // per-block dict-index expansion
+  std::vector<Run> rep_scratch;      // per-block rep-level run prescan
   for (int64_t i = i_lo; i < i_hi; i++) {
     const PageTmp& t = *tmp[size_t(i)];
     p_nv[i] = t.num_values;
@@ -649,6 +661,16 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     if (a_deflev && t.def_len) {
       uint8_t* row = a_deflev + i * vmax;
       expand_runs_to(t.def_runs, t.def_ptr, size_t(t.def_len), def_bw,
+                     [&](int32_t v, int32_t val) {
+                       if (v >= 0 && v < vmax) row[v] = uint8_t(val);
+                     });
+    }
+    if (a_replev && t.rep_len) {
+      uint8_t* row = a_replev + i * vmax;
+      rep_scratch.clear();
+      rle_prescan(t.rep_ptr, size_t(t.rep_len), rep_bw, t.num_values,
+                  rep_scratch);
+      expand_runs_to(rep_scratch, t.rep_ptr, size_t(t.rep_len), rep_bw,
                      [&](int32_t v, int32_t val) {
                        if (v >= 0 && v < vmax) row[v] = uint8_t(val);
                      });

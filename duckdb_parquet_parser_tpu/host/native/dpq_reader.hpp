@@ -68,6 +68,9 @@ struct Leaf {
   int32_t chunk_idx = 0;        // index into row_group.columns
   int32_t max_def = 0;
   int32_t max_rep = 0;
+  int32_t rep_def = 0;          // def level AT the innermost repeated node
+                                // (list reconstruction: def >= rep_def means
+                                // an element slot, rep_def-1 an empty list)
   std::optional<int32_t> repetition;
   std::optional<int32_t> converted;
   std::optional<int32_t> type_length;
@@ -438,15 +441,17 @@ class Reader {
   // Depth-first walk of the flattened schema tree computing max def/rep
   // levels: OPTIONAL adds a def level, REPEATED adds both (reference:
   // src/reader/parquet_reader.cpp:495-543).
-  void walk_schema(int idx, int end, int def, int rep, int& col) {
+  void walk_schema(int idx, int end, int def, int rep, int& col,
+                   int rep_def = 0) {
     while (idx < end) {
       const SchemaElement& e = meta_.schema[size_t(idx)];
-      int d = def, r = rep;
+      int d = def, r = rep, rd = rep_def;
       if (e.repetition) {
         if (*e.repetition == R_OPTIONAL) d++;
         if (*e.repetition == R_REPEATED) {
           d++;
           r++;
+          rd = d;  // def level at this (innermost) repeated node
         }
       }
       if (e.num_children && *e.num_children > 0) {
@@ -454,7 +459,7 @@ class Reader {
         int child_end = child_begin;
         for (int k = 0; k < *e.num_children && child_end < end; k++)
           child_end = subtree_end(child_end);
-        walk_schema(child_begin, child_end, d, r, col);
+        walk_schema(child_begin, child_end, d, r, col, rd);
         idx = child_end;
       } else {
         Leaf lf;
@@ -463,6 +468,7 @@ class Reader {
         lf.chunk_idx = col++;
         lf.max_def = d;
         lf.max_rep = r;
+        lf.rep_def = rd;
         lf.repetition = e.repetition;
         lf.converted = e.converted;
         lf.type_length = e.type_length;
@@ -683,7 +689,8 @@ inline std::string Reader::meta_json() const {
     os << "{\"name\":";
     json_escape(os, lf.name);
     os << ",\"type\":" << lf.type << ",\"chunk_idx\":" << lf.chunk_idx
-       << ",\"max_def\":" << lf.max_def << ",\"max_rep\":" << lf.max_rep;
+       << ",\"max_def\":" << lf.max_def << ",\"max_rep\":" << lf.max_rep
+       << ",\"rep_def\":" << lf.rep_def;
     if (lf.repetition) os << ",\"repetition\":" << *lf.repetition;
     if (lf.converted) os << ",\"converted\":" << *lf.converted;
     if (lf.type_length) os << ",\"type_length\":" << *lf.type_length;

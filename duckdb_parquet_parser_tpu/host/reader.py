@@ -204,6 +204,41 @@ class DecodedColumn:
 
 
 @dataclass
+class ListColumn:
+    """A reconstructed single-level LIST column (SoA, offsets-based).
+
+    Row r spans elements [offsets[r], offsets[r+1]); list_valid[r] False
+    means the LIST itself is NULL (empty lists are valid rows with zero
+    span).  Elements index lazily into the flat leaf column through
+    `elem_slots` (no per-value copies)."""
+
+    type: ParquetType
+    offsets: np.ndarray      # [rows + 1] element offsets
+    list_valid: np.ndarray   # [rows] bool
+    elem_valid: np.ndarray   # [total_elements] bool (element-level nulls)
+    elem_slots: np.ndarray   # [total_elements] index into the leaf column
+    leaf: DecodedColumn
+
+    def __len__(self) -> int:
+        return len(self.list_valid)
+
+    def row(self, r: int):
+        if not self.list_valid[r]:
+            return None
+        out = []
+        for j in range(int(self.offsets[r]), int(self.offsets[r + 1])):
+            if not self.elem_valid[j]:
+                out.append(None)
+                continue
+            v = self.leaf.values[int(self.elem_slots[j])]
+            out.append(v.item() if isinstance(v, np.generic) else v)
+        return out
+
+    def to_pylist(self) -> list:
+        return [self.row(r) for r in range(len(self))]
+
+
+@dataclass
 class PageResult:
     """Per-page decode result (parity: reference PageResult,
     include/reader/column_reader.hpp)."""
@@ -438,6 +473,69 @@ class ParquetReader:
         return DecodeBatch(dims, arrays)
 
     # ── decoded column reads ────────────────────────────────────────────────
+
+    def read_list_column(self, name: str) -> "ListColumn":
+        """Reconstruct a single-level LIST column (max_rep == 1) from its
+        repetition/definition levels — Dremel record assembly, offsets-only.
+
+        One entry per FILE ROW: None for a null list, [] for an empty list,
+        else the element values (None where an element is null).  The
+        reference cannot read nested files at all (docs/reference_bugs.md
+        #5 — its level-section order garbles them); the flat leaf stream
+        stays available via read_column().  Deeper nesting (max_rep > 1)
+        raises NotImplementedError."""
+        idx = self.find_column(name)
+        if idx < 0:
+            raise KeyError(f"Column not found: {name}")
+        info = self._columns[idx]
+        if info.max_rep_level == 0:
+            raise TypeError(f"'{name}' is not a repeated (LIST) column")
+        if info.max_rep_level > 1:
+            raise NotImplementedError(
+                "list reconstruction covers single-level nesting "
+                f"(max_rep == 1); '{name}' has max_rep "
+                f"{info.max_rep_level}"
+            )
+        rep_def = int(self._meta["columns"][idx]["rep_def"])
+        if info.type == ParquetType.BYTE_ARRAY:
+            batch = self.prescan(
+                idx,
+                flags=(bindings.PS_HOST_STRINGS | bindings.PS_STR_VIEWS
+                       | bindings.PS_COLUMN),
+            )
+            col = (_wrap_native_column(batch, info.type, self._file_view())
+                   or _materialize_strings(batch, file_chars=self._file_view()))
+        else:
+            batch = self.prescan(idx, flags=bindings.PS_COLUMN)
+            col = (_wrap_native_column(batch, info.type, None)
+                   or (_materialize_flba(batch)
+                       if info.type == ParquetType.FIXED_LEN_BYTE_ARRAY
+                       else _materialize_fixed(batch)))
+
+        arrays = batch.arrays
+        nv = arrays["page_num_values"]
+        live = np.arange(batch.vmax, dtype=np.int32)[None, :] < nv[:, None]
+        defs = arrays["def_levels"][live].astype(np.int32)
+        reps = arrays["rep_levels"][live].astype(np.int32)
+
+        starts = reps == 0               # each row's first leaf slot
+        row_id = np.cumsum(starts) - 1
+        n_rows = int(row_id[-1]) + 1 if len(row_id) else 0
+        elem = defs >= rep_def           # slots carrying an element
+        counts = np.bincount(row_id[elem], minlength=n_rows)
+        offsets = np.zeros(n_rows + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        d0 = defs[starts]                # first-slot def decides the list
+        list_valid = d0 >= rep_def - 1   # < rep_def-1: an ancestor is NULL
+        (elem_slots,) = np.nonzero(elem)
+        return ListColumn(
+            type=info.type,
+            offsets=offsets,
+            list_valid=list_valid,
+            elem_valid=np.asarray(col.valid)[elem_slots],
+            elem_slots=elem_slots,
+            leaf=col,
+        )
 
     def read_column(self, name: str, row_group_idx: int | None = None) -> DecodedColumn:
         idx = self.find_column(name)

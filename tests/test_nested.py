@@ -62,6 +62,55 @@ def test_list_int64(tmp_path, version, use_dict):
             assert int(col.values[i]) == w, i
 
 
+@pytest.mark.parametrize("version", ["1.0", "2.0"])
+@pytest.mark.parametrize("elem_type,gen", [
+    (pa.int64(), lambda rng: int(rng.integers(-1000, 1000))),
+    (pa.float64(), lambda rng: float(rng.standard_normal())),
+    (pa.binary(), lambda rng: bytes(rng.integers(97, 123, rng.integers(0, 8))
+                                    .astype(np.uint8))),
+], ids=["int64", "float64", "binary"])
+def test_list_reconstruction(tmp_path, version, elem_type, gen):
+    """read_list_column == pyarrow to_pylist: null lists, empty lists, null
+    elements, multi-page, multi-row-group, random codec."""
+    rng = np.random.default_rng(31)
+    lists = []
+    for _ in range(700):
+        x = rng.random()
+        if x < 0.1:
+            lists.append(None)
+        elif x < 0.2:
+            lists.append([])
+        else:
+            lists.append([None if rng.random() < 0.15 else gen(rng)
+                          for _ in range(int(rng.integers(1, 7)))])
+    t = pa.table({"l": pa.array(lists, type=pa.list_(elem_type))})
+    path = tmp_path / "lr.parquet"
+    pq.write_table(t, path, compression=["NONE", "snappy"][int(rng.integers(2))],
+                   data_page_version=version, data_page_size=600,
+                   row_group_size=250)
+    r = ParquetReader(str(path))
+    lc = r.read_list_column("element")
+    assert len(lc) == len(lists)
+    assert lc.to_pylist() == t.column("l").to_pylist()
+
+
+def test_list_reconstruction_errors(tmp_path):
+    rng = np.random.default_rng(4)
+    t = pa.table({
+        "flat": pa.array([1, 2, 3], type=pa.int64()),
+        "deep": pa.array([[[1], [2]], None, [[3]]],
+                         type=pa.list_(pa.list_(pa.int64()))),
+    })
+    path = tmp_path / "err.parquet"
+    pq.write_table(t, path, compression="NONE")
+    r = ParquetReader(str(path))
+    with pytest.raises(TypeError):
+        r.read_list_column("flat")
+    with pytest.raises(NotImplementedError):
+        r.read_list_column("element")
+    _ = rng
+
+
 def test_list_strings_iterator(tmp_path):
     rng = np.random.default_rng(12)
     words = [b"alpha", b"bravo", b"charlie", b""]
