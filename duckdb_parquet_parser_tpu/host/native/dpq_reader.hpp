@@ -71,6 +71,10 @@ struct Leaf {
   int32_t rep_def = 0;          // def level AT the innermost repeated node
                                 // (list reconstruction: def >= rep_def means
                                 // an element slot, rep_def-1 an empty list)
+  // ordered def-contributing ancestors root->leaf: (def threshold, kind)
+  // with kind 0 = OPTIONAL, 1 = REPEATED — the Dremel assembly profile
+  // (host/reader.py::read_list_column)
+  std::vector<std::pair<int32_t, int32_t>> def_nodes;
   std::optional<int32_t> repetition;
   std::optional<int32_t> converted;
   std::optional<int32_t> type_length;
@@ -442,16 +446,22 @@ class Reader {
   // levels: OPTIONAL adds a def level, REPEATED adds both (reference:
   // src/reader/parquet_reader.cpp:495-543).
   void walk_schema(int idx, int end, int def, int rep, int& col,
-                   int rep_def = 0) {
+                   int rep_def = 0,
+                   std::vector<std::pair<int32_t, int32_t>> nodes = {}) {
     while (idx < end) {
       const SchemaElement& e = meta_.schema[size_t(idx)];
       int d = def, r = rep, rd = rep_def;
+      auto nd = nodes;
       if (e.repetition) {
-        if (*e.repetition == R_OPTIONAL) d++;
+        if (*e.repetition == R_OPTIONAL) {
+          d++;
+          nd.emplace_back(d, 0);
+        }
         if (*e.repetition == R_REPEATED) {
           d++;
           r++;
           rd = d;  // def level at this (innermost) repeated node
+          nd.emplace_back(d, 1);
         }
       }
       if (e.num_children && *e.num_children > 0) {
@@ -459,7 +469,7 @@ class Reader {
         int child_end = child_begin;
         for (int k = 0; k < *e.num_children && child_end < end; k++)
           child_end = subtree_end(child_end);
-        walk_schema(child_begin, child_end, d, r, col, rd);
+        walk_schema(child_begin, child_end, d, r, col, rd, nd);
         idx = child_end;
       } else {
         Leaf lf;
@@ -469,6 +479,7 @@ class Reader {
         lf.max_def = d;
         lf.max_rep = r;
         lf.rep_def = rd;
+        lf.def_nodes = nd;
         lf.repetition = e.repetition;
         lf.converted = e.converted;
         lf.type_length = e.type_length;
@@ -691,6 +702,13 @@ inline std::string Reader::meta_json() const {
     os << ",\"type\":" << lf.type << ",\"chunk_idx\":" << lf.chunk_idx
        << ",\"max_def\":" << lf.max_def << ",\"max_rep\":" << lf.max_rep
        << ",\"rep_def\":" << lf.rep_def;
+    os << ",\"def_nodes\":[";
+    for (size_t k = 0; k < lf.def_nodes.size(); k++) {
+      if (k) os << ',';
+      os << '[' << lf.def_nodes[k].first << ',' << lf.def_nodes[k].second
+         << ']';
+    }
+    os << ']';
     if (lf.repetition) os << ",\"repetition\":" << *lf.repetition;
     if (lf.converted) os << ",\"converted\":" << *lf.converted;
     if (lf.type_length) os << ",\"type_length\":" << *lf.type_length;

@@ -239,6 +239,70 @@ class ListColumn:
 
 
 @dataclass
+class NestedColumn:
+    """A reconstructed multi-level LIST column (max_rep > 1): eagerly
+    assembled nested python lists — the generality path; single-level
+    lists get the SoA ListColumn instead."""
+
+    type: ParquetType
+    rows: list
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def to_pylist(self) -> list:
+        return self.rows
+
+
+def _assemble_nested(ptype, defs, reps, col, def_nodes, max_def):
+    """Generic Dremel record assembly for one leaf (any list depth).
+
+    `def_nodes` is the leaf's ordered def-contributing ancestor profile
+    [(def threshold, kind)], kind 0 = OPTIONAL / 1 = REPEATED.  Per slot
+    (rep r, def d): levels <= r stay open, levels r+1..k(d) open fresh
+    (k(d) = number of repeated thresholds <= d); then the terminal lands at
+    level k(d) — the leaf value when d == max_def, otherwise [] when the
+    first undefined node (threshold d+1) is repeated (an empty deeper list)
+    or None when it is optional (a null branch)."""
+    import bisect
+
+    rep_thresholds = [t for t, k in def_nodes if k == 1]
+    kind_at = {t: k for t, k in def_nodes}
+    valid = np.asarray(col.valid)
+    rows: list = []
+    stack: list = []  # open lists; stack[k-1] = list at level k
+
+    for i in range(len(defs)):
+        d, r = int(defs[i]), int(reps[i])
+        k_exists = bisect.bisect_right(rep_thresholds, d)
+        if r == 0:
+            stack = []
+            rows.append(None)  # placeholder; terminal below may replace it
+        else:
+            del stack[r:]
+        while len(stack) < k_exists:
+            new: list = []
+            if stack:
+                stack[-1].append(new)
+            else:
+                rows[-1] = new
+            stack.append(new)
+
+        if d == max_def:
+            v = col.values[i] if valid[i] else None
+            if v is not None and isinstance(v, np.generic):
+                v = v.item()
+            stack[-1].append(v)
+        else:
+            terminal = [] if kind_at[d + 1] == 1 else None
+            if k_exists == 0:
+                rows[-1] = terminal
+            else:
+                stack[k_exists - 1].append(terminal)
+    return NestedColumn(type=ptype, rows=rows)
+
+
+@dataclass
 class PageResult:
     """Per-page decode result (parity: reference PageResult,
     include/reader/column_reader.hpp)."""
@@ -483,19 +547,15 @@ class ParquetReader:
         reference cannot read nested files at all (docs/reference_bugs.md
         #5 — its level-section order garbles them); the flat leaf stream
         stays available via read_column().  Deeper nesting (max_rep > 1)
-        raises NotImplementedError."""
-        idx = self.find_column(name)
-        if idx < 0:
+        assembles generically (eager nested pylists, `NestedColumn`) from
+        the leaf's def-node profile.  Accepts a leaf name or a column
+        index (leaf names like 'element' may repeat across lists)."""
+        idx = self.find_column(name) if isinstance(name, str) else int(name)
+        if idx < 0 or idx >= len(self._columns):
             raise KeyError(f"Column not found: {name}")
         info = self._columns[idx]
         if info.max_rep_level == 0:
             raise TypeError(f"'{name}' is not a repeated (LIST) column")
-        if info.max_rep_level > 1:
-            raise NotImplementedError(
-                "list reconstruction covers single-level nesting "
-                f"(max_rep == 1); '{name}' has max_rep "
-                f"{info.max_rep_level}"
-            )
         rep_def = int(self._meta["columns"][idx]["rep_def"])
         if info.type == ParquetType.BYTE_ARRAY:
             batch = self.prescan(
@@ -517,6 +577,11 @@ class ParquetReader:
         live = np.arange(batch.vmax, dtype=np.int32)[None, :] < nv[:, None]
         defs = arrays["def_levels"][live].astype(np.int32)
         reps = arrays["rep_levels"][live].astype(np.int32)
+
+        if info.max_rep_level > 1:
+            def_nodes = self._meta["columns"][idx]["def_nodes"]
+            return _assemble_nested(info.type, defs, reps, col, def_nodes,
+                                    info.max_def_level)
 
         starts = reps == 0               # each row's first leaf slot
         row_id = np.cumsum(starts) - 1

@@ -94,21 +94,46 @@ def test_list_reconstruction(tmp_path, version, elem_type, gen):
     assert lc.to_pylist() == t.column("l").to_pylist()
 
 
-def test_list_reconstruction_errors(tmp_path):
-    rng = np.random.default_rng(4)
-    t = pa.table({
-        "flat": pa.array([1, 2, 3], type=pa.int64()),
-        "deep": pa.array([[[1], [2]], None, [[3]]],
-                         type=pa.list_(pa.list_(pa.int64()))),
-    })
+def test_list_reconstruction_rejects_flat(tmp_path):
+    t = pa.table({"flat": pa.array([1, 2, 3], type=pa.int64())})
     path = tmp_path / "err.parquet"
     pq.write_table(t, path, compression="NONE")
-    r = ParquetReader(str(path))
     with pytest.raises(TypeError):
-        r.read_list_column("flat")
-    with pytest.raises(NotImplementedError):
-        r.read_list_column("element")
-    _ = rng
+        ParquetReader(str(path)).read_list_column("flat")
+
+
+@pytest.mark.parametrize("version", ["1.0", "2.0"])
+def test_deep_list_reconstruction(tmp_path, version):
+    """max_rep > 1: generic Dremel assembly — list<list<int64>> and
+    list<list<list<binary>>> with nulls/empties at EVERY level."""
+    rng = np.random.default_rng(7)
+
+    def gen(depth):
+        x = rng.random()
+        if x < 0.12:
+            return None
+        if x < 0.24:
+            return []
+        if depth == 1:
+            return [None if rng.random() < 0.15 else int(rng.integers(100))
+                    for _ in range(int(rng.integers(1, 4)))]
+        return [gen(depth - 1) for _ in range(int(rng.integers(1, 4)))]
+
+    ll = [gen(2) for _ in range(400)]
+    lll = [gen(3) for _ in range(400)]
+    t = pa.table({
+        "ll": pa.array(ll, type=pa.list_(pa.list_(pa.int64()))),
+        "lll": pa.array(lll, type=pa.list_(pa.list_(pa.list_(pa.int64())))),
+    })
+    path = tmp_path / "deep.parquet"
+    pq.write_table(t, path, compression="NONE", data_page_version=version,
+                   data_page_size=500, row_group_size=150)
+    r = ParquetReader(str(path))
+    # leaf names collide ("element") — read_list_column takes column indices
+    assert [c.name for c in r._columns].count("element") == 2
+    for col_idx, key in ((0, "ll"), (1, "lll")):
+        got = r.read_list_column(col_idx)
+        assert got.to_pylist() == t.column(key).to_pylist(), key
 
 
 def test_list_strings_iterator(tmp_path):
