@@ -71,6 +71,8 @@ def _run_regex_scan(reader: ParquetReader, args) -> int:
         return 2
 
     pattern = like_to_regex(args.regex) if args.like else args.regex
+    rows_batch = None  # pad_strings batch reusable by --rows (avoids a
+    # second prescan — the dominant cold-path cost on large files)
     if args.engine == "native":
         # one-shot default: the fused cold path (native/dpq_scan.hpp) answers
         # straight off the file mapping — no batch packing, no device upload
@@ -86,11 +88,11 @@ def _run_regex_scan(reader: ParquetReader, args) -> int:
             )
             result = scan_batch_device(batch, pattern, negate=args.neg_regex)
         except UnsupportedPattern:
-            batch = reader.prescan(args.regex_column, pad_strings=8)
-            result = scan_batch(batch, pattern, negate=args.neg_regex, xp=np)
+            rows_batch = reader.prescan(args.regex_column, pad_strings=8)
+            result = scan_batch(rows_batch, pattern, negate=args.neg_regex, xp=np)
     else:
-        batch = reader.prescan(args.regex_column, pad_strings=8)
-        result = scan_batch(batch, pattern, negate=args.neg_regex, xp=np)
+        rows_batch = reader.prescan(args.regex_column, pad_strings=8)
+        result = scan_batch(rows_batch, pattern, negate=args.neg_regex, xp=np)
     total_match = int(result.match_counts.sum())
     total_vals = int(result.value_counts.sum())
     mode = "NOT matching" if args.neg_regex else "matching"
@@ -107,8 +109,9 @@ def _run_regex_scan(reader: ParquetReader, args) -> int:
     if args.rows:
         from .ops.scan import match_rows
 
-        rows = match_rows(reader.prescan(args.regex_column, pad_strings=8),
-                          pattern, negate=args.neg_regex)
+        if rows_batch is None:
+            rows_batch = reader.prescan(args.regex_column, pad_strings=8)
+        rows = match_rows(rows_batch, pattern, negate=args.neg_regex)
         head = ", ".join(str(r) for r in rows[:10])
         tail = ", ..." if len(rows) > 10 else ""
         print(f"Matching rows ({len(rows)}): {head}{tail}")

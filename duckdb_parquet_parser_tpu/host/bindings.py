@@ -211,6 +211,7 @@ PS_PAYLOAD = 2
 PS_RUNS_ONLY = 4  # suppress materialized def_levels / idx_vals planes
 PS_STR_VIEWS = 8  # zero-copy string tables (absolute file offsets, no chars)
 PS_COLUMN = 16    # fully-materialized read_column arrays from the pack pass
+PS_REP_LEVELS = 32  # materialize the rep_levels plane (list reconstruction)
 
 
 class _BatchOwner:

@@ -549,11 +549,12 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     if (tp->kind == 1) any_dict_pages = true;
   if (materialize && lf.max_def > 0)
     a_deflev = store->alloc<uint8_t>("def_levels", {N, vmax});
-  // nested columns: materialized repetition levels (list reconstruction —
-  // host/reader.py::read_list_column; the flat decode path never reads them)
+  // nested columns: materialized repetition levels, only when the caller
+  // asked (list reconstruction — host/reader.py::read_list_column; scan and
+  // flat-decode paths never read them, so they skip the N*vmax plane)
   uint8_t* a_replev = nullptr;
   const int rep_bw = lf.max_rep > 0 ? level_bit_width(lf.max_rep) : 0;
-  if (lf.max_rep > 0)
+  if (lf.max_rep > 0 && (flags & PS_REP_LEVELS))
     a_replev = store->alloc<uint8_t>("rep_levels", {N, vmax});
   if (materialize && any_dict_pages) {
     a_idxv = store->alloc<int32_t>("idx_vals", {N, vmax});

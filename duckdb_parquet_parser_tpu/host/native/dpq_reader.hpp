@@ -58,6 +58,10 @@ enum PrescanFlags : int64_t {
                         // col_valid, or col_offs/col_lens/col_src for
                         // BYTE_ARRAY) emitted during the pack pass — the
                         // decoded-column answer at C++ speed (dims col_mat=1)
+  PS_REP_LEVELS = 32,   // materialize the repetition-level plane
+                        // ("rep_levels" [n_pages, vmax]) on nested columns —
+                        // list reconstruction only (read_list_column); scan
+                        // and flat-decode paths never read it
 };
 
 // ── Leaf column descriptor ──────────────────────────────────────────────────

@@ -557,20 +557,8 @@ class ParquetReader:
         if info.max_rep_level == 0:
             raise TypeError(f"'{name}' is not a repeated (LIST) column")
         rep_def = int(self._meta["columns"][idx]["rep_def"])
-        if info.type == ParquetType.BYTE_ARRAY:
-            batch = self.prescan(
-                idx,
-                flags=(bindings.PS_HOST_STRINGS | bindings.PS_STR_VIEWS
-                       | bindings.PS_COLUMN),
-            )
-            col = (_wrap_native_column(batch, info.type, self._file_view())
-                   or _materialize_strings(batch, file_chars=self._file_view()))
-        else:
-            batch = self.prescan(idx, flags=bindings.PS_COLUMN)
-            col = (_wrap_native_column(batch, info.type, None)
-                   or (_materialize_flba(batch)
-                       if info.type == ParquetType.FIXED_LEN_BYTE_ARRAY
-                       else _materialize_fixed(batch)))
+        batch, col = self._decode_leaf(idx,
+                                       extra_flags=bindings.PS_REP_LEVELS)
 
         arrays = batch.arrays
         nv = arrays["page_num_values"]
@@ -602,6 +590,38 @@ class ParquetReader:
             leaf=col,
         )
 
+    def _decode_leaf(self, col_idx: int, rg0: int = 0, rg1: int = -1, *,
+                     row_lo: int = -1, row_hi: int = -1, extra_flags: int = 0):
+        """One prescan + materialization of a leaf column — the shared
+        decode chain behind read_column / read_rows / read_list_column.
+
+        Fused native materialization first: the pre-scan's pack pass emits
+        the final per-row column arrays (values/validity) in one cache-hot
+        C++ sweep (PS_COLUMN); the vectorized numpy paths remain as the
+        golden model and the fallback when the native fast path declines
+        (e.g. string views unavailable).  Returns (batch, DecodedColumn)."""
+        info = self._columns[col_idx]
+        if info.type == ParquetType.BYTE_ARRAY:
+            batch = self.prescan(
+                col_idx, rg0, rg1,
+                flags=(bindings.PS_HOST_STRINGS | bindings.PS_STR_VIEWS
+                       | bindings.PS_COLUMN | extra_flags),
+                row_lo=row_lo, row_hi=row_hi,
+            )
+            col = _wrap_native_column(batch, info.type, self._file_view())
+            if col is None:
+                col = _materialize_strings(batch, file_chars=self._file_view())
+            return batch, col
+        batch = self.prescan(col_idx, rg0, rg1,
+                             flags=bindings.PS_COLUMN | extra_flags,
+                             row_lo=row_lo, row_hi=row_hi)
+        col = _wrap_native_column(batch, info.type, None)
+        if col is None:
+            col = (_materialize_flba(batch)
+                   if info.type == ParquetType.FIXED_LEN_BYTE_ARRAY
+                   else _materialize_fixed(batch))
+        return batch, col
+
     def read_column(self, name: str, row_group_idx: int | None = None) -> DecodedColumn:
         idx = self.find_column(name)
         if idx < 0:
@@ -617,29 +637,8 @@ class ParquetReader:
         if row_group_idx >= n_rg:
             raise IndexError("Invalid row group index")
         rg0, rg1 = (0, n_rg) if row_group_idx < 0 else (row_group_idx, row_group_idx + 1)
-        info = self._columns[col_idx]
-        # Fused native materialization: the pre-scan's pack pass emits the
-        # final per-row column arrays (values/validity) in one cache-hot C++
-        # sweep (PS_COLUMN); the vectorized numpy paths below remain as the
-        # golden model and the fallback when the native fast path declines
-        # (e.g. string views unavailable).
-        if info.type == ParquetType.BYTE_ARRAY:
-            batch = self.prescan(
-                col_idx, rg0, rg1,
-                flags=(bindings.PS_HOST_STRINGS | bindings.PS_STR_VIEWS
-                       | bindings.PS_COLUMN),
-            )
-            native = _wrap_native_column(batch, info.type, self._file_view())
-            if native is not None:
-                return native
-            return _materialize_strings(batch, file_chars=self._file_view())
-        batch = self.prescan(col_idx, rg0, rg1, flags=bindings.PS_COLUMN)
-        native = _wrap_native_column(batch, info.type, None)
-        if native is not None:
-            return native
-        if info.type == ParquetType.FIXED_LEN_BYTE_ARRAY:
-            return _materialize_flba(batch)
-        return _materialize_fixed(batch)
+        _batch, col = self._decode_leaf(col_idx, rg0, rg1)
+        return col
 
     def read_rows(self, column: str | int, row_lo: int,
                   row_hi: int) -> DecodedColumn:
@@ -671,25 +670,8 @@ class ParquetReader:
             if base < row_hi:
                 rg1 = g + 1
             base += nr
-        info = self._columns[idx]
-        if info.type == ParquetType.BYTE_ARRAY:
-            batch = self.prescan(
-                idx, rg0, rg1,
-                flags=(bindings.PS_HOST_STRINGS | bindings.PS_STR_VIEWS
-                       | bindings.PS_COLUMN),
-                row_lo=row_lo, row_hi=row_hi,
-            )
-            col = _wrap_native_column(batch, info.type, self._file_view())
-            if col is None:
-                col = _materialize_strings(batch, file_chars=self._file_view())
-        else:
-            batch = self.prescan(idx, rg0, rg1, flags=bindings.PS_COLUMN,
-                                 row_lo=row_lo, row_hi=row_hi)
-            col = _wrap_native_column(batch, info.type, None)
-            if col is None:
-                col = (_materialize_flba(batch)
-                       if info.type == ParquetType.FIXED_LEN_BYTE_ARRAY
-                       else _materialize_fixed(batch))
+        batch, col = self._decode_leaf(idx, rg0, rg1,
+                                       row_lo=row_lo, row_hi=row_hi)
         # trim the edge pages' surplus rows
         first = int(batch.arrays["page_row_start"][0])
         a = row_lo - first

@@ -743,7 +743,9 @@ def make_bitprog_transition(xp, prog: BitProgram):
             # `clear` strips shift/smear carries INTO '^'-anchored start
             # bits (their only legitimate activation is the first-byte seed;
             # unanchored start bits are always-seeded, so carries onto them
-            # are subsumed and need no clearing)
+            # are subsumed and need no clearing).  Returns (next register,
+            # post-smear entering set) — wide chunks read the entering set
+            # for their cross-register smear carry.
             f = reg << 1
             if clear:
                 f = f & ~clear
@@ -757,7 +759,7 @@ def make_bitprog_transition(xp, prog: BitProgram):
             nxt = f & b
             if sc.r_mask:
                 nxt = nxt | (reg & sc.r_mask & b)
-            return nxt
+            return nxt, f
 
         new_state = []
         accept = None
@@ -778,7 +780,7 @@ def make_bitprog_transition(xp, prog: BitProgram):
                 aseed = xp.where(first_b, sc.anch_start_mask, 0)
                 seed = (aseed | seed) if seed else aseed
                 clear = sc.anch_start_mask & ~1
-            reg = advance(sc, plan, state[reg_at], seed, clear)
+            reg, _ = advance(sc, plan, state[reg_at], seed, clear)
             reg_at += 1
             new_state.append(reg)
             cur = None
@@ -797,7 +799,7 @@ def make_bitprog_transition(xp, prog: BitProgram):
             seed = first_i if sc.anch_start_mask else 1
             for s in range(1, len(seg_offs)):
                 seed = seed | (((done >> (s - 1)) & 1) << seg_offs[s])
-            reg = advance(sc, plan, old_reg, seed)
+            reg, _ = advance(sc, plan, old_reg, seed)
             new_done = done
             last_hit = None
             for s, acc_mask in enumerate(seg_accs):
@@ -837,13 +839,7 @@ def make_bitprog_transition(xp, prog: BitProgram):
                         seed_c = carry
                     else:
                         seed_c = seed
-                    f = (old << 1) | seed_c
-                    for d, m in sc.smear_plan:
-                        f = f | ((f & m) << d)
-                    b = byte_mask(plan)
-                    nxt = f & b
-                    if sc.r_mask:
-                        nxt = nxt | (old & sc.r_mask & b)
+                    nxt, f = advance(sc, plan, old, seed_c)
                     if sc.acc_mask:
                         h = ((nxt & sc.acc_mask) != 0).astype(xp.int32)
                         hit = h if hit is None else (hit | h)

@@ -102,19 +102,6 @@ def length_buckets(plen: np.ndarray, max_buckets: int = 2,
     ]
 
 
-def segment_counts(xp, values, segment_ids, num_segments: int):
-    """Sum `values` ([L] int) into per-segment counts ([num_segments])."""
-    if xp is np:
-        out = np.zeros(num_segments, np.int32)
-        np.add.at(out, segment_ids, values.astype(np.int32))
-        return out
-    import jax
-
-    return jax.ops.segment_sum(
-        values.astype(xp.int32), segment_ids, num_segments=num_segments
-    )
-
-
 @dataclass
 class PageMatchResult:
     """Per-page accept counts for one scanned column batch."""
@@ -131,11 +118,57 @@ class PageMatchResult:
         return self.page_gid[self.match_counts > 0]
 
 
-def _page_of_plain_entry(batch) -> np.ndarray:
-    """[nn_total] page index of each PLAIN string-table entry."""
-    nn_start = batch.arrays["str_nn_start"]
-    counts = np.diff(nn_start)
-    return np.repeat(np.arange(batch.n_pages, dtype=np.int32), counts)
+def _value_accepts(batch, dfa, *, negate: bool = False, xp=np):
+    """Per-value accept/participation matrices in VALUE space.
+
+    Returns (emit [N, vmax] bool, participating [N, vmax] bool) — the single
+    source of the scan semantics: PLAIN pages participate at their non-null
+    slots, dictionary pages additionally require an in-range index
+    (reference: src/reader/column_reader.cpp:190-194); `negate` inverts the
+    per-value match among participating values.  scan_batch's page counts
+    and match_rows' row sets both reduce from these, so the two stay
+    consistent by construction."""
+    arrays = batch.arrays
+    if batch.dims.get("nn_total", 0) > 0 and "str_padded" not in arrays:
+        raise ValueError("batch was prescanned without pad_strings")
+
+    nonnull_x, nn_idx_x = _decode.decode_levels(
+        xp, _as_xp(xp, arrays), batch.max_def, batch.vmax
+    )
+    nonnull = np.asarray(nonnull_x)
+    is_dict = arrays["page_kind"] == 1
+    emit = np.zeros((batch.n_pages, batch.vmax), bool)
+    part = np.zeros((batch.n_pages, batch.vmax), bool)
+
+    has_plain = "str_padded" in arrays and arrays["str_padded"].shape[0] > 0
+    if has_plain and (~is_dict).any():
+        match = np.asarray(dfa_match(
+            xp, _xp_arr(xp, arrays["str_padded"]), arrays["str_lens"],
+            dfa.table, dfa.accept,
+        ))
+        entry = np.clip(arrays["str_nn_start"][:-1, None] + np.asarray(nn_idx_x),
+                        0, len(match) - 1)
+        plain_part = nonnull & ~is_dict[:, None]
+        emit |= (match[entry] ^ negate) & plain_part
+        part |= plain_part
+
+    has_dict = "dict_padded" in arrays and int(batch.dims.get("dict_n", 0)) > 0
+    if has_dict and is_dict.any():
+        dict_match = np.asarray(dfa_match(
+            xp, _xp_arr(xp, arrays["dict_padded"]), arrays["dict_lens"],
+            dfa.table, dfa.accept,
+        ))
+        dict_idx, ok = _decode.decode_dict_indices(
+            xp, _as_xp(xp, arrays), nn_idx_x, batch.nn_cap
+        )
+        g = np.clip(
+            arrays["page_dict_base"][:, None] + np.clip(np.asarray(dict_idx), 0, None),
+            0, len(dict_match) - 1,
+        )
+        dict_part = np.asarray(ok) & nonnull & is_dict[:, None]
+        emit |= (dict_match[g] ^ negate) & dict_part
+        part |= dict_part
+    return emit, part
 
 
 def scan_batch(batch, pattern: str, *, negate: bool = False, xp=np) -> PageMatchResult:
@@ -146,57 +179,11 @@ def scan_batch(batch, pattern: str, *, negate: bool = False, xp=np) -> PageMatch
     except UnsupportedPattern:
         return scan_batch_fallback(batch, pattern, negate=negate)
 
-    arrays = batch.arrays
-    n = batch.n_pages
-    counts = np.zeros(n, np.int64)
-
-    has_plain = "str_padded" in arrays and arrays["str_padded"].shape[0] > 0
-    has_dict = "dict_padded" in arrays and int(batch.dims.get("dict_n", 0)) > 0
-    if batch.dims.get("nn_total", 0) > 0 and "str_padded" not in arrays:
-        raise ValueError("batch was prescanned without pad_strings")
-
-    # Levels / value participation.
-    nonnull, nn_idx = _decode.decode_levels(xp, _as_xp(xp, arrays), batch.max_def, batch.vmax)
-    nonnull_np = np.asarray(nonnull)
-    is_dict = arrays["page_kind"] == 1
-
-    if has_plain:
-        match = dfa_match(
-            xp, _xp_arr(xp, arrays["str_padded"]), arrays["str_lens"],
-            dfa.table, dfa.accept,
-        )
-        match = np.asarray(match) ^ negate
-        seg = _page_of_plain_entry(batch)
-        plain_counts = segment_counts(np, match, seg, n)
-        counts += np.where(~is_dict, plain_counts, 0)
-
-    if has_dict:
-        dict_match = dfa_match(
-            xp, _xp_arr(xp, arrays["dict_padded"]), arrays["dict_lens"],
-            dfa.table, dfa.accept,
-        )
-        dict_match = np.asarray(dict_match) ^ negate
-        dict_idx, ok = _decode.decode_dict_indices(
-            xp, _as_xp(xp, arrays), nn_idx, batch.nn_cap
-        )
-        dict_idx = np.asarray(dict_idx)
-        ok = np.asarray(ok)
-        g = np.clip(arrays["page_dict_base"][:, None] + np.clip(dict_idx, 0, None),
-                    0, len(dict_match) - 1)
-        accept = dict_match[g] & ok & nonnull_np
-        counts += np.where(is_dict, accept.sum(axis=1), 0)
-
-    participating = np.where(
-        is_dict,
-        # dict pages: non-null values with in-range indices
-        (nonnull_np & (np.asarray(ok) if has_dict else False)).sum(axis=1)
-        if has_dict else 0,
-        np.diff(arrays["str_nn_start"]) if has_plain else arrays["page_nn"],
-    )
+    emit, part = _value_accepts(batch, dfa, negate=negate, xp=xp)
     return PageMatchResult(
-        page_gid=arrays["page_gid"].copy(),
-        match_counts=counts.astype(np.int64),
-        value_counts=np.asarray(participating, np.int64),
+        page_gid=batch.arrays["page_gid"].copy(),
+        match_counts=emit.sum(axis=1).astype(np.int64),
+        value_counts=part.sum(axis=1).astype(np.int64),
     )
 
 
@@ -329,34 +316,9 @@ def match_rows(batch, pattern: str, *, negate: bool = False) -> np.ndarray:
     except UnsupportedPattern:
         return match_rows_fallback(batch, pattern, negate=negate)
 
-    arrays = batch.arrays
-    vmax = batch.vmax
-    nonnull, nn_idx = _decode.decode_levels(np, arrays, batch.max_def, vmax)
-    is_dict = arrays["page_kind"] == 1
-    emit = np.zeros((batch.n_pages, vmax), bool)
-
-    has_plain = "str_padded" in arrays and arrays["str_padded"].shape[0] > 0
-    if batch.dims.get("nn_total", 0) > 0 and "str_padded" not in arrays:
-        raise ValueError("batch was prescanned without pad_strings")
-    if has_plain and (~is_dict).any():
-        match = np.asarray(dfa_match(
-            np, arrays["str_padded"], arrays["str_lens"], dfa.table, dfa.accept
-        ))
-        entry = np.clip(arrays["str_nn_start"][:-1, None] + nn_idx,
-                        0, len(match) - 1)
-        emit |= (match[entry] ^ negate) & nonnull & ~is_dict[:, None]
-    has_dict = "dict_padded" in arrays and int(batch.dims.get("dict_n", 0)) > 0
-    if has_dict and is_dict.any():
-        dict_match = np.asarray(dfa_match(
-            np, arrays["dict_padded"], arrays["dict_lens"], dfa.table, dfa.accept
-        ))
-        dict_idx, ok = _decode.decode_dict_indices(np, arrays, nn_idx, batch.nn_cap)
-        g = np.clip(arrays["page_dict_base"][:, None] + np.clip(dict_idx, 0, None),
-                    0, len(dict_match) - 1)
-        emit |= (dict_match[g] ^ negate) & ok & nonnull & is_dict[:, None]
-
-    rows = (arrays["page_row_start"][:, None].astype(np.int64)
-            + np.arange(vmax, dtype=np.int64)[None, :])
+    emit, _part = _value_accepts(batch, dfa, negate=negate)
+    rows = (batch.arrays["page_row_start"][:, None].astype(np.int64)
+            + np.arange(batch.vmax, dtype=np.int64)[None, :])
     return np.sort(rows[emit])
 
 

@@ -235,7 +235,7 @@ def test_scaling_bench_emits_table(tmp_path, capsys, monkeypatch):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     monkeypatch.setattr(
-        sys, "argv", ["scaling_bench", "--rows", "4000", "--reps", "2"]
+        sys, "argv", ["scaling_bench", "--rows", "4000", "--reps", "4"]
     )
     assert scaling_bench.main() == 0
     line = capsys.readouterr().out.strip().splitlines()[-1]
@@ -246,8 +246,8 @@ def test_scaling_bench_emits_table(tmp_path, capsys, monkeypatch):
     for row in out["table"]:
         assert row["rows_per_s"] > 0
         # wall efficiency on the 2-core virtual mesh is only sanity-checked
-        # loosely: this VM's bursty CPU steal can slow the N=1 baseline
-        # enough to push N=2 "efficiency" past 1 (the balanced-sharding
-        # invariant is the skew bound below)
-        assert 0 < row["efficiency"] <= 3.0
+        # with headroom: even min-of-4 reps can catch this VM's CPU-steal
+        # bursts on the N=1 baseline (the balanced-sharding invariant is
+        # the skew bound below)
+        assert 0 < row["efficiency"] <= 2.0
         assert row["shard_value_skew"] < 1.5
