@@ -79,6 +79,8 @@ struct Leaf {
   // with kind 0 = OPTIONAL, 1 = REPEATED — the Dremel assembly profile
   // (host/reader.py::read_list_column)
   std::vector<std::pair<int32_t, int32_t>> def_nodes;
+  std::string path;  // dotted schema path (e.g. "l.list.element") — leaf
+                     // names repeat across lists, paths do not
   std::optional<int32_t> repetition;
   std::optional<int32_t> converted;
   std::optional<int32_t> type_length;
@@ -451,11 +453,13 @@ class Reader {
   // src/reader/parquet_reader.cpp:495-543).
   void walk_schema(int idx, int end, int def, int rep, int& col,
                    int rep_def = 0,
-                   std::vector<std::pair<int32_t, int32_t>> nodes = {}) {
+                   std::vector<std::pair<int32_t, int32_t>> nodes = {},
+                   const std::string& prefix = "") {
     while (idx < end) {
       const SchemaElement& e = meta_.schema[size_t(idx)];
       int d = def, r = rep, rd = rep_def;
       auto nd = nodes;
+      const std::string path = prefix.empty() ? e.name : prefix + "." + e.name;
       if (e.repetition) {
         if (*e.repetition == R_OPTIONAL) {
           d++;
@@ -473,11 +477,12 @@ class Reader {
         int child_end = child_begin;
         for (int k = 0; k < *e.num_children && child_end < end; k++)
           child_end = subtree_end(child_end);
-        walk_schema(child_begin, child_end, d, r, col, rd, nd);
+        walk_schema(child_begin, child_end, d, r, col, rd, nd, path);
         idx = child_end;
       } else {
         Leaf lf;
         lf.name = e.name;
+        lf.path = path;
         lf.type = e.type.value_or(T_BYTE_ARRAY);
         lf.chunk_idx = col++;
         lf.max_def = d;
@@ -703,6 +708,8 @@ inline std::string Reader::meta_json() const {
     if (i) os << ',';
     os << "{\"name\":";
     json_escape(os, lf.name);
+    os << ",\"path\":";
+    json_escape(os, lf.path);
     os << ",\"type\":" << lf.type << ",\"chunk_idx\":" << lf.chunk_idx
        << ",\"max_def\":" << lf.max_def << ",\"max_rep\":" << lf.max_rep
        << ",\"rep_def\":" << lf.rep_def;

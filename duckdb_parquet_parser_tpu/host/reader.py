@@ -408,7 +408,24 @@ class ParquetReader:
         return self._columns[key]
 
     def find_column(self, name: str) -> int:
-        return self._by_name.get(name, -1)
+        """Leaf lookup by name (reference semantics), falling back to the
+        dotted schema path and then to a unique path SUFFIX — nested leaf
+        names repeat across lists ('element'), so 'l.list.element' or just
+        'l' (when unambiguous) resolves the leaf under list column l."""
+        idx = self._by_name.get(name, -1)
+        if idx >= 0:
+            return idx
+        cols = self._meta["columns"]
+        hits = [i for i, c in enumerate(cols) if c.get("path") == name]
+        if not hits:
+            hits = [
+                i for i, c in enumerate(cols)
+                if (p := c.get("path", "")) and (
+                    p.startswith(name + ".") or p.endswith("." + name)
+                    or ("." + name + ".") in p
+                )
+            ]
+        return hits[0] if len(hits) == 1 else -1
 
     def schema_string(self) -> str:
         # Byte-identical to the reference's schema_string()

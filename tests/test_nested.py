@@ -94,6 +94,22 @@ def test_list_reconstruction(tmp_path, version, elem_type, gen):
     assert lc.to_pylist() == t.column("l").to_pylist()
 
 
+def test_dotted_path_lookup(tmp_path):
+    """Nested leaves resolve by dotted schema path or unique path segment
+    (bare leaf names like 'element' repeat across lists)."""
+    t = pa.table({
+        "a": pa.array([[1], [2, 3], None], type=pa.list_(pa.int64())),
+        "b": pa.array([[4], None, [5]], type=pa.list_(pa.int64())),
+    })
+    path = tmp_path / "two.parquet"
+    pq.write_table(t, path, compression="NONE")
+    r = ParquetReader(str(path))
+    assert r.read_list_column("a.list.element").to_pylist() == \
+        t.column("a").to_pylist()
+    assert r.read_list_column("b").to_pylist() == t.column("b").to_pylist()
+    assert r.find_column("nope") == -1
+
+
 def test_list_reconstruction_rejects_flat(tmp_path):
     t = pa.table({"flat": pa.array([1, 2, 3], type=pa.int64())})
     path = tmp_path / "err.parquet"
