@@ -29,6 +29,7 @@
 #include <unistd.h>
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <chrono>
 #include <cstdio>
@@ -75,10 +76,10 @@ struct Leaf {
   int32_t rep_def = 0;          // def level AT the innermost repeated node
                                 // (list reconstruction: def >= rep_def means
                                 // an element slot, rep_def-1 an empty list)
-  // ordered def-contributing ancestors root->leaf: (def threshold, kind)
-  // with kind 0 = OPTIONAL, 1 = REPEATED — the Dremel assembly profile
-  // (host/reader.py::read_list_column)
-  std::vector<std::pair<int32_t, int32_t>> def_nodes;
+  // ordered def-contributing ancestors root->leaf: (def threshold, kind,
+  // path depth) with kind 0 = OPTIONAL, 1 = REPEATED — the Dremel assembly
+  // profile (host/reader.py list/struct reconstruction)
+  std::vector<std::array<int32_t, 3>> def_nodes;
   std::string path;  // dotted schema path (e.g. "l.list.element") — leaf
                      // names repeat across lists, paths do not
   std::optional<int32_t> repetition;
@@ -453,8 +454,8 @@ class Reader {
   // src/reader/parquet_reader.cpp:495-543).
   void walk_schema(int idx, int end, int def, int rep, int& col,
                    int rep_def = 0,
-                   std::vector<std::pair<int32_t, int32_t>> nodes = {},
-                   const std::string& prefix = "") {
+                   std::vector<std::array<int32_t, 3>> nodes = {},
+                   const std::string& prefix = "", int depth = 1) {
     while (idx < end) {
       const SchemaElement& e = meta_.schema[size_t(idx)];
       int d = def, r = rep, rd = rep_def;
@@ -463,13 +464,13 @@ class Reader {
       if (e.repetition) {
         if (*e.repetition == R_OPTIONAL) {
           d++;
-          nd.emplace_back(d, 0);
+          nd.push_back({d, 0, depth});
         }
         if (*e.repetition == R_REPEATED) {
           d++;
           r++;
           rd = d;  // def level at this (innermost) repeated node
-          nd.emplace_back(d, 1);
+          nd.push_back({d, 1, depth});
         }
       }
       if (e.num_children && *e.num_children > 0) {
@@ -477,7 +478,8 @@ class Reader {
         int child_end = child_begin;
         for (int k = 0; k < *e.num_children && child_end < end; k++)
           child_end = subtree_end(child_end);
-        walk_schema(child_begin, child_end, d, r, col, rd, nd, path);
+        walk_schema(child_begin, child_end, d, r, col, rd, nd, path,
+                    depth + 1);
         idx = child_end;
       } else {
         Leaf lf;
@@ -716,8 +718,8 @@ inline std::string Reader::meta_json() const {
     os << ",\"def_nodes\":[";
     for (size_t k = 0; k < lf.def_nodes.size(); k++) {
       if (k) os << ',';
-      os << '[' << lf.def_nodes[k].first << ',' << lf.def_nodes[k].second
-         << ']';
+      os << '[' << lf.def_nodes[k][0] << ',' << lf.def_nodes[k][1] << ','
+         << lf.def_nodes[k][2] << ']';
     }
     os << ']';
     if (lf.repetition) os << ",\"repetition\":" << *lf.repetition;

@@ -239,6 +239,22 @@ class ListColumn:
 
 
 @dataclass
+class StructColumn:
+    """A reconstructed (non-repeated) STRUCT group: one dict per file row,
+    None where the struct (or an ancestor) is NULL, nested dicts for
+    structs inside structs."""
+
+    fields: list          # leaf paths relative to the struct prefix
+    rows: list
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def to_pylist(self) -> list:
+        return self.rows
+
+
+@dataclass
 class NestedColumn:
     """A reconstructed multi-level LIST column (max_rep > 1): eagerly
     assembled nested python lists — the generality path; single-level
@@ -258,16 +274,16 @@ def _assemble_nested(ptype, defs, reps, col, def_nodes, max_def):
     """Generic Dremel record assembly for one leaf (any list depth).
 
     `def_nodes` is the leaf's ordered def-contributing ancestor profile
-    [(def threshold, kind)], kind 0 = OPTIONAL / 1 = REPEATED.  Per slot
-    (rep r, def d): levels <= r stay open, levels r+1..k(d) open fresh
-    (k(d) = number of repeated thresholds <= d); then the terminal lands at
-    level k(d) — the leaf value when d == max_def, otherwise [] when the
-    first undefined node (threshold d+1) is repeated (an empty deeper list)
-    or None when it is optional (a null branch)."""
+    [(def threshold, kind, path depth)], kind 0 = OPTIONAL / 1 = REPEATED.
+    Per slot (rep r, def d): levels <= r stay open, levels r+1..k(d) open
+    fresh (k(d) = number of repeated thresholds <= d); then the terminal
+    lands at level k(d) — the leaf value when d == max_def, otherwise []
+    when the first undefined node (threshold d+1) is repeated (an empty
+    deeper list) or None when it is optional (a null branch)."""
     import bisect
 
-    rep_thresholds = [t for t, k in def_nodes if k == 1]
-    kind_at = {t: k for t, k in def_nodes}
+    rep_thresholds = [t for t, k, _d in def_nodes if k == 1]
+    kind_at = {t: k for t, k, _d in def_nodes}
     valid = np.asarray(col.valid)
     rows: list = []
     stack: list = []  # open lists; stack[k-1] = list at level k
@@ -638,6 +654,77 @@ class ParquetReader:
                    if info.type == ParquetType.FIXED_LEN_BYTE_ARRAY
                    else _materialize_fixed(batch))
         return batch, col
+
+    def read_struct_column(self, prefix: str) -> "StructColumn":
+        """Assemble a non-repeated STRUCT group's leaves into per-row dicts
+        (record assembly across columns — the multi-leaf complement of
+        read_list_column).  `prefix` is the struct's dotted schema path;
+        rows where the struct (or an optional ancestor) is NULL become
+        None, structs inside structs become nested dicts, missing leaf
+        values become None fields.  Lists inside the struct raise
+        NotImplementedError (read them individually via read_list_column)."""
+        cols_meta = self._meta["columns"]
+        members = [(i, c) for i, c in enumerate(cols_meta)
+                   if c.get("path", "").startswith(prefix + ".")]
+        if not members:
+            raise KeyError(f"No struct group at path: {prefix}")
+        if any(c["max_rep"] > 0 for _, c in members):
+            raise NotImplementedError(
+                f"struct '{prefix}' contains repeated fields — read lists "
+                "individually via read_list_column"
+            )
+        k = len(prefix.split("."))
+        n = self.num_rows()
+        rows: list = [None] * n
+        row_null = np.zeros(n, bool)
+
+        for idx, cmeta in members:
+            segs = cmeta["path"].split(".")[k:]
+            batch, col = self._decode_leaf(idx)
+            nv = batch.arrays["page_num_values"]
+            if "def_levels" in batch.arrays:
+                live = (np.arange(batch.vmax, dtype=np.int32)[None, :]
+                        < nv[:, None])
+                defs = batch.arrays["def_levels"][live].astype(np.int32)
+            else:
+                defs = np.zeros(int(nv.sum()), np.int32)
+            max_def = int(cmeta["max_def"])
+            # depth of the first undefined node per def value (leaf-local)
+            depth_at = {t: d for t, _kind, d in cmeta["def_nodes"]}
+            valid = np.asarray(col.valid)
+
+            for r in range(n):
+                d = int(defs[r])
+                if d < max_def and depth_at[d + 1] <= k:
+                    row_null[r] = True  # the struct itself (or above) is NULL
+                    rows[r] = None
+                    continue
+                if row_null[r]:
+                    continue
+                if rows[r] is None:
+                    rows[r] = {}
+                node = rows[r]
+                if d == max_def:
+                    v = col.values[r] if valid[r] else None
+                    if v is not None and isinstance(v, np.generic):
+                        v = v.item()
+                    terminal_seg = len(segs) - 1
+                else:
+                    # an optional node strictly inside the struct is NULL:
+                    # the dict at that path position becomes None
+                    terminal_seg = depth_at[d + 1] - k - 1
+                    v = None
+                for s in segs[:terminal_seg]:
+                    nxt = node.get(s)
+                    if nxt is None:
+                        nxt = node[s] = {}
+                    node = nxt
+                if terminal_seg >= 0 and node.get(segs[terminal_seg]) is None:
+                    node[segs[terminal_seg]] = v
+        return StructColumn(
+            fields=[".".join(c["path"].split(".")[k:]) for _, c in members],
+            rows=rows,
+        )
 
     def read_column(self, name: str, row_group_idx: int | None = None) -> DecodedColumn:
         idx = self.find_column(name)

