@@ -726,6 +726,30 @@ class ParquetReader:
             rows=rows,
         )
 
+    def read_map_column(self, prefix: str) -> "NestedColumn":
+        """Assemble a MAP column (spec shape: repeated key_value group with
+        a required key leaf and a value leaf) into per-row entry lists —
+        [(key, value), ...] like pyarrow's to_pylist, None for null maps,
+        [] for empty ones.  `prefix` is the map's dotted schema path."""
+        cols = self._meta["columns"]
+        members = [(i, c) for i, c in enumerate(cols)
+                   if c.get("path", "").startswith(prefix + ".")]
+        keys = [i for i, c in members if c["path"].split(".")[-1] == "key"]
+        vals = [i for i, c in members
+                if c["path"].split(".")[-1] in ("value", "val")]
+        if len(keys) != 1 or len(vals) != 1:
+            raise KeyError(
+                f"'{prefix}' is not a MAP group (need exactly one key and "
+                f"one value leaf; found {len(members)} leaves)"
+            )
+        kcol = self.read_list_column(keys[0])
+        vcol = self.read_list_column(vals[0])
+        rows = [
+            None if kl is None else list(zip(kl, vl or []))
+            for kl, vl in zip(kcol.to_pylist(), vcol.to_pylist())
+        ]
+        return NestedColumn(type=self._columns[vals[0]].type, rows=rows)
+
     def read_column(self, name: str, row_group_idx: int | None = None) -> DecodedColumn:
         idx = self.find_column(name)
         if idx < 0:

@@ -159,6 +159,35 @@ def test_struct_errors(tmp_path):
         r.read_struct_column("nope")
 
 
+@pytest.mark.parametrize("version", ["1.0", "2.0"])
+def test_map_reconstruction(tmp_path, version):
+    """read_map_column == pyarrow to_pylist: null maps, empty maps, null
+    values, string keys."""
+    rng = np.random.default_rng(8)
+    rows = []
+    for i in range(500):
+        x = rng.random()
+        if x < 0.12:
+            rows.append(None)
+        elif x < 0.24:
+            rows.append([])
+        else:
+            rows.append([
+                (f"k{j}".encode(),
+                 None if rng.random() < 0.2 else int(rng.integers(100)))
+                for j in range(int(rng.integers(1, 5)))
+            ])
+    t = pa.table({"m": pa.array(rows, type=pa.map_(pa.binary(), pa.int64()))})
+    path = tmp_path / "m.parquet"
+    pq.write_table(t, path, compression="NONE", data_page_version=version,
+                   data_page_size=512, row_group_size=200)
+    r = ParquetReader(str(path))
+    got = r.read_map_column("m")
+    assert got.to_pylist() == t.column("m").to_pylist()
+    with pytest.raises(KeyError):
+        r.read_map_column("nope")
+
+
 def test_list_reconstruction_rejects_flat(tmp_path):
     t = pa.table({"flat": pa.array([1, 2, 3], type=pa.int64())})
     path = tmp_path / "err.parquet"
