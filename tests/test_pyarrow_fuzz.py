@@ -62,6 +62,32 @@ def _rand_column(rng, kind: str, n: int, null_p: float):
 
 
 KINDS = ["int32", "int64", "float32", "float64", "bool", "binary"]
+NESTED_KINDS = ["list", "struct", "map"]
+
+
+def _rand_nested(rng, kind: str, n: int):
+    def prim(i):
+        return None if rng.random() < 0.2 else int(rng.integers(1000))
+
+    rows = []
+    for i in range(n):
+        x = rng.random()
+        if x < 0.12:
+            rows.append(None)
+        elif kind == "list":
+            rows.append([prim(i) for _ in range(int(rng.integers(0, 5)))])
+        elif kind == "struct":
+            rows.append({"a": prim(i),
+                         "b": None if rng.random() < 0.2 else f"s{i}".encode()})
+        else:
+            rows.append([(f"k{j}".encode(), prim(i))
+                         for j in range(int(rng.integers(0, 4)))])
+    typ = {
+        "list": pa.list_(pa.int64()),
+        "struct": pa.struct([("a", pa.int64()), ("b", pa.binary())]),
+        "map": pa.map_(pa.binary(), pa.int64()),
+    }[kind]
+    return pa.array(rows, type=typ)
 
 
 def _check_column(col, want_list, kind):
@@ -89,10 +115,11 @@ def test_pyarrow_cross_product(tmp_path, seed):
     kinds = list(rng.choice(KINDS, size=int(rng.integers(2, 5)), replace=True))
     names = [f"c{i}_{k}" for i, k in enumerate(kinds)]
     null_ps = [float(rng.choice([0.0, 0.1, 0.5])) for _ in kinds]
-    table = pa.table({
-        nm: _rand_column(rng, k, n, p)
-        for nm, k, p in zip(names, kinds, null_ps)
-    })
+    arrays = {nm: _rand_column(rng, k, n, p)
+              for nm, k, p in zip(names, kinds, null_ps)}
+    nested_kind = NESTED_KINDS[seed % len(NESTED_KINDS)]
+    arrays["nested"] = _rand_nested(rng, nested_kind, n)
+    table = pa.table(arrays)
 
     codec = CODECS[int(rng.integers(len(CODECS)))]
     version = ["1.0", "2.0"][int(rng.integers(2))]
@@ -113,6 +140,16 @@ def test_pyarrow_cross_product(tmp_path, seed):
         got = r.read_column(nm)
         want = table.column(nm).to_pylist()
         _check_column(got, want, k)
+
+    # nested reconstruction parity on the same randomized layout axes
+    want_nested = table.column("nested").to_pylist()
+    if nested_kind == "list":
+        got_n = r.read_list_column("nested").to_pylist()
+    elif nested_kind == "struct":
+        got_n = r.read_struct_column("nested").to_pylist()
+    else:
+        got_n = r.read_map_column("nested").to_pylist()
+    assert got_n == want_nested, nested_kind
 
     # scan + row-level matches over the first binary column (count oracle =
     # Python re over the pyarrow values; exercises the matcher on
