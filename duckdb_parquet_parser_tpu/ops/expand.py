@@ -38,28 +38,44 @@ def _scatter_add(xp, target, rows, cols, values):
 
 
 def take2d_shift(xp, plane, nn_idx, max_shift: int, out_len: int):
-    """Null-scatter gather as piecewise shifts.
+    """Null-scatter gather as LOGARITHMIC per-cell shifts.
 
     For null-materialization gathers the index is `nn_idx[v] = v - nulls_
     before(v)`, so `plane[nn_idx]` equals a right-shift of the plane by the
-    running null count: out = Σ_k (shift==k) · plane>>k with k bounded by the
-    page's null count.  Shifts are contiguous copies — no gather at all
-    (XLA:TPU gathers cost ~10-25 ns/element; this is HBM-bandwidth instead).
+    running null count s(v) = v - nn_idx[v].  MSB-first doubling with a
+    carried applied-shift plane: stage b moves cell v's (value, applied)
+    pair from v-b exactly when s(v) - applied(v) >= b.  Because s is
+    non-decreasing with unit steps, s(v) - s(v-b) ∈ [0, b] keeps the source
+    in the same 2b-aligned window, so the invariant applied(v) =
+    floor(s(v)/2b)·2b holds into every stage and applied converges to s —
+    log2(max_shift) contiguous-copy stages instead of one per possible
+    null count (~80 on 512-value pages at 10% nulls; fuzzed on 3k+
+    adversarial null patterns vs the gather).  No gather anywhere
+    (XLA:TPU gathers cost ~10-25 ns/element).  Cells whose s exceeds
+    max_shift (only possible past a page's num_values) carry garbage-but-
+    masked values, like the gather fallback — decode_fixed zeroes every
+    masked cell before returning.
     """
     n = plane.shape[0]
     v_iota = xp.arange(out_len, dtype=xp.int32)[None, :]
     shift = v_iota - nn_idx  # [N, V] — nulls before v, in [0, max_shift]
-    base = plane[:, :out_len] if plane.shape[1] >= out_len else xp.concatenate(
+    val = plane[:, :out_len] if plane.shape[1] >= out_len else xp.concatenate(
         [plane, xp.zeros((n, out_len - plane.shape[1]), plane.dtype)], axis=1
     )
-    out = xp.where(shift == 0, base, 0)
-    shifted = base
-    for k in range(1, max_shift + 1):
-        shifted = xp.concatenate(
-            [xp.zeros((n, 1), plane.dtype), shifted[:, :-1]], axis=1
-        )
-        out = xp.where(shift == k, shifted, out)
-    return out
+    if max_shift <= 0:
+        return val
+    applied = xp.zeros((n, out_len), xp.int32)
+    b = 1 << (int(max_shift).bit_length() - 1)
+    while b >= 1:
+        pad_v = xp.zeros((n, b), val.dtype)
+        pad_a = xp.zeros((n, b), xp.int32)
+        val_s = xp.concatenate([pad_v, val[:, :-b]], axis=1)
+        app_s = xp.concatenate([pad_a, applied[:, :-b]], axis=1)
+        can = (shift - applied) >= b
+        val = xp.where(can, val_s, val)
+        applied = xp.where(can, app_s + b, applied)
+        b >>= 1
+    return val
 
 
 def take2d(xp, a, idx):
