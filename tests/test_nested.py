@@ -230,6 +230,36 @@ def test_deep_list_reconstruction(tmp_path, version):
         assert got.to_pylist() == t.column(key).to_pylist(), key
 
 
+def test_scan_nested_string_leaf(tmp_path):
+    """Regex scans (numpy engine + native cold path) over a list<binary>
+    leaf count matching non-null leaf values — oracle: iterator + re."""
+    import re
+
+    from duckdb_parquet_parser_tpu.models.scan import ScanEngine
+
+    rng = np.random.default_rng(13)
+    lists = [None if rng.random() < 0.1 else
+             [f"w{int(rng.integers(40))}".encode()
+              for _ in range(int(rng.integers(0, 4)))]
+             for _ in range(1200)]
+    t = pa.table({"tags": pa.array(lists, type=pa.list_(pa.binary()))})
+    path = tmp_path / "tags.parquet"
+    pq.write_table(t, path, compression="snappy", data_page_size=600)
+    eng = ScanEngine(str(path))
+    r = ParquetReader(str(path))
+    for pat in ["w1", "w[12]$"]:
+        rx = re.compile(pat.encode())
+        it = r.column_iterator("element")
+        want = 0
+        while it.has_next():
+            _p, _l, s = it.next()
+            want += bool(rx.search(s))
+        got_np = int(eng.scan("element", pat, engine="numpy").match_counts.sum())
+        got_cold = int(eng.cold_scan("element", pat,
+                                     exact_counts=True).match_counts.sum())
+        assert got_np == want == got_cold, (pat, got_np, got_cold, want)
+
+
 def test_list_strings_iterator(tmp_path):
     rng = np.random.default_rng(12)
     words = [b"alpha", b"bravo", b"charlie", b""]
