@@ -589,6 +589,14 @@ class ParquetReader:
         info = self._columns[idx]
         if info.max_rep_level == 0:
             raise TypeError(f"'{name}' is not a repeated (LIST) column")
+        col, _d0 = self._list_with_rowdefs(idx)
+        return col
+
+    def _list_with_rowdefs(self, idx: int):
+        """List reconstruction plus each row's FIRST-SLOT def level —
+        struct assembly (read_struct_column) needs d0 to tell a null
+        struct ancestor from a null/empty list."""
+        info = self._columns[idx]
         rep_def = int(self._meta["columns"][idx]["rep_def"])
         batch, col = self._decode_leaf(idx,
                                        extra_flags=bindings.PS_REP_LEVELS)
@@ -598,11 +606,12 @@ class ParquetReader:
         live = np.arange(batch.vmax, dtype=np.int32)[None, :] < nv[:, None]
         defs = arrays["def_levels"][live].astype(np.int32)
         reps = arrays["rep_levels"][live].astype(np.int32)
+        d0 = defs[reps == 0]             # first-slot def per row
 
         if info.max_rep_level > 1:
             def_nodes = self._meta["columns"][idx]["def_nodes"]
             return _assemble_nested(info.type, defs, reps, col, def_nodes,
-                                    info.max_def_level)
+                                    info.max_def_level), d0
 
         starts = reps == 0               # each row's first leaf slot
         row_id = np.cumsum(starts) - 1
@@ -611,7 +620,6 @@ class ParquetReader:
         counts = np.bincount(row_id[elem], minlength=n_rows)
         offsets = np.zeros(n_rows + 1, np.int64)
         np.cumsum(counts, out=offsets[1:])
-        d0 = defs[starts]                # first-slot def decides the list
         list_valid = d0 >= rep_def - 1   # < rep_def-1: an ancestor is NULL
         (elem_slots,) = np.nonzero(elem)
         return ListColumn(
@@ -621,7 +629,7 @@ class ParquetReader:
             elem_valid=np.asarray(col.valid)[elem_slots],
             elem_slots=elem_slots,
             leaf=col,
-        )
+        ), d0
 
     def _decode_leaf(self, col_idx: int, rg0: int = 0, rg1: int = -1, *,
                      row_lo: int = -1, row_hi: int = -1, extra_flags: int = 0):
@@ -661,24 +669,36 @@ class ParquetReader:
         read_list_column).  `prefix` is the struct's dotted schema path;
         rows where the struct (or an optional ancestor) is NULL become
         None, structs inside structs become nested dicts, missing leaf
-        values become None fields.  Lists inside the struct raise
-        NotImplementedError (read them individually via read_list_column)."""
+        values become None fields, and LIST members reconstruct in place
+        (via the list machinery; their first-slot def separates a null
+        struct ancestor from a null/empty list).  Map-style groups inside
+        the struct (two leaves under one repeated parent) raise — read
+        them via read_map_column."""
         cols_meta = self._meta["columns"]
         members = [(i, c) for i, c in enumerate(cols_meta)
                    if c.get("path", "").startswith(prefix + ".")]
         if not members:
             raise KeyError(f"No struct group at path: {prefix}")
-        if any(c["max_rep"] > 0 for _, c in members):
-            raise NotImplementedError(
-                f"struct '{prefix}' contains repeated fields — read lists "
-                "individually via read_list_column"
-            )
         k = len(prefix.split("."))
         n = self.num_rows()
         rows: list = [None] * n
         row_null = np.zeros(n, bool)
 
-        for idx, cmeta in members:
+        flat_members = [(i, c) for i, c in members if c["max_rep"] == 0]
+        rep_members = [(i, c) for i, c in members if c["max_rep"] > 0]
+        rep_parents: dict[str, int] = {}
+        for i, c in rep_members:
+            dr = min(d for _t, kd, d in c["def_nodes"] if kd == 1)
+            parent = ".".join(c["path"].split(".")[:dr - 1])
+            if parent in rep_parents:
+                raise NotImplementedError(
+                    f"map-style group '{parent}' inside struct '{prefix}' "
+                    "(two leaves under one repeated parent) — read it via "
+                    "read_map_column"
+                )
+            rep_parents[parent] = i
+
+        for idx, cmeta in flat_members:
             segs = cmeta["path"].split(".")[k:]
             batch, col = self._decode_leaf(idx)
             nv = batch.arrays["page_num_values"]
@@ -721,6 +741,46 @@ class ParquetReader:
                     node = nxt
                 if terminal_seg >= 0 and node.get(segs[terminal_seg]) is None:
                     node[segs[terminal_seg]] = v
+
+        for idx, cmeta in rep_members:
+            def_nodes = cmeta["def_nodes"]
+            dr = min(d for _t, kd, d in def_nodes if kd == 1)
+            # the list VALUE sits on the repeated node's parent group
+            # (e.g. s.l.list.element -> field key path ['l'])
+            segs = cmeta["path"].split(".")[k:dr - 1]
+            lc, d0 = self._list_with_rowdefs(idx)
+            lrows = lc.to_pylist()
+            depth_at = {t: d for t, _kd, d in def_nodes}
+            max_def = int(cmeta["max_def"])
+            for r in range(n):
+                d = int(d0[r])
+                if d < max_def and depth_at[d + 1] <= k:
+                    row_null[r] = True
+                    rows[r] = None
+                    continue
+                if row_null[r]:
+                    continue
+                if rows[r] is None:
+                    rows[r] = {}
+                node = rows[r]
+                if d == max_def or depth_at[d + 1] >= dr - 1:
+                    # undefined at or below the list group: the list value
+                    # itself carries the right None/[]/elements shape
+                    v = lrows[r]
+                    terminal_seg = len(segs) - 1
+                else:
+                    # an optional struct strictly between prefix and the
+                    # list group is NULL
+                    v = None
+                    terminal_seg = depth_at[d + 1] - k - 1
+                for s in segs[:terminal_seg]:
+                    nxt = node.get(s)
+                    if nxt is None:
+                        nxt = node[s] = {}
+                    node = nxt
+                if node.get(segs[terminal_seg]) is None:
+                    node[segs[terminal_seg]] = v
+
         return StructColumn(
             fields=[".".join(c["path"].split(".")[k:]) for _, c in members],
             rows=rows,

@@ -144,19 +144,54 @@ def test_struct_reconstruction(tmp_path, version):
     assert sc.to_pylist() == t.column("s").to_pylist()
 
 
+def test_struct_with_lists(tmp_path):
+    """Lists inside structs (incl. inside inner structs) reconstruct in
+    place: struct-null vs list-null vs empty-list all distinguished."""
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(600):
+        if rng.random() < 0.15:
+            rows.append(None)
+            continue
+        lst = None if rng.random() < 0.2 else (
+            [] if rng.random() < 0.2 else
+            [None if rng.random() < 0.2 else int(rng.integers(50))
+             for _ in range(int(rng.integers(1, 4)))])
+        rows.append({
+            "x": None if rng.random() < 0.2 else float(i),
+            "l": lst,
+            "inner": None if rng.random() < 0.25 else
+                     {"ll": None if rng.random() < 0.3 else
+                            [f"t{i % 7}".encode()] * int(rng.integers(0, 3))},
+        })
+    typ = pa.struct([
+        ("x", pa.float64()),
+        ("l", pa.list_(pa.int64())),
+        ("inner", pa.struct([("ll", pa.list_(pa.binary()))])),
+    ])
+    t = pa.table({"s": pa.array(rows, type=typ)})
+    path = tmp_path / "sl.parquet"
+    pq.write_table(t, path, compression="NONE", row_group_size=200)
+    r = ParquetReader(str(path))
+    assert r.read_struct_column("s").to_pylist() == t.column("s").to_pylist()
+
+
 def test_struct_errors(tmp_path):
     t = pa.table({
-        "s": pa.array([{"l": [1, 2]}],
-                      type=pa.struct([("l", pa.list_(pa.int64()))])),
+        "s": pa.array([{"m": [(b"k", 1)]}],
+                      type=pa.struct([("m", pa.map_(pa.binary(),
+                                                    pa.int64()))])),
         "flat": pa.array([7], type=pa.int64()),
     })
     path = tmp_path / "serr.parquet"
     pq.write_table(t, path, compression="NONE")
     r = ParquetReader(str(path))
     with pytest.raises(NotImplementedError):
-        r.read_struct_column("s")  # list inside the struct
+        r.read_struct_column("s")  # map inside the struct
     with pytest.raises(KeyError):
         r.read_struct_column("nope")
+    # the map itself still reads via its own API
+    assert r.read_map_column("s.m").to_pylist() == [[(b"k", 1)]]
 
 
 @pytest.mark.parametrize("version", ["1.0", "2.0"])
