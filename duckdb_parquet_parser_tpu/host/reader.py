@@ -663,6 +663,48 @@ class ParquetReader:
                    else _materialize_fixed(batch))
         return batch, col
 
+    def read_table(self, columns: list[str] | None = None) -> dict:
+        """Read every top-level column (or the named subset) with the
+        appropriate reconstruction: flat leaves via read_column, LIST
+        groups via read_list_column, MAP groups via read_map_column,
+        STRUCT groups via read_struct_column.  Returns {field name:
+        column object}; every value supports len() and to_pylist()."""
+        cols_meta = self._meta["columns"]
+        by_field: dict[str, list[int]] = {}
+        for i, c in enumerate(cols_meta):
+            field = c.get("path", c["name"]).split(".")[0]
+            by_field.setdefault(field, []).append(i)
+        if columns is not None:
+            missing = [f for f in columns if f not in by_field]
+            if missing:
+                raise KeyError(f"Columns not found: {missing}")
+            by_field = {f: by_field[f] for f in columns}
+
+        def _is_map(field: str, leaves: list[int]) -> bool:
+            if len(leaves) != 2:
+                return False
+            tails = sorted(cols_meta[i]["path"].split(".")[-1] for i in leaves)
+            return tails in (["key", "value"], ["key", "val"]) and all(
+                cols_meta[i]["max_rep"] > 0 for i in leaves
+            )
+
+        out: dict = {}
+        for field, leaves in by_field.items():
+            if len(leaves) == 1:
+                i = leaves[0]
+                c = cols_meta[i]
+                if c["max_rep"] == 0 and c["path"] == field:
+                    out[field] = self.read_column_by_idx(-1, i)
+                elif c["max_rep"] > 0:
+                    out[field] = self.read_list_column(i)
+                else:
+                    out[field] = self.read_struct_column(field)
+            elif _is_map(field, leaves):
+                out[field] = self.read_map_column(field)
+            else:
+                out[field] = self.read_struct_column(field)
+        return out
+
     def read_struct_column(self, prefix: str) -> "StructColumn":
         """Assemble a non-repeated STRUCT group's leaves into per-row dicts
         (record assembly across columns — the multi-leaf complement of
