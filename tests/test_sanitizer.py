@@ -94,6 +94,25 @@ for codec in ("snappy", "gzip", "zstd", "lz4", "lz4_raw", "brotli"):
     assert rs.read_column("s").to_strings() == cu.to_strings(), codec
     res3 = cold_scan(rs, "s", "alp.*a", exact_counts=True)
     assert int(res3.match_counts.sum()) == int(res.match_counts.sum()), codec
+
+# Nested file: rep-level section capture (v1 spec order), the PS_REP_LEVELS
+# plane, and the cold scan's nested parse — pyarrow writes, the sanitized
+# lib reads
+try:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+except ImportError:
+    pa = None
+if pa is not None:
+    lists = ([None, [], [b"aa", None, b"bb"], [b"alpha"]] * 120)
+    t = pa.table({"l": pa.array(lists, type=pa.list_(pa.binary()))})
+    pq.write_table(t, "/tmp/dpq_asan_nested.parquet", compression="NONE",
+                   data_page_size=400, row_group_size=150)
+    rn = ParquetReader("/tmp/dpq_asan_nested.parquet")
+    lc = rn.read_list_column("element")
+    assert lc.to_pylist() == t.column("l").to_pylist()
+    res4 = cold_scan(rn, "element", "alp.*a", exact_counts=True)
+    assert int(res4.match_counts.sum()) == 120
 print("ASAN_LANE_OK")
 """
 
