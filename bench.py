@@ -348,6 +348,32 @@ def bench_engine(path: Path, reps: int) -> dict:
     log(f"scan wide {PATTERN_WIDE!r}: {total/marg_wide:.3g} rows/s "
         f"(marginal {marg_wide*1000:.1f} ms)")
 
+    # fused multi-pattern serving (ResidentColumn.scan_many): K patterns
+    # ride one payload walk — stream + boundary control amortize
+    from duckdb_parquet_parser_tpu.ops.strings import match_payload_multi
+
+    multi_pats = (PATTERN, PATTERN_GENERAL, PATTERN_ALT)
+    matchers = tuple((None, compile_bitprog(p)) for p in multi_pats)
+
+    def make_multi(reps_n):
+        def f(p, pl, n):
+            def body(i, acc):
+                hits, _ = match_payload_multi(
+                    jnp, p, pl, n + (i % 2), matchers, transposed=True,
+                )
+                s = acc
+                for h in hits:
+                    s = s + jnp.sum(h)
+                return s
+            return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
+        return jax.jit(f)
+
+    _, marg_multi = _marginal(make_multi, (pd, pld, nnd), reps_hi=1 + reps)
+    out["scan_multi3_pattern_rows_per_s"] = 3 * total / marg_multi
+    log(f"scan fused x3 patterns: {3*total/marg_multi:.3g} pattern-rows/s "
+        f"(marginal {marg_multi*1000:.1f} ms vs "
+        f"{(1/out['scan_rows_per_s']+1/out['scan_general_rows_per_s']+1/out['scan_alternation_rows_per_s'])*total*1000:.1f} ms separate)")
+
     # length-bucketed serving layout (ResidentColumn's): each bucket walks
     # only to its own max payload length
     from duckdb_parquet_parser_tpu.ops.scan import length_buckets

@@ -240,6 +240,64 @@ def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
     return jax.jit(step)
 
 
+@_functools.lru_cache(maxsize=32)
+def _device_scan_multi_step(patterns_key, vmax, nn_cap, max_def, negate,
+                            max_steps, transposed):
+    """jit-compiled MULTI-pattern scan step (cached per pattern tuple +
+    batch shape class): K register-machine patterns ride one payload walk
+    (ops/strings.match_payload_multi — the byte stream, per-step slices and
+    boundary control amortize over every pattern); dictionary pages map
+    each pattern's dict-entry accepts through the SHARED expanded index
+    stream (one decode, K lookups)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .bitprog import BitprogUnsupported, compile_bitprog
+    from .regex import substring_chain
+    from .strings import match_payload_multi
+
+    matchers = []
+    for pat in patterns_key:
+        try:
+            matchers.append((None, compile_bitprog(pat)))
+        except BitprogUnsupported:
+            chain = substring_chain(pat)
+            if chain is None:
+                raise ValueError(
+                    f"pattern {pat!r} needs the DFA fallback — scan it "
+                    "separately"
+                )
+            matchers.append((tuple(chain), None))
+
+    def step(core, payload, plen, dict_match_d):
+        is_dict = core["page_kind"] == 1
+        nn = core["page_nn"]
+        hits_k = match_payload_multi(
+            jnp, payload, jnp.where(is_dict, 0, plen),
+            jnp.where(is_dict, 0, nn), matchers, max_steps=max_steps,
+            transposed=transposed,
+        )[0]
+
+        nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)
+        dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap)
+        g = jnp.clip(core["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),
+                     0, dict_match_d.shape[1] - 1)
+        from .pallas.dict_lookup import dict_lookup
+
+        dms = dict_lookup(jnp, [dict_match_d[k].astype(jnp.int32)
+                                for k in range(len(matchers))], g)
+        dict_values = jnp.sum(ok & nonnull, axis=1)
+        counts, values = [], []
+        for k in range(len(matchers)):
+            accept_d = ((dms[k] != 0) ^ negate) & ok & nonnull
+            plain = (nn - hits_k[k]) if negate else hits_k[k]
+            counts.append(jnp.where(is_dict, jnp.sum(accept_d, axis=1), plain))
+            values.append(jnp.where(is_dict, dict_values, nn))
+        return tuple(counts), tuple(values)
+
+    return jax.jit(step)
+
+
 def scan_batch_device(batch, pattern: str, *, negate: bool = False,
                       use_mxu: bool = True) -> PageMatchResult:
     """Fully device-side scan over a PS_PAYLOAD batch: PLAIN pages stream raw

@@ -120,6 +120,149 @@ def make_bitap_transition(xp, needles: list[bytes]):
     return transition, k_needles + 1, 0
 
 
+def _resolve_transition(xp, table, accept, use_mxu=False,
+                        chain: list[bytes] | None = None, prog=None):
+    """(transition, n_state_regs, accept_empty) by the priority order:
+    bit-parallel program (ops/bitprog.py), bitap chain, MXU one-hot matmul
+    (jnp), flat table gather (the numpy oracle)."""
+    if prog is not None:
+        from .bitprog import make_bitprog_transition
+
+        return make_bitprog_transition(xp, prog)
+    if chain:
+        return make_bitap_transition(xp, chain)
+
+    tflat = xp.asarray(table, dtype=xp.int32).reshape(-1)
+    acc_i = xp.asarray(accept).astype(xp.int32)
+    acc0 = int(np.asarray(accept)[0])  # accept of the empty string
+
+    def _wrap_scalar(trans):
+        """Adapts a scalar-state transition to the tuple-state interface."""
+        def transition(state, c):
+            nxt, acc = trans(state[0], c)
+            return (nxt,), acc
+        return transition
+
+    if use_mxu and xp is not np:
+        from .mxu_dfa import make_transition
+
+        return _wrap_scalar(make_transition(table, accept)), 1, acc0
+
+    def gather_scalar(state, c):
+        nxt = xp.take(tflat, xp.clip(state, 0, None) * 256 + c)
+        return nxt, xp.take(acc_i, nxt)
+
+    return _wrap_scalar(gather_scalar), 1, acc0
+
+
+def _match_stream_multi(xp, payload, payload_len, nn, specs,
+                        max_steps: int | None, transposed: bool):
+    """Shared streaming core: K matcher transitions ride ONE payload walk
+    (the per-byte boundary control and the byte stream itself amortize
+    over every pattern).  `specs` is a list of
+    (transition, n_state_regs, accept_empty).  Returns
+    (hits: tuple of K [N] i32, values_seen [N] i32).
+
+    Carry layout: `ctr` serves double duty — inside a length prefix it
+    accumulates the little-endian length; inside a value it counts bytes
+    left.  They are never live simultaneously (at the prefix->value
+    boundary the accumulated length IS the initial bytes-left), which
+    drops two registers and several selects per byte.  Inactive lanes
+    (past the section or the value count) may hold garbage ctr/state —
+    harmless, since `active` gates every finalize.  The matcher state is a
+    tuple of [N] i32 registers (1 for DFAs, needles+1 for bitap),
+    concatenated across patterns; zeros are the per-value initial state
+    for every transition kind.
+    """
+    if transposed:
+        p, n = payload.shape
+    else:
+        n, p = payload.shape
+    steps = int(max_steps or p)
+    payload_i = None
+    if xp is np:
+        payload_i = (payload.T if transposed else payload).astype(np.int32)
+    nn = xp.asarray(nn, dtype=xp.int32)
+    payload_len = xp.asarray(payload_len, dtype=xp.int32)
+    k = len(specs)
+
+    def combined(state, c):
+        news, accs = [], []
+        i = 0
+        for trans, nregs, _ae in specs:
+            s2, a = trans(tuple(state[i:i + nregs]), c)
+            i += nregs
+            news.extend(s2)
+            accs.append(a)
+        return tuple(news), accs
+
+    def control_update(carry, b, c, st2, accs):
+        """Value-boundary state machine for one byte (st2/accs = the
+        matcher transition results for this byte under the carried
+        state)."""
+        prefix_left, ctr, state, done, hits = carry
+        active = (b < payload_len) & (done < nn)
+        in_prefix = prefix_left > 0
+
+        # prefix byte: accumulate little-endian length into ctr
+        la2 = ctr | (c << (8 * (4 - prefix_left)))
+        pl2 = prefix_left - 1
+        prefix_done = in_prefix & (pl2 == 0) & active
+        zero_len = prefix_done & (la2 == 0)
+
+        # value byte: count down ctr
+        bl2 = ctr - 1
+        value_done = (~in_prefix) & (bl2 == 0) & active
+
+        fin = zero_len | value_done
+        hits = tuple(
+            h + xp.where(fin, xp.where(zero_len, spec[2], a), 0)
+            for h, spec, a in zip(hits, specs, accs)
+        )
+        done = done + fin.astype(xp.int32)
+
+        new_prefix_left = xp.where(fin, 4, xp.where(in_prefix, pl2, prefix_left))
+        new_ctr = xp.where(fin, 0, xp.where(in_prefix, la2, bl2))
+        new_state = tuple(
+            xp.where(prefix_done, 0, xp.where(in_prefix, old, new))
+            for old, new in zip(state, st2)
+        )
+        return (new_prefix_left, new_ctr, new_state, done, hits)
+
+    total_regs = sum(s[1] for s in specs)
+    zero = lambda: xp.zeros(n, xp.int32)
+    init = (xp.full(n, 4, xp.int32), zero(),
+            tuple(zero() for _ in range(total_regs)), zero(),
+            tuple(zero() for _ in range(k)))
+
+    if xp is np:
+        carry = init
+        for b in range(steps):
+            c = payload_i[:, b]
+            st2, accs = combined(carry[2], c)
+            carry = control_update(carry, b, c, st2, accs)
+        return carry[4], carry[3]
+
+    import jax
+
+    # xs stay u8: lax.scan materializes its xs, so a pre-widened int32
+    # [P, N] matrix would write+read 4x the payload bytes through HBM;
+    # widening per step is one fused op on the sliced column instead.
+    cols = payload if transposed else xp.transpose(payload)  # [P, N] u8
+
+    def step(carry, xs):
+        b, c8 = xs
+        c = c8.astype(xp.int32)
+        st2, accs = combined(carry[2], c)
+        return control_update(carry, b, c, st2, accs), None
+
+    carry, _ = jax.lax.scan(
+        step, init, (xp.arange(steps, dtype=xp.int32), cols[:steps]),
+        unroll=SCAN_UNROLL,
+    )
+    return carry[4], carry[3]
+
+
 def match_payload_stream(xp, payload, payload_len, nn, table, accept,
                          max_steps: int | None = None, use_mxu: bool = False,
                          chain: list[bytes] | None = None, prog=None,
@@ -144,119 +287,34 @@ def match_payload_stream(xp, payload, payload_len, nn, table, accept,
     2M-row fixture — measured, ops/pallas/README.md round 2e), so resident
     serving layouts store the stream pre-transposed and pass it here.
     """
-    if transposed:
-        p, n = payload.shape
-    else:
-        n, p = payload.shape
-    steps = int(max_steps or p)
-    n_states = table.shape[0]
-    tflat = xp.asarray(table, dtype=xp.int32).reshape(-1)
-    acc_i = xp.asarray(accept).astype(xp.int32)
-    acc0 = int(np.asarray(accept)[0])  # accept of the empty string
-    payload_i = None
-    if xp is np:
-        payload_i = (payload.T if transposed else payload).astype(np.int32)
-    nn = xp.asarray(nn, dtype=xp.int32)
-    payload_len = xp.asarray(payload_len, dtype=xp.int32)
+    specs = [_resolve_transition(xp, table, accept, use_mxu, chain, prog)]
+    hits, seen = _match_stream_multi(xp, payload, payload_len, nn, specs,
+                                     max_steps, transposed)
+    return hits[0], seen
 
-    def _wrap_scalar(trans):
-        """Adapts a scalar-state transition to the tuple-state interface."""
-        def transition(state, c):
-            nxt, acc = trans(state[0], c)
-            return (nxt,), acc
-        return transition
 
-    def gather_scalar(state, c):
-        nxt = xp.take(tflat, xp.clip(state, 0, None) * 256 + c)
-        return nxt, xp.take(acc_i, nxt)
+def match_payload_multi(xp, payload, payload_len, nn, matchers,
+                        max_steps: int | None = None,
+                        transposed: bool = False):
+    """K patterns in ONE payload walk — the multi-query serving fast path.
 
-    # Transition selection: bit-parallel program / bitap fast paths, MXU
-    # one-hot matmul for general DFAs (jnp), table gather otherwise (numpy
-    # oracle).
-    accept_empty = acc0
-    if prog is not None:
-        from .bitprog import make_bitprog_transition
-
-        transition, n_state_regs, accept_empty = make_bitprog_transition(xp, prog)
-    elif chain:
-        transition, n_state_regs, accept_empty = make_bitap_transition(xp, chain)
-    elif use_mxu and xp is not np:
-        from .mxu_dfa import make_transition
-
-        transition = _wrap_scalar(make_transition(table, accept))
-        n_state_regs = 1
-    else:
-        transition = _wrap_scalar(gather_scalar)
-        n_state_regs = 1
-
-    # Carry layout: `ctr` serves double duty — inside a length prefix it
-    # accumulates the little-endian length; inside a value it counts bytes
-    # left.  They are never live simultaneously (at the prefix->value
-    # boundary the accumulated length IS the initial bytes-left), which
-    # drops two registers and several selects per byte.  Inactive lanes
-    # (past the section or the value count) may hold garbage ctr/state —
-    # harmless, since `active` gates every finalize.  The matcher state is a
-    # tuple of [N] i32 registers (1 for DFAs, needles+1 for bitap); zeros are
-    # the per-value initial state for every transition kind.
-    def control_update(carry, b, c, st2, acc_st2):
-        """Value-boundary state machine for one byte (st2/acc_st2 = the
-        matcher transition result for this byte under the carried state)."""
-        prefix_left, ctr, state, done, hits = carry
-        active = (b < payload_len) & (done < nn)
-        in_prefix = prefix_left > 0
-
-        # prefix byte: accumulate little-endian length into ctr
-        la2 = ctr | (c << (8 * (4 - prefix_left)))
-        pl2 = prefix_left - 1
-        prefix_done = in_prefix & (pl2 == 0) & active
-        zero_len = prefix_done & (la2 == 0)
-
-        # value byte: count down ctr
-        bl2 = ctr - 1
-        value_done = (~in_prefix) & (bl2 == 0) & active
-
-        fin = zero_len | value_done
-        hits = hits + xp.where(fin, xp.where(zero_len, accept_empty, acc_st2), 0)
-        done = done + fin.astype(xp.int32)
-
-        new_prefix_left = xp.where(fin, 4, xp.where(in_prefix, pl2, prefix_left))
-        new_ctr = xp.where(fin, 0, xp.where(in_prefix, la2, bl2))
-        new_state = tuple(
-            xp.where(prefix_done, 0, xp.where(in_prefix, old, new))
-            for old, new in zip(state, st2)
-        )
-        return (new_prefix_left, new_ctr, new_state, done, hits)
-
-    zero = lambda: xp.zeros(n, xp.int32)
-    init = (xp.full(n, 4, xp.int32), zero(),
-            tuple(zero() for _ in range(n_state_regs)), zero(), zero())
-
-    if xp is np:
-        carry = init
-        for b in range(steps):
-            c = payload_i[:, b]
-            st2, acc_st2 = transition(carry[2], c)
-            carry = control_update(carry, b, c, st2, acc_st2)
-        return carry[4], carry[3]
-
-    import jax
-
-    # xs stay u8: lax.scan materializes its xs, so a pre-widened int32
-    # [P, N] matrix would write+read 4x the payload bytes through HBM;
-    # widening per step is one fused op on the sliced column instead.
-    cols = payload if transposed else xp.transpose(payload)  # [P, N] u8
-
-    def step(carry, xs):
-        b, c8 = xs
-        c = c8.astype(xp.int32)
-        st2, acc_st2 = transition(carry[2], c)
-        return control_update(carry, b, c, st2, acc_st2), None
-
-    carry, _ = jax.lax.scan(
-        step, init, (xp.arange(steps, dtype=xp.int32), cols[:steps]),
-        unroll=SCAN_UNROLL,
-    )
-    return carry[4], carry[3]
+    `matchers` is a list of (chain, prog) pairs (register-machine
+    transitions only: the byte stream, its per-step slice, and the
+    boundary control amortize over every pattern, so K patterns cost far
+    less than K walks).  Returns (hits: tuple of K [N] i32 accept counts,
+    values_seen [N] i32).
+    """
+    specs = []
+    for chain, prog in matchers:
+        if prog is None and not chain:
+            raise ValueError(
+                "match_payload_multi needs register-machine matchers "
+                "(prog or chain) — route table-DFA patterns separately"
+            )
+        specs.append(_resolve_transition(xp, None, None, False, chain, prog))
+    hits, seen = _match_stream_multi(xp, payload, payload_len, nn, specs,
+                                     max_steps, transposed)
+    return hits, seen
 
 
 def match_values_by_offset(xp, payload, offs, lens, table, accept,

@@ -82,3 +82,25 @@ def test_scan_counts_values(strings_path):
     # match everything -> zero pruned; match nothing -> all pruned
     assert len(scan_batch(batch, "").pruned_pages()) == 0
     assert len(scan_batch(batch, "^\\x00$").pruned_pages()) == batch.n_pages
+
+
+def test_resident_scan_many_parity(tmp_path):
+    """scan_many == per-pattern scan() for fused (bitprog/chain) patterns,
+    solo MXU-DFA fallbacks, and both polarities."""
+    import numpy as np
+
+    from duckdb_parquet_parser_tpu.models.scan import ScanEngine
+
+    from .fixtures import strings_file
+
+    rng = np.random.default_rng(19)
+    path = strings_file(tmp_path / "many.parquet", rng, n=1200, null_p=0.1,
+                        n_unique=None, rgs=2)
+    res = ScanEngine(path).resident("s")
+    pats = ["alpha", "a.*o", "gamma|delta", "^br", "(al|br)*avo"]
+    for negate in (False, True):
+        many = res.scan_many(pats, negate=negate)
+        for p, m in zip(pats, many):
+            s = res.scan(p, negate=negate)
+            np.testing.assert_array_equal(m.match_counts, s.match_counts, p)
+            np.testing.assert_array_equal(m.value_counts, s.value_counts, p)
