@@ -1,0 +1,80 @@
+"""Corruption fuzz: random byte flips anywhere in a valid file must either
+decode (flip landed in unread padding / didn't change semantics) or raise a
+clean Python exception — never crash the process.  The opt-in ASAN lane
+(DPQ_SANITIZE=1) gives the same surface memory-error coverage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from duckdb_parquet_parser_tpu.host.bindings import NativeError
+from duckdb_parquet_parser_tpu.host.reader import ParquetReader
+from duckdb_parquet_parser_tpu.host.schema import ParquetType
+from duckdb_parquet_parser_tpu.host.writer import ColumnSpec, ParquetWriter
+
+
+@pytest.fixture(scope="module")
+def base_file(tmp_path_factory):
+    rng = np.random.default_rng(3)
+    path = tmp_path_factory.mktemp("corrupt") / "base.parquet"
+    w = ParquetWriter(str(path), [
+        ColumnSpec("i", ParquetType.INT64, optional=True),
+        ColumnSpec("s", ParquetType.BYTE_ARRAY, optional=True),
+    ], key_value={"pad": "x" * 512})
+    n = 800
+    vals = [None if rng.random() < 0.1 else
+            f"w{int(rng.integers(30))}".encode() for i in range(n)]
+    ints = (rng.integers(-9, 9, n), (rng.random(n) > 0.1).astype(np.uint8))
+    w.write_row_group({"i": ints, "s": vals})
+    w.close()
+    return path.read_bytes()
+
+
+def _exercise(path):
+    r = ParquetReader(path)
+    r.read_column("i")
+    r.read_column("s")
+    list(r.page_stats(0) or [])
+    from duckdb_parquet_parser_tpu.models.scan import cold_scan
+
+    cold_scan(r, "s", "w1")
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_random_byte_flips_never_crash(tmp_path, base_file, seed):
+    rng = np.random.default_rng(9000 + seed)
+    data = bytearray(base_file)
+    for _ in range(int(rng.integers(1, 4))):
+        pos = int(rng.integers(0, len(data)))
+        data[pos] ^= int(rng.integers(1, 256))
+    path = tmp_path / f"c{seed}.parquet"
+    path.write_bytes(bytes(data))
+    try:
+        _exercise(str(path))
+    except (NativeError, OSError, ValueError, KeyError, IndexError,
+            TypeError, OverflowError, RuntimeError) as e:
+        assert str(e)  # clean, message-bearing failure
+
+
+@pytest.mark.parametrize("region", ["magic", "footer_len", "footer", "header"])
+def test_targeted_corruption(tmp_path, base_file, region):
+    data = bytearray(base_file)
+    if region == "magic":
+        data[-4:] = b"XXXX"
+    elif region == "footer_len":
+        data[-8:-4] = (2 ** 31 - 1).to_bytes(4, "little")
+    elif region == "footer":
+        mid = len(data) - 40
+        for i in range(8):
+            data[mid + i] ^= 0xFF
+    else:  # first page header region
+        for i in range(4, 12):
+            data[i] ^= 0xA5
+    path = tmp_path / f"{region}.parquet"
+    path.write_bytes(bytes(data))
+    try:
+        _exercise(str(path))
+    except (NativeError, OSError, ValueError, KeyError, IndexError,
+            TypeError, OverflowError, RuntimeError):
+        pass
