@@ -140,3 +140,42 @@ def test_native_surface_asan_clean(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "ASAN_LANE_OK" in proc.stdout
+
+
+_CORRUPT_CHILD = r"""
+import os
+from duckdb_parquet_parser_tpu.host import build, bindings
+so = os.environ["DPQ_FORCE_LIB"]
+build.build_library = lambda *a, **k: so
+bindings.build_library = lambda *a, **k: so
+import sys
+import pytest
+sys.exit(pytest.main(["-q", "tests/test_corruption.py"]))
+"""
+
+
+def test_corruption_fuzz_asan_clean(tmp_path):
+    """The corruption fuzz (tests/test_corruption.py) re-run against the
+    sanitized build: malformed inputs must raise cleanly with no heap
+    errors / UB along the rejection paths."""
+    from duckdb_parquet_parser_tpu.host.build import build_library
+
+    so = build_library(sanitize=True)
+    asan = subprocess.run(
+        ["gcc", "-print-file-name=libasan.so"], capture_output=True, text=True
+    ).stdout.strip()
+    stdcxx = subprocess.run(
+        ["gcc", "-print-file-name=libstdc++.so.6"], capture_output=True,
+        text=True,
+    ).stdout.strip()
+    env = dict(os.environ)
+    env["LD_PRELOAD"] = f"{asan} {stdcxx}"
+    env["ASAN_OPTIONS"] = "detect_leaks=0"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["DPQ_FORCE_LIB"] = str(so)
+    proc = subprocess.run(
+        [sys.executable, "-c", _CORRUPT_CHILD], capture_output=True,
+        text=True, env=env, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
