@@ -570,8 +570,11 @@ class Reader {
         rec.header_off = start + off;
         rec.data_off = start + off + header_size;
         rec.size = ph.compressed_size;
-        rec.usize = ph.uncompressed_size > 0 ? ph.uncompressed_size
-                                             : ph.compressed_size;
+        // uncompressed_size == 0 is legitimate (an EMPTY dictionary page's
+        // zstd frame is 9 compressed bytes for 0 payload bytes); only a
+        // negative/absent field falls back to the compressed size.
+        rec.usize = ph.uncompressed_size >= 0 ? ph.uncompressed_size
+                                              : ph.compressed_size;
         rec.kind = ph.kind;
         if (ph.kind == P_DATA && ph.data) {
           rec.num_values = ph.data->num_values;

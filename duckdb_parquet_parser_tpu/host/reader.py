@@ -355,6 +355,7 @@ class ParquetReader:
             return False
         self._path = str(path)
         self._meta = bindings.native_meta(self._h)
+        self._tree = None
         self._columns = []
         for c in self._meta["columns"]:
             self._columns.append(
@@ -434,13 +435,19 @@ class ParquetReader:
         cols = self._meta["columns"]
         hits = [i for i, c in enumerate(cols) if c.get("path") == name]
         if not hits:
-            hits = [
-                i for i, c in enumerate(cols)
-                if (p := c.get("path", "")) and (
-                    p.startswith(name + ".") or p.endswith("." + name)
-                    or ("." + name + ".") in p
-                )
-            ]
+            # exact path-SEGMENT run match only (never raw substring), so a
+            # mistyped top-level name cannot silently resolve to an
+            # unrelated nested leaf
+            want = name.split(".")
+            w = len(want)
+
+            def seg_hit(p: str) -> bool:
+                segs = p.split(".")
+                return any(segs[s:s + w] == want
+                           for s in range(len(segs) - w + 1))
+
+            hits = [i for i, c in enumerate(cols)
+                    if (p := c.get("path", "")) and seg_hit(p)]
         return hits[0] if len(hits) == 1 else -1
 
     def schema_string(self) -> str:
@@ -663,13 +670,62 @@ class ParquetReader:
                    else _materialize_fixed(batch))
         return batch, col
 
+    def _schema_tree(self):
+        """The full schema tree with Dremel levels (cached per open)."""
+        from . import assembly
+
+        if getattr(self, "_tree", None) is None:
+            self._tree = assembly.build_tree(self._meta["schema"])
+        return self._tree
+
+    def assemble_field(self, prefix: str) -> list:
+        """Generic Dremel record assembly of the subtree at dotted path
+        `prefix` — works for ANY shape (list<struct>, structs in lists,
+        maps with nested values, arbitrary trees), matching pyarrow
+        to_pylist semantics.  Returns one python value per file row.
+
+        The reference cannot read nested files (docs/reference_bugs.md #5);
+        this generalizes the def/rep walk of reference
+        src/reader/parquet_reader.cpp:495-557 to full reconstruction."""
+        from . import assembly
+
+        node = assembly.find_node(self._schema_tree(), prefix)
+        if node is None:
+            raise KeyError(f"No schema node at path: {prefix}")
+        cols_meta = self._meta["columns"]
+        leaf_rows: dict[int, list] = {}
+        for idx in node.leaves():
+            cmeta = cols_meta[idx]
+            batch, col = self._decode_leaf(
+                idx, extra_flags=bindings.PS_REP_LEVELS)
+            arrays = batch.arrays
+            nv = arrays["page_num_values"]
+            live = (np.arange(batch.vmax, dtype=np.int32)[None, :]
+                    < nv[:, None])
+            if "def_levels" in arrays:
+                defs = arrays["def_levels"][live].astype(np.int32)
+            else:
+                defs = np.full(int(nv.sum()), int(cmeta["max_def"]), np.int32)
+            if "rep_levels" in arrays and cmeta["max_rep"] > 0:
+                reps = arrays["rep_levels"][live].astype(np.int32)
+            else:
+                reps = np.zeros(len(defs), np.int32)
+            rep_ths = [t for t, k, _d in cmeta["def_nodes"] if k == 1]
+            leaf_rows[idx] = assembly._assemble_leaf_marked(
+                defs, reps, col.values, np.asarray(col.valid), rep_ths)
+        return assembly.merge_rows(node, leaf_rows)
+
     def read_table(self, columns: list[str] | None = None) -> dict:
         """Read every top-level column (or the named subset) with the
-        appropriate reconstruction: flat leaves via read_column, LIST
-        groups via read_list_column, MAP groups via read_map_column,
-        STRUCT groups via read_struct_column.  Returns {field name:
-        column object}; every value supports len() and to_pylist()."""
+        appropriate reconstruction: flat leaves via read_column, simple
+        LIST columns via the SoA read_list_column, everything else
+        (structs, maps, list<struct>, arbitrary nesting) via the generic
+        Dremel assembler.  Returns {field name: column object}; every
+        value supports len() and to_pylist()."""
+        from . import assembly as _asm
+
         cols_meta = self._meta["columns"]
+        tree = self._schema_tree()
         by_field: dict[str, list[int]] = {}
         for i, c in enumerate(cols_meta):
             field = c.get("path", c["name"]).split(".")[0]
@@ -680,177 +736,80 @@ class ParquetReader:
                 raise KeyError(f"Columns not found: {missing}")
             by_field = {f: by_field[f] for f in columns}
 
-        def _is_map(field: str, leaves: list[int]) -> bool:
-            if len(leaves) != 2:
-                return False
-            tails = sorted(cols_meta[i]["path"].split(".")[-1] for i in leaves)
-            return tails in (["key", "value"], ["key", "val"]) and all(
-                cols_meta[i]["max_rep"] > 0 for i in leaves
-            )
-
         out: dict = {}
         for field, leaves in by_field.items():
-            if len(leaves) == 1:
-                i = leaves[0]
-                c = cols_meta[i]
-                if c["max_rep"] == 0 and c["path"] == field:
-                    out[field] = self.read_column_by_idx(-1, i)
-                elif c["max_rep"] > 0:
-                    out[field] = self.read_list_column(i)
-                else:
-                    out[field] = self.read_struct_column(field)
-            elif _is_map(field, leaves):
-                out[field] = self.read_map_column(field)
+            node = next((c for c in tree.children if c.name == field), None)
+            c0 = cols_meta[leaves[0]]
+            if node is not None and node.is_leaf \
+                    and node.repetition != _asm.REPEATED:
+                out[field] = self.read_column_by_idx(-1, leaves[0])
+            elif len(leaves) == 1 and c0["max_rep"] >= 1 and (
+                    node is None or node.is_leaf
+                    or node.converted == _asm._CONV_LIST):
+                out[field] = self.read_list_column(leaves[0])
             else:
-                out[field] = self.read_struct_column(field)
+                out[field] = NestedColumn(
+                    type=self._columns[leaves[0]].type,
+                    rows=self.assemble_field(field),
+                )
         return out
 
     def read_struct_column(self, prefix: str) -> "StructColumn":
-        """Assemble a non-repeated STRUCT group's leaves into per-row dicts
-        (record assembly across columns — the multi-leaf complement of
-        read_list_column).  `prefix` is the struct's dotted schema path;
-        rows where the struct (or an optional ancestor) is NULL become
-        None, structs inside structs become nested dicts, missing leaf
-        values become None fields, and LIST members reconstruct in place
-        (via the list machinery; their first-slot def separates a null
-        struct ancestor from a null/empty list).  Map-style groups inside
-        the struct (two leaves under one repeated parent) raise — read
-        them via read_map_column."""
-        cols_meta = self._meta["columns"]
-        members = [(i, c) for i, c in enumerate(cols_meta)
-                   if c.get("path", "").startswith(prefix + ".")]
-        if not members:
+        """Assemble a STRUCT group's leaves into per-row dicts via the
+        generic Dremel assembler (host/assembly.py).  `prefix` is the
+        struct's dotted schema path; rows where the struct (or an optional
+        ancestor) is NULL become None, structs inside structs become
+        nested dicts, LIST members reconstruct in place, MAP members
+        become entry-tuple lists — pyarrow to_pylist shapes throughout,
+        including repeated groups with multiple leaves (list<struct>)."""
+        from . import assembly as _asm
+
+        node = _asm.find_node(self._schema_tree(), prefix)
+        if node is None or node.is_leaf:
             raise KeyError(f"No struct group at path: {prefix}")
+        cols_meta = self._meta["columns"]
         k = len(prefix.split("."))
-        n = self.num_rows()
-        rows: list = [None] * n
-        row_null = np.zeros(n, bool)
-
-        flat_members = [(i, c) for i, c in members if c["max_rep"] == 0]
-        rep_members = [(i, c) for i, c in members if c["max_rep"] > 0]
-        rep_parents: dict[str, int] = {}
-        for i, c in rep_members:
-            dr = min(d for _t, kd, d in c["def_nodes"] if kd == 1)
-            parent = ".".join(c["path"].split(".")[:dr - 1])
-            if parent in rep_parents:
-                raise NotImplementedError(
-                    f"map-style group '{parent}' inside struct '{prefix}' "
-                    "(two leaves under one repeated parent) — read it via "
-                    "read_map_column"
-                )
-            rep_parents[parent] = i
-
-        for idx, cmeta in flat_members:
-            segs = cmeta["path"].split(".")[k:]
-            batch, col = self._decode_leaf(idx)
-            nv = batch.arrays["page_num_values"]
-            if "def_levels" in batch.arrays:
-                live = (np.arange(batch.vmax, dtype=np.int32)[None, :]
-                        < nv[:, None])
-                defs = batch.arrays["def_levels"][live].astype(np.int32)
-            else:
-                defs = np.zeros(int(nv.sum()), np.int32)
-            max_def = int(cmeta["max_def"])
-            # depth of the first undefined node per def value (leaf-local)
-            depth_at = {t: d for t, _kind, d in cmeta["def_nodes"]}
-            valid = np.asarray(col.valid)
-
-            for r in range(n):
-                d = int(defs[r])
-                if d < max_def and depth_at[d + 1] <= k:
-                    row_null[r] = True  # the struct itself (or above) is NULL
-                    rows[r] = None
-                    continue
-                if row_null[r]:
-                    continue
-                if rows[r] is None:
-                    rows[r] = {}
-                node = rows[r]
-                if d == max_def:
-                    v = col.values[r] if valid[r] else None
-                    if v is not None and isinstance(v, np.generic):
-                        v = v.item()
-                    terminal_seg = len(segs) - 1
-                else:
-                    # an optional node strictly inside the struct is NULL:
-                    # the dict at that path position becomes None
-                    terminal_seg = depth_at[d + 1] - k - 1
-                    v = None
-                for s in segs[:terminal_seg]:
-                    nxt = node.get(s)
-                    if nxt is None:
-                        nxt = node[s] = {}
-                    node = nxt
-                if terminal_seg >= 0 and node.get(segs[terminal_seg]) is None:
-                    node[segs[terminal_seg]] = v
-
-        for idx, cmeta in rep_members:
-            def_nodes = cmeta["def_nodes"]
-            dr = min(d for _t, kd, d in def_nodes if kd == 1)
-            # the list VALUE sits on the repeated node's parent group
-            # (e.g. s.l.list.element -> field key path ['l'])
-            segs = cmeta["path"].split(".")[k:dr - 1]
-            lc, d0 = self._list_with_rowdefs(idx)
-            lrows = lc.to_pylist()
-            depth_at = {t: d for t, _kd, d in def_nodes}
-            max_def = int(cmeta["max_def"])
-            for r in range(n):
-                d = int(d0[r])
-                if d < max_def and depth_at[d + 1] <= k:
-                    row_null[r] = True
-                    rows[r] = None
-                    continue
-                if row_null[r]:
-                    continue
-                if rows[r] is None:
-                    rows[r] = {}
-                node = rows[r]
-                if d == max_def or depth_at[d + 1] >= dr - 1:
-                    # undefined at or below the list group: the list value
-                    # itself carries the right None/[]/elements shape
-                    v = lrows[r]
-                    terminal_seg = len(segs) - 1
-                else:
-                    # an optional struct strictly between prefix and the
-                    # list group is NULL
-                    v = None
-                    terminal_seg = depth_at[d + 1] - k - 1
-                for s in segs[:terminal_seg]:
-                    nxt = node.get(s)
-                    if nxt is None:
-                        nxt = node[s] = {}
-                    node = nxt
-                if node.get(segs[terminal_seg]) is None:
-                    node[segs[terminal_seg]] = v
-
         return StructColumn(
-            fields=[".".join(c["path"].split(".")[k:]) for _, c in members],
-            rows=rows,
+            fields=[".".join(cols_meta[i]["path"].split(".")[k:])
+                    for i in node.leaves()],
+            rows=self.assemble_field(prefix),
         )
 
     def read_map_column(self, prefix: str) -> "NestedColumn":
-        """Assemble a MAP column (spec shape: repeated key_value group with
-        a required key leaf and a value leaf) into per-row entry lists —
-        [(key, value), ...] like pyarrow's to_pylist, None for null maps,
-        [] for empty ones.  `prefix` is the map's dotted schema path."""
+        """Assemble a MAP column into per-row entry lists — [(key, value),
+        ...] like pyarrow's to_pylist, None for null maps, [] for empty
+        ones.  `prefix` is the map's dotted schema path.  MAP-annotated
+        groups assemble generically (values may be any nested shape);
+        unannotated legacy key/value shapes are coerced to entry tuples."""
+        from . import assembly as _asm
+
+        node = _asm.find_node(self._schema_tree(), prefix)
+        if node is None or node.is_leaf:
+            raise KeyError(f"No MAP group at path: {prefix}")
         cols = self._meta["columns"]
-        members = [(i, c) for i, c in enumerate(cols)
-                   if c.get("path", "").startswith(prefix + ".")]
+        members = [(i, cols[i]) for i in node.leaves()]
         keys = [i for i, c in members if c["path"].split(".")[-1] == "key"]
-        vals = [i for i, c in members
-                if c["path"].split(".")[-1] in ("value", "val")]
-        if len(keys) != 1 or len(vals) != 1:
+        annotated = node.converted in (_asm._CONV_MAP, _asm._CONV_MAP_KV)
+        if not annotated and len(keys) != 1:
             raise KeyError(
-                f"'{prefix}' is not a MAP group (need exactly one key and "
-                f"one value leaf; found {len(members)} leaves)"
+                f"'{prefix}' is not a MAP group (need a MAP annotation or "
+                f"exactly one key leaf; found {len(members)} leaves)"
             )
-        kcol = self.read_list_column(keys[0])
-        vcol = self.read_list_column(vals[0])
-        rows = [
-            None if kl is None else list(zip(kl, vl or []))
-            for kl, vl in zip(kcol.to_pylist(), vcol.to_pylist())
-        ]
-        return NestedColumn(type=self._columns[vals[0]].type, rows=rows)
+        rows = self.assemble_field(prefix)
+        if not annotated:
+            # legacy shape: repeated group of {key, value} dicts
+            rows = [
+                None if es is None else [
+                    (e["key"], e.get("value", e.get("val")))
+                    if isinstance(e, dict) else e
+                    for e in es
+                ]
+                for es in rows
+            ]
+        vtype = next((self._columns[i].type for i, c in members
+                      if c["path"].split(".")[-1] != "key"),
+                     self._columns[members[0][0]].type)
+        return NestedColumn(type=vtype, rows=rows)
 
     def read_column(self, name: str, row_group_idx: int | None = None) -> DecodedColumn:
         idx = self.find_column(name)

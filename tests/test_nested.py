@@ -186,8 +186,9 @@ def test_struct_errors(tmp_path):
     path = tmp_path / "serr.parquet"
     pq.write_table(t, path, compression="NONE")
     r = ParquetReader(str(path))
-    with pytest.raises(NotImplementedError):
-        r.read_struct_column("s")  # map inside the struct
+    # maps inside structs assemble generically (round 3: the old
+    # NotImplementedError guard is gone)
+    assert r.read_struct_column("s").to_pylist() == t.column("s").to_pylist()
     with pytest.raises(KeyError):
         r.read_struct_column("nope")
     # the map itself still reads via its own API

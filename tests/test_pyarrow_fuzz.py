@@ -175,3 +175,73 @@ def test_pyarrow_cross_product(tmp_path, seed):
         assert len(rows) == want_hits and all(
             vals[i] is not None and rx.search(vals[i]) for i in rows
         ), (pattern, nm)
+
+
+# ── random nested schema TREES (generic Dremel assembly fuzz) ────────────────
+
+_PRIMS = [pa.int64(), pa.int32(), pa.float64(), pa.binary(), pa.bool_()]
+
+
+def _rand_type(rng, depth: int):
+    """A random nested pyarrow type, nesting depth ≤ 4."""
+    if depth >= 4 or rng.random() < 0.35:
+        return _PRIMS[int(rng.integers(len(_PRIMS)))]
+    x = rng.random()
+    if x < 0.40:
+        return pa.list_(_rand_type(rng, depth + 1))
+    if x < 0.78:
+        nf = int(rng.integers(1, 4))
+        return pa.struct([(f"f{i}", _rand_type(rng, depth + 1))
+                          for i in range(nf)])
+    return pa.map_(pa.binary(), _rand_type(rng, depth + 1))
+
+
+def _rand_value(rng, typ, nullable: bool = True):
+    if nullable and rng.random() < 0.18:
+        return None
+    if pa.types.is_list(typ):
+        return [_rand_value(rng, typ.value_type)
+                for _ in range(int(rng.integers(0, 4)))]
+    if pa.types.is_struct(typ):
+        return {f.name: _rand_value(rng, f.type) for f in typ}
+    if pa.types.is_map(typ):
+        return [(f"k{j}".encode(), _rand_value(rng, typ.item_type))
+                for j in range(int(rng.integers(0, 3)))]
+    if pa.types.is_boolean(typ):
+        return bool(rng.integers(2))
+    if pa.types.is_integer(typ):
+        return int(rng.integers(-1000, 1000))
+    if pa.types.is_floating(typ):
+        return float(rng.standard_normal())
+    return bytes(rng.integers(32, 127, rng.integers(0, 12)).astype(np.uint8))
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_nested_trees(tmp_path, seed):
+    """read_table == pyarrow to_pylist on RANDOM schema trees (depth ≤4):
+    list<struct>, structs in lists, maps with nested values, and every
+    other composition the type generator reaches — the generic Dremel
+    assembler (host/assembly.py) must be total over them."""
+    rng = np.random.default_rng(7000 + seed)
+    n = int(rng.integers(80, 400))
+    fields = {}
+    for c in range(int(rng.integers(1, 4))):
+        typ = _rand_type(rng, 1)
+        fields[f"n{c}"] = pa.array(
+            [_rand_value(rng, typ) for _ in range(n)], type=typ)
+    table = pa.table(fields)
+
+    codec = CODECS[int(rng.integers(len(CODECS)))]
+    path = tmp_path / f"tree_{seed}.parquet"
+    pq.write_table(
+        table, path,
+        compression=codec if codec != "NONE" else "NONE",
+        use_dictionary=bool(rng.integers(2)),
+        data_page_version=["1.0", "2.0"][int(rng.integers(2))],
+        data_page_size=int(rng.integers(256, 4096)),
+        row_group_size=max(int(rng.integers(20, n + 1)), 20),
+    )
+
+    tab = ParquetReader(str(path)).read_table()
+    for f in table.column_names:
+        assert tab[f].to_pylist() == table.column(f).to_pylist(), (seed, f)
