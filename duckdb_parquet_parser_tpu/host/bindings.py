@@ -68,6 +68,11 @@ def _load() -> ct.CDLL:
     lib.dpq_page_stats.argtypes = [ct.c_void_p, ct.c_int32, ct.c_char_p,
                                    ct.c_size_t]
     lib.dpq_page_stats.restype = ct.c_void_p
+    lib.dpq_index_plan.argtypes = [
+        ct.c_void_p, ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_int64,
+        ct.c_char_p, ct.c_size_t,
+    ]
+    lib.dpq_index_plan.restype = ct.c_void_p
 
     lib.dpq_writer_new.argtypes = [ct.c_char_p, ct.c_char_p, ct.c_size_t]
     lib.dpq_writer_new.restype = ct.c_void_p
@@ -212,6 +217,7 @@ PS_RUNS_ONLY = 4  # suppress materialized def_levels / idx_vals planes
 PS_STR_VIEWS = 8  # zero-copy string tables (absolute file offsets, no chars)
 PS_COLUMN = 16    # fully-materialized read_column arrays from the pack pass
 PS_REP_LEVELS = 32  # materialize the rep_levels plane (list reconstruction)
+PS_INDEX = 64     # chunked-index emission stream (idx_emit_pos/idx_emit_len)
 
 
 class _BatchOwner:
@@ -273,6 +279,23 @@ def _wrap_batch(b: int) -> tuple[dict, dict[str, np.ndarray]]:
             arr = np.zeros(spec["shape"], dtype)
         arrays[name] = arr
     return manifest["dims"], arrays
+
+
+def native_index_plan(pos: np.ndarray, lens: np.ndarray, num_rows: int,
+                      chunk_size: int) -> tuple[dict, dict[str, np.ndarray]]:
+    """Chunked-index boundary plan over a PS_INDEX emission stream — one
+    sequential native sweep (exact reference flush-before-append semantics,
+    reference src/main.cpp:21-32).  `pos`/`lens` are the prescan batch's
+    idx_emit_pos/idx_emit_len arrays (len -1 slots are skipped)."""
+    assert pos.dtype == np.int64 and lens.dtype == np.int32
+    err = _err_buf()
+    b = lib().dpq_index_plan(
+        pos.ctypes.data_as(ct.c_void_p), lens.ctypes.data_as(ct.c_void_p),
+        len(pos), num_rows, chunk_size, err, _ERRCAP,
+    )
+    if not b:
+        raise NativeError(err.value.decode("utf-8", "replace"))
+    return _wrap_batch(b)
 
 
 def snappy_compress(data: bytes | np.ndarray) -> bytes:

@@ -7,6 +7,7 @@
 #include <cstring>
 #include <string>
 
+#include "dpq_index.hpp"
 #include "dpq_pageindex.hpp"
 #include "dpq_prescan.hpp"
 #include "dpq_reader.hpp"
@@ -147,6 +148,19 @@ void* dpq_prescan(void* h, int32_t leaf_idx, int32_t rg0, int32_t rg1,
 }
 
 void dpq_batch_free(void* b) { delete static_cast<ArrayStore*>(b); }
+
+// Chunked-index boundary plan over a PS_INDEX emission stream (idx_emit_pos /
+// idx_emit_len arrays of a prescan batch).  Returns an ArrayStore handle with
+// positions/lens/chunk_of_entry/tuple_to_chunk/chunk_starts — exact reference
+// flush-before-append semantics (src/main.cpp:21-32).
+void* dpq_index_plan(const int64_t* pos, const int32_t* lens, int64_t cap,
+                     int64_t num_rows, int64_t chunk_size, char* err,
+                     size_t errcap) {
+  DPQ_TRY({
+    auto out = index_plan(pos, lens, cap, num_rows, chunk_size);
+    return static_cast<void*>(out.release());
+  })
+}
 
 // Page Index (ColumnIndex/OffsetIndex) stats per data page — ArrayStore
 // handle with gid/row_start/has_stats/null_page/null_count, raw min/max

@@ -98,6 +98,11 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   // (callers pass both to mean "views preferred, copying fallback")
   const bool want_strings =
       is_ba && !want_views && (flags & (PS_HOST_STRINGS | PS_STR_VIEWS));
+  // PS_INDEX: emission stream for the chunked index — needs per-value
+  // lengths only (no char copies, no offset tables)
+  const bool want_index = (flags & PS_INDEX) != 0;
+  if (want_index && !is_ba)
+    throw Error("PS_INDEX requires a BYTE_ARRAY column");
 
   // Per-page accumulators; value-section spans point into the owning row
   // group's chunk buffer, which lives in its RgResult until final packing.
@@ -373,6 +378,15 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
             t.slens.push_back(int32_t(len));
             t.soffs.push_back(int64_t(p - map_));
           }
+        } else if (want_index) {
+          // lengths only: the index emission needs no chars/offsets
+          Cursor vc(t.val_ptr, size_t(t.val_len));
+          t.slens.reserve(size_t(t.nn));
+          for (int32_t i = 0; i < t.nn; i++) {
+            uint32_t len = vc.le<uint32_t>();
+            vc.bytes(len);
+            t.slens.push_back(int32_t(len));
+          }
         }
       } else if (w > 0 && pr.encoding == E_DELTA_BINARY_PACKED) {
         if (lf.type != T_INT32 && lf.type != T_INT64)
@@ -611,6 +625,29 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     }
   }
 
+  // ── chunked-index emission stream (PS_INDEX) ──────────────────────────────
+  // One slot per non-null value, page-contiguous (pages write disjoint
+  // [emit_base[i], emit_base[i]+nn) ranges in the parallel pack pass); len -1
+  // marks dropped OOB dictionary indices (reference drops them silently,
+  // src/reader/parquet_reader.cpp:436-439) — dpq_index_plan skips them.
+  int64_t* idx_pos = nullptr;
+  int32_t* idx_len = nullptr;
+  std::vector<int64_t> emit_base;
+  if (want_index) {
+    int64_t idx_cap = 0;
+    emit_base.resize(tmp.size());
+    for (size_t i = 0; i < tmp.size(); i++) {
+      emit_base[i] = idx_cap;
+      idx_cap += std::max(tmp[i]->nn, 0);
+    }
+    dims["idx_cap"] = idx_cap;
+    dims["total_rows"] = total_rows;
+    const int64_t ic = std::max<int64_t>(idx_cap, 1);
+    idx_pos = store->alloc<int64_t>("idx_emit_pos", {ic});
+    idx_len = store->alloc<int32_t>("idx_emit_len", {ic});
+    std::memset(idx_len, 0xFF, size_t(ic) * sizeof(int32_t));
+  }
+
   // Pack pass: each page writes a disjoint row of every plane, so split the
   // page range across the pool (the pass is fault+memcpy bound — ~2x on this
   // box; first-touch of the calloc'd planes happens here).
@@ -707,10 +744,11 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     if (a_payload && t.kind == 0 && t.val_len)
       std::memcpy(a_payload + i * payload_pad, t.val_ptr, size_t(t.val_len));
 
-    if (want_column) {
+    if (want_column || want_index) {
       const size_t rg_local = size_t(t.rg - rg0);
       const RgResult& rgres = rg_results[rg_local];
       const int64_t base = row0[size_t(i)];
+      const int64_t ebase = want_index ? emit_base[size_t(i)] : 0;
       if (t.kind == 1) {
         idx_scratch.assign(size_t(std::max(t.nn, 0)), 0);
         expand_runs_to(t.idx_runs, t.val_ptr, size_t(t.val_len), t.idx_bw,
@@ -724,30 +762,37 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       int64_t schar_off = page_schar_fix[size_t(i)];
       auto value_at = [&](int32_t v, int32_t k) {
         const int64_t o = base + v;
+        int32_t emit_len = -1;  // index emission length (-1 = no emission)
         if (t.kind == 1) {  // dictionary page
           const int32_t idx = idx_scratch[size_t(k)];
           if (idx < 0 || idx >= t.dict_size) return;  // OOB index -> NULL
           // (reference: src/reader/column_reader.cpp:190-194)
           if (is_ba) {
             const size_t g = size_t(t.dict_base + idx);
-            col_offs[o] = rg_char_base[rg_local] + rgres.dict_offs[g];
-            col_lens[o] = rgres.dict_lens[g];
-            col_src[o] = 1;
-          } else {
+            if (want_column) {
+              col_offs[o] = rg_char_base[rg_local] + rgres.dict_offs[g];
+              col_lens[o] = rgres.dict_lens[g];
+              col_src[o] = 1;
+            }
+            emit_len = rgres.dict_lens[g];
+          } else if (want_column) {
             std::memcpy(col_values + o * col_w,
                         rgres.dict_fixed.data() +
                             size_t(t.dict_base + idx) * size_t(col_w),
                         size_t(col_w));
           }
         } else if (is_ba) {
-          if (want_views) {
-            col_offs[o] = t.soffs[size_t(k)];
-          } else {
-            col_offs[o] = schar_off;
-            schar_off += t.slens[size_t(k)];
+          if (want_column) {
+            if (want_views) {
+              col_offs[o] = t.soffs[size_t(k)];
+            } else {
+              col_offs[o] = schar_off;
+              schar_off += t.slens[size_t(k)];
+            }
+            col_lens[o] = t.slens[size_t(k)];
+            col_src[o] = 0;
           }
-          col_lens[o] = t.slens[size_t(k)];
-          col_src[o] = 0;
+          emit_len = t.slens[size_t(k)];
         } else if (is_bool) {
           const int64_t byte = k >> 3;
           col_values[o] =
@@ -757,7 +802,11 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
             std::memcpy(col_values + o * col_w, t.val_ptr + int64_t(k) * w,
                         size_t(w));
         }
-        col_valid[o] = 1;
+        if (want_column) col_valid[o] = 1;
+        if (want_index) {
+          idx_pos[ebase + k] = o;
+          idx_len[ebase + k] = emit_len;
+        }
       };
       if (lf.max_def > 0) {
         int32_t k = 0;

@@ -63,6 +63,12 @@ enum PrescanFlags : int64_t {
                         // ("rep_levels" [n_pages, vmax]) on nested columns —
                         // list reconstruction only (read_list_column); scan
                         // and flat-decode paths never read it
+  PS_INDEX = 64,        // chunked-index emission stream for BYTE_ARRAY
+                        // columns: idx_emit_pos (global row) / idx_emit_len
+                        // per non-null slot, written during the pack pass
+                        // (len -1 marks dropped OOB dictionary indices) —
+                        // feeds dpq_index_plan (reference workload:
+                        // src/main.cpp:21-32)
 };
 
 // ── Leaf column descriptor ──────────────────────────────────────────────────

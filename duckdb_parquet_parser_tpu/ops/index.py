@@ -111,18 +111,39 @@ def build_index(positions, lens, num_rows: int, chunk_size: int = 4096) -> Chunk
     )
 
 
-def build_index_for_column(reader, column: str, chunk_size: int = 4096) -> ChunkedIndex:
+def build_index_for_column(reader, column: str, chunk_size: int = 4096,
+                           engine: str = "native") -> ChunkedIndex:
     """End-to-end: prescan + decode the column, then build the index.
 
-    Fast path: the fused native column pack (PS_COLUMN) already emits
-    row-space lengths + validity in one C++ sweep, so the emission stream is
-    two vector ops (flatnonzero + mask) — the [pages, values] numpy
-    stream assembly is the fallback.  Emission sets are identical: the
-    iterator's silently-dropped OOB dictionary indices (reference:
-    src/reader/parquet_reader.cpp:436-439) are NULL in column space, so
-    neither path emits them."""
+    Fast path (engine="native"): the pre-scan's pack pass emits the index
+    emission stream directly (PS_INDEX: per-value global row + length, one
+    cache-hot C++ sweep, no char copies), and the boundary plan is a second
+    native O(M) sweep (dpq_index_plan) — the whole build is two native
+    calls.  engine="numpy" keeps the vectorized host path (the golden
+    model the native plan is parity-tested against).  Emission sets are
+    identical: the iterator's silently-dropped OOB dictionary indices
+    (reference: src/reader/parquet_reader.cpp:436-439) are NULL in column
+    space, so neither path emits them."""
     from ..host import bindings
     from ..host.reader import _string_stream
+
+    if engine == "native":
+        batch = reader.prescan(
+            column, flags=bindings.PS_INDEX | bindings.PS_RUNS_ONLY)
+        dims, arrays = bindings.native_index_plan(
+            batch.arrays["idx_emit_pos"], batch.arrays["idx_emit_len"],
+            reader.num_rows(), chunk_size,
+        )
+        m = int(dims["m"])
+        return ChunkedIndex(
+            num_rows=int(dims["num_rows"]),
+            chunk_size=chunk_size,
+            positions=arrays["positions"][:m],
+            lens=arrays["lens"][:m],
+            chunk_of_entry=arrays["chunk_of_entry"][:m],
+            tuple_to_chunk=arrays["tuple_to_chunk"],
+            chunk_starts=arrays["chunk_starts"],
+        )
 
     batch = reader.prescan(
         column,

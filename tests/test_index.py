@@ -75,6 +75,38 @@ def test_materialize_chunk_roundtrip(tmp_path, rng):
     assert blob[len(str(first_len)) : len(str(first_len)) + first_len] == first_val
 
 
+def test_native_plan_matches_numpy(tmp_path, rng):
+    """The native PS_INDEX emission + dpq_index_plan sweep is bit-identical
+    to the vectorized numpy golden model across layouts (plain, dict,
+    nulls, pyarrow-written pages)."""
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    paths = [
+        fixtures.strings_file(tmp_path / "a.parquet", rng, n=3000, null_p=0.3),
+        fixtures.strings_file(tmp_path / "b.parquet", rng, n=3000,
+                              null_p=0.05, n_unique=7),
+    ]
+    vals = [None if rng.random() < 0.2
+            else bytes(rng.integers(97, 123, rng.integers(0, 40))
+                       .astype(np.uint8))
+            for _ in range(4000)]
+    p3 = tmp_path / "c.parquet"
+    pq.write_table(pa.table({"s": pa.array(vals, type=pa.binary())}), p3,
+                   compression="snappy", data_page_size=700,
+                   row_group_size=900)
+    paths.append(str(p3))
+    for path in paths:
+        r = ParquetReader(str(path))
+        for cs in (700, 4096):
+            a = build_index_for_column(r, "s", cs, engine="numpy")
+            b = build_index_for_column(r, "s", cs, engine="native")
+            for f in ("positions", "lens", "chunk_of_entry",
+                      "tuple_to_chunk", "chunk_starts"):
+                np.testing.assert_array_equal(
+                    getattr(a, f), getattr(b, f), err_msg=f)
+
+
 def test_null_rows_keep_zero(tmp_path, rng):
     path = fixtures.strings_file(tmp_path / "z.parquet", rng, n=300, null_p=0.5)
     r = ParquetReader(path)
