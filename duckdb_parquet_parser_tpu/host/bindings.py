@@ -218,6 +218,7 @@ PS_STR_VIEWS = 8  # zero-copy string tables (absolute file offsets, no chars)
 PS_COLUMN = 16    # fully-materialized read_column arrays from the pack pass
 PS_REP_LEVELS = 32  # materialize the rep_levels plane (list reconstruction)
 PS_INDEX = 64     # chunked-index emission stream (idx_emit_pos/idx_emit_len)
+PS_COL_ONLY = 128  # suppress per-value string tables (PS_COLUMN-only reads)
 
 
 class _BatchOwner:

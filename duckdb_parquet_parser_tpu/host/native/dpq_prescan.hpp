@@ -861,7 +861,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   }
 
   // ── zero-copy string views (PS_STR_VIEWS) ─────────────────────────────────
-  if (want_views) {
+  const bool want_str_tables = !(flags & PS_COL_ONLY);
+  if (want_views && want_str_tables) {
     dims["str_abs"] = 1;
     auto* nn_start = store->alloc<int64_t>("str_nn_start", {N + 1});
     auto* s_lens =
@@ -885,11 +886,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
 
   // ── host string tables (PS_HOST_STRINGS) ──────────────────────────────────
   if (want_strings) {
-    auto* nn_start = store->alloc<int64_t>("str_nn_start", {N + 1});
-    auto* s_lens =
-        store->alloc<int32_t>("str_lens", {std::max<int64_t>(nn_total, 1)});
-    auto* s_offs =
-        store->alloc<int64_t>("str_offs", {std::max<int64_t>(nn_total, 1)});
+    // the owned chars buffer is emitted even under PS_COL_ONLY: in copy
+    // mode the PS_COLUMN col_offs index into it
     auto* s_chars = store->alloc<uint8_t>(
         "str_chars", {std::max<int64_t>(str_chars_total, 1)});
     {
@@ -901,25 +899,33 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
         chars_at += int64_t(res.str_chars.size());
       }
     }
-    int64_t at = 0;
-    for (int64_t i = 0; i < N; i++) {
-      nn_start[i] = at;
-      const PageTmp& t = *tmp[size_t(i)];
-      int64_t off = page_schar_fix[size_t(i)];
-      for (size_t k = 0; k < t.slens.size(); k++) {
-        s_lens[at] = t.slens[k];
-        s_offs[at] = off;
-        off += t.slens[k];
-        at++;
+    if (want_str_tables) {
+      auto* nn_start = store->alloc<int64_t>("str_nn_start", {N + 1});
+      auto* s_lens =
+          store->alloc<int32_t>("str_lens", {std::max<int64_t>(nn_total, 1)});
+      auto* s_offs =
+          store->alloc<int64_t>("str_offs", {std::max<int64_t>(nn_total, 1)});
+      int64_t at = 0;
+      for (int64_t i = 0; i < N; i++) {
+        nn_start[i] = at;
+        const PageTmp& t = *tmp[size_t(i)];
+        int64_t off = page_schar_fix[size_t(i)];
+        for (size_t k = 0; k < t.slens.size(); k++) {
+          s_lens[at] = t.slens[k];
+          s_offs[at] = off;
+          off += t.slens[k];
+          at++;
+        }
       }
-    }
-    nn_start[N] = at;
+      nn_start[N] = at;
 
-    if (str_pitch > 0 && nn_total > 0) {
-      auto* padded = store->alloc<uint8_t>("str_padded", {nn_total, str_pitch});
-      for (int64_t v = 0; v < nn_total; v++)
-        std::memcpy(padded + v * str_pitch, s_chars + s_offs[v],
-                    size_t(s_lens[v]));
+      if (str_pitch > 0 && nn_total > 0) {
+        auto* padded =
+            store->alloc<uint8_t>("str_padded", {nn_total, str_pitch});
+        for (int64_t v = 0; v < nn_total; v++)
+          std::memcpy(padded + v * str_pitch, s_chars + s_offs[v],
+                      size_t(s_lens[v]));
+      }
     }
   }
 

@@ -69,6 +69,12 @@ enum PrescanFlags : int64_t {
                         // (len -1 marks dropped OOB dictionary indices) —
                         // feeds dpq_index_plan (reference workload:
                         // src/main.cpp:21-32)
+  PS_COL_ONLY = 128,    // suppress the per-value string TABLES
+                        // (str_nn_start/str_lens/str_offs/str_padded) —
+                        // for callers that consume only the PS_COLUMN
+                        // arrays (read_column fast path); the owned
+                        // str_chars buffer is still emitted in copy mode
+                        // because col_offs point into it
 };
 
 // ── Leaf column descriptor ──────────────────────────────────────────────────

@@ -649,22 +649,34 @@ class ParquetReader:
         golden model and the fallback when the native fast path declines
         (e.g. string views unavailable).  Returns (batch, DecodedColumn)."""
         info = self._columns[col_idx]
+        # lean mode: when the caller needs only the decoded column (no level
+        # planes, no per-value string tables), suppress everything but the
+        # PS_COLUMN arrays; the full prescan is re-run if the native wrap
+        # declines (rare: mmap unavailable) so the fallbacks keep their
+        # inputs
+        lean = bindings.PS_RUNS_ONLY | bindings.PS_COL_ONLY \
+            if extra_flags == 0 else 0
         if info.type == ParquetType.BYTE_ARRAY:
-            batch = self.prescan(
-                col_idx, rg0, rg1,
-                flags=(bindings.PS_HOST_STRINGS | bindings.PS_STR_VIEWS
-                       | bindings.PS_COLUMN | extra_flags),
-                row_lo=row_lo, row_hi=row_hi,
-            )
+            base_flags = (bindings.PS_HOST_STRINGS | bindings.PS_STR_VIEWS
+                          | bindings.PS_COLUMN | extra_flags)
+            batch = self.prescan(col_idx, rg0, rg1, flags=base_flags | lean,
+                                 row_lo=row_lo, row_hi=row_hi)
             col = _wrap_native_column(batch, info.type, self._file_view())
             if col is None:
+                if lean:
+                    batch = self.prescan(col_idx, rg0, rg1, flags=base_flags,
+                                         row_lo=row_lo, row_hi=row_hi)
                 col = _materialize_strings(batch, file_chars=self._file_view())
             return batch, col
         batch = self.prescan(col_idx, rg0, rg1,
-                             flags=bindings.PS_COLUMN | extra_flags,
+                             flags=bindings.PS_COLUMN | extra_flags | lean,
                              row_lo=row_lo, row_hi=row_hi)
         col = _wrap_native_column(batch, info.type, None)
         if col is None:
+            if lean:
+                batch = self.prescan(col_idx, rg0, rg1,
+                                     flags=bindings.PS_COLUMN | extra_flags,
+                                     row_lo=row_lo, row_hi=row_hi)
             col = (_materialize_flba(batch)
                    if info.type == ParquetType.FIXED_LEN_BYTE_ARRAY
                    else _materialize_fixed(batch))
