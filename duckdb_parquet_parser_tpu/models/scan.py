@@ -44,6 +44,7 @@ class ScanEngine:
     def scan(
         self, column: str, pattern: str, *, negate: bool = False,
         like: bool = False, engine: str | None = None,
+        fleet=None, fault_hook=None,
     ) -> PageMatchResult | DistributedScanResult:
         from ..host import bindings
         from ..ops.regex import like_to_regex
@@ -85,6 +86,17 @@ class ScanEngine:
             weights = np.where(padded.arrays["page_num_values"] > 0, weights, 0)
             asg = assign_balanced_equal(weights, n_dev)
             padded = reorder_pages(padded, asg.order)
+            if fault_hook is not None or fleet is not None:
+                # elastic path: detect failed devices, re-run orphaned
+                # shards on the survivors, merge (parallel/elastic.py)
+                from ..parallel.elastic import elastic_distributed_scan
+
+                res, report = elastic_distributed_scan(
+                    self.mesh, padded, dfa, negate=negate, fleet=fleet,
+                    fault_hook=fault_hook,
+                )
+                res.elastic_report = report
+                return res
             return distributed_scan(self.mesh, padded, dfa, negate=negate)
 
         if engine == "native":
@@ -348,11 +360,32 @@ class ScanEngine:
 
             res = distributed_index_build(self.mesh, self.reader, column, chunk_size)
             out = IndexBuildResult(index=res.index, chunk_owners=res.chunk_owners)
-        else:
-            batch = self.reader.prescan(column)
-            pos, lens, _offs, _chars = _string_stream(batch)
+        elif checkpoint_dir:
+            # PARTIAL resume: the emission stream checkpoints per row group
+            # (a build killed at 90% recomputes only the missing blocks —
+            # the boundary plan over the concatenated stream is cheap)
+            from ..ops.index import emissions_for_rg
+
+            pos_parts, len_parts = [], []
+            for rg in range(self.reader.num_row_groups()):
+                blk = checkpoints.load_block(
+                    checkpoint_dir, self.reader._path, column, rg)
+                if blk is None:
+                    blk = emissions_for_rg(self.reader, column, rg)
+                    checkpoints.save_block(
+                        checkpoint_dir, self.reader._path, column, rg, *blk)
+                pos_parts.append(blk[0])
+                len_parts.append(blk[1])
+            pos = np.concatenate(pos_parts) if pos_parts else np.zeros(0, np.int64)
+            lens = np.concatenate(len_parts) if len_parts else np.zeros(0, np.int64)
             out = IndexBuildResult(
                 index=build_index(pos, lens, self.reader.num_rows(), chunk_size)
+            )
+        else:
+            from ..ops.index import build_index_for_column
+
+            out = IndexBuildResult(
+                index=build_index_for_column(self.reader, column, chunk_size)
             )
         if checkpoint_dir:
             checkpoints.save_index(checkpoint_dir, self.reader._path, column, out.index)

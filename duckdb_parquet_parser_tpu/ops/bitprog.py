@@ -578,37 +578,23 @@ def _mask_plan(sc: _SegConsts, class_ids, specs) -> _MaskPlan:
     return _MaskPlan(cmp_weights, sc.any_bits, bslice)
 
 
-def make_bitprog_transition(xp, prog: BitProgram):
-    """Returns (transition(state_tuple, c) -> (next_tuple, accept [N] i32),
-    n_state_regs, accept_empty) — the ops/strings.py matcher interface.
+@dataclass
+class _Compiled:
+    """Register-compile stage shared by the per-byte and pair emitters."""
 
-    Per byte, class membership is tested once per register via the cheapest
-    plan (_mask_plan): registers watching >= BITSLICE_MIN distinct letters
-    use bit-sliced planes — `AND_k where(bit_k(c), S_k, C_k)` with
-    always-agreeing planes folded into one constant compare — so the cost is
-    ~a dozen ops regardless of the letter union; sparse registers and true
-    byte classes use interval compares shared program-wide.  Then per
-    register a shift/or/and ladder, an optional-run smear only where
-    optionals exist, and sticky done-bit updates.  All [N] int32 vector ops;
-    no gathers, no matmuls.
+    packed: list
+    fused: list
+    chained: list
+    packed_plans: list
+    fused_plans: list
+    chained_plans: list
+    specs: list
+    bit_planes: list
+    needs_marker: bool
+    n_regs: int
 
-    Register packing: gap-free machines (single segment — e.g. the branches
-    of `cat|dog|mouse`) SHARE registers, stacked at disjoint bit offsets.
-    Their start positions are seeded every byte via `start_mask`, which also
-    makes cross-boundary shift carries harmless (a carry can only land on an
-    always-seeded start bit), so an A-way alternation of short words costs
-    the same per byte as a single word.
 
-    Machines with '.*' gaps whose total position count fits one register are
-    FUSED: all segments share one register at disjoint offsets plus one done
-    word, paying a single shift ladder per byte.  Segment s's start bit is
-    seeded from done bit s-1 (sticky), which subsumes every cross-segment
-    shift carry / optional smear: a bit can only cross the s-1 | s boundary
-    out of positions inside segment s-1's acc_mask (the trailing-optional
-    run plus its anchor), and any such bit set done bit s-1 on the previous
-    byte — so the seed already covers the crossing.  Oversized machines keep
-    the one-register-per-segment layout, and segments beyond MAX_POSITIONS
-    split into carry-chained register chunks (_chunk_consts)."""
+def _compile_registers(prog: BitProgram) -> _Compiled:
     class_ids: dict[frozenset, int] = {}
     specs: list[list[tuple[int, int]]] = []
 
@@ -689,6 +675,47 @@ def make_bitprog_transition(xp, prog: BitProgram):
               + 2 * len(fused)
               + sum(sum(len(ch) for ch in s) + 1 for s, _ in chained)
               + (1 if needs_marker else 0))
+    return _Compiled(packed, fused, chained, packed_plans, fused_plans,
+                     chained_plans, specs, bit_planes, needs_marker, n_regs)
+
+
+def make_bitprog_transition(xp, prog: BitProgram):
+    """Returns (transition(state_tuple, c) -> (next_tuple, accept [N] i32),
+    n_state_regs, accept_empty) — the ops/strings.py matcher interface.
+
+    Per byte, class membership is tested once per register via the cheapest
+    plan (_mask_plan): registers watching >= BITSLICE_MIN distinct letters
+    use bit-sliced planes — `AND_k where(bit_k(c), S_k, C_k)` with
+    always-agreeing planes folded into one constant compare — so the cost is
+    ~a dozen ops regardless of the letter union; sparse registers and true
+    byte classes use interval compares shared program-wide.  Then per
+    register a shift/or/and ladder, an optional-run smear only where
+    optionals exist, and sticky done-bit updates.  All [N] int32 vector ops;
+    no gathers, no matmuls.
+
+    Register packing: gap-free machines (single segment — e.g. the branches
+    of `cat|dog|mouse`) SHARE registers, stacked at disjoint bit offsets.
+    Their start positions are seeded every byte via `start_mask`, which also
+    makes cross-boundary shift carries harmless (a carry can only land on an
+    always-seeded start bit), so an A-way alternation of short words costs
+    the same per byte as a single word.
+
+    Machines with '.*' gaps whose total position count fits one register are
+    FUSED: all segments share one register at disjoint offsets plus one done
+    word, paying a single shift ladder per byte.  Segment s's start bit is
+    seeded from done bit s-1 (sticky), which subsumes every cross-segment
+    shift carry / optional smear: a bit can only cross the s-1 | s boundary
+    out of positions inside segment s-1's acc_mask (the trailing-optional
+    run plus its anchor), and any such bit set done bit s-1 on the previous
+    byte — so the seed already covers the crossing.  Oversized machines keep
+    the one-register-per-segment layout, and segments beyond MAX_POSITIONS
+    split into carry-chained register chunks (_chunk_consts)."""
+    cp = _compile_registers(prog)
+    packed, fused, chained = cp.packed, cp.fused, cp.chained
+    packed_plans, fused_plans = cp.packed_plans, cp.fused_plans
+    chained_plans = cp.chained_plans
+    specs, bit_planes = cp.specs, cp.bit_planes
+    needs_marker, n_regs = cp.needs_marker, cp.n_regs
 
     def transition(state, c):
         # shared membership tests: one per distinct compare-path class, one
@@ -856,3 +883,247 @@ def make_bitprog_transition(xp, prog: BitProgram):
         return tuple(new_state), accept
 
     return transition, n_regs, 0
+
+
+# ── 2-bytes-per-step composed transitions ───────────────────────────────────
+# The streaming matcher is per-step-LATENCY bound (round 2d ablations,
+# ops/pallas/README.md): each lax.scan step pays the dependent-op chain of
+# one byte.  For the no-smear register family (chains, classes, self-loop
+# repeats, '.*' gaps, anchors) the two-byte composition collapses to the
+# same chain DEPTH as one byte — every per-byte operator is linear over the
+# bit-OR semiring with byte-dependent constant masks, so
+#
+#   T2(T1(x)) = (x<<2)&M2 | (x<<1)&M1 | x&M0 | C
+#
+# with M2/M1/M0/C precomputable off the x-critical-path (M1/M0 only when
+# self-loops exist).  Fused '.*' machines compose too: seeding segment s at
+# byte 2 from done AFTER byte 1 = seeding from done BEFORE byte 1 (the
+# sticky word is one byte stale — harmless) OR from segment s-1's accept at
+# byte 1 — and the latter is exactly the natural shift carry bit
+# (off_s - 1) -> off_s already inside M2, because single-bit accepts sit
+# directly below the next segment's first position.  Optional-run smears do
+# NOT compose this way (the smear spread squares per byte), so machines with
+# o_mask fall back to the per-byte transition.
+#
+# The value-boundary gating (state freezes on prefix bytes, resets when a
+# prefix completes) moves INSIDE the composed transition: per byte the
+# effective map is E_i(x) = sel(pd_i, 0, sel(ip_i, x, T_i(x))), and
+# E2(E1(x)) expands over the selects into candidates {0, E1, T2(0), T2(x),
+# T12(x)} — three selects after the composed ladder.
+
+
+def pair_supported(prog: BitProgram) -> bool:
+    """True when every machine compiles to packed or fused registers with
+    no optional positions — the family `make_bitprog_transition_pair`
+    covers."""
+    for m in prog.machines:
+        total = sum(len(s.cls) for s in m.segments)
+        if total > MAX_POSITIONS:
+            return False          # chained/wide registers: per-byte only
+        for seg in m.segments:
+            if any(q in (Q_OPT, Q_STAR) for q in seg.quant):
+                return False      # optional smears: per-byte only
+    return True
+
+
+def _byte_mask_for(xp, plan: _MaskPlan, c, tests, bit_tests):
+    """byte_mask against explicit per-byte test tables (pair emitter)."""
+    terms = [xp.where(tests[cid], bits, 0)
+             for cid, bits in plan.cmp_weights.items()]
+    if plan.bslice is not None:
+        all_bits, cmask, cval, var = plan.bslice
+        if var:
+            sels = [xp.where(bit_tests[k], s_bits, c_bits)
+                    for k, s_bits, c_bits in var]
+            while len(sels) > 1:
+                nxt = [sels[i] & sels[i + 1]
+                       for i in range(0, len(sels) - 1, 2)]
+                if len(sels) % 2:
+                    nxt.append(sels[-1])
+                sels = nxt
+            m = sels[0]
+        else:
+            m = xp.full_like(c, all_bits)
+        if cmask:
+            m = xp.where((c & cmask) == cval, m, 0)
+        terms.append(m)
+    if plan.any_bits:
+        terms.append(xp.full_like(c, plan.any_bits))
+    if not terms:
+        return xp.zeros_like(c)
+    while len(terms) > 1:
+        nxt = [terms[i] | terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
+def make_bitprog_transition_pair(xp, prog: BitProgram):
+    """Returns (transition2, n_state_regs, accept_empty) where
+    transition2(state, c1, c2, pd1, ip1, pd2, ip2) -> (next_state, acc1,
+    acc2) advances TWO bytes with the boundary gating folded in (pd_i =
+    prefix completes at byte i -> state resets AFTER it; ip_i = byte i is
+    a prefix byte -> state freezes).  acc_i is the accept candidate after
+    byte i, valid when byte i ends a value (the caller samples it under
+    fin_i).  Raises BitprogUnsupported outside the no-smear packed/fused
+    family — callers fall back to the per-byte transition."""
+    if not pair_supported(prog):
+        raise BitprogUnsupported("pair mode: smears or wide registers")
+    cp = _compile_registers(prog)
+    if cp.chained:
+        raise BitprogUnsupported("pair mode: chained registers")
+
+    def transition2(state, c1, c2, pd1, ip1, pd2, ip2):
+        def tests_for(c):
+            tests = []
+            for iv in cp.specs:
+                t = None
+                for lo, hi in iv:
+                    m = (c == lo) if lo == hi else ((c >= lo) & (c <= hi))
+                    t = m if t is None else (t | m)
+                tests.append(t)
+            bit_tests = {k: (c & (1 << k)) != 0 for k in cp.bit_planes}
+            return tests, bit_tests
+
+        t1, bt1 = tests_for(c1)
+        t2, bt2 = tests_for(c2)
+
+        def gate1(old, new):
+            return xp.where(pd1, 0, xp.where(ip1, old, new))
+
+        def gate2(old, new):
+            return xp.where(pd2, 0, xp.where(ip2, old, new))
+
+        new_state = []
+        acc1 = None
+        acc2 = None
+
+        def acc_or(i1, i2):
+            nonlocal acc1, acc2
+            acc1 = i1 if acc1 is None else (acc1 | i1)
+            acc2 = i2 if acc2 is None else (acc2 | i2)
+
+        if cp.needs_marker:
+            m0 = state[-1]
+            first1 = m0 == 0   # control_update zeroes state at boundaries
+            first2 = pd1 | (ip1 & first1)
+            first1_i = first1.astype(xp.int32)
+            first2_i = first2.astype(xp.int32)
+
+        reg_at = 0
+        for sc, plan in zip(cp.packed, cp.packed_plans):
+            x = state[reg_at]
+            reg_at += 1
+            b1 = _byte_mask_for(xp, plan, c1, t1, bt1)
+            b2 = _byte_mask_for(xp, plan, c2, t2, bt2)
+            cl = sc.anch_start_mask & ~1 if sc.anch_start_mask else 0
+            bs1 = b1 & ~cl if cl else b1
+            bs2 = b2 & ~cl if cl else b2
+            # seeds (reg-independent): always-on start bits + first-byte
+            # anchored bits
+            s1 = sc.start_mask
+            s2 = sc.start_mask
+            if sc.anch_start_mask:
+                a1 = xp.where(first1, sc.anch_start_mask, 0)
+                a2 = xp.where(first2, sc.anch_start_mask, 0)
+                s1 = (s1 | a1) if s1 else a1
+                s2 = (s2 | a2) if s2 else a2
+            sb1 = s1 & b1
+            sb2 = s2 & b2
+            r = sc.r_mask
+            # single-byte candidates
+            T1x = ((x << 1) & bs1) | sb1
+            T2x = ((x << 1) & bs2) | sb2
+            if r:
+                T1x = T1x | (x & (b1 & r))
+                T2x = T2x | (x & (b2 & r))
+            # composed two-byte candidate
+            M2 = (bs1 << 1) & bs2
+            C = ((sb1 << 1) & bs2) | sb2
+            T12x = ((x << 2) & M2) | C
+            if r:
+                rb1 = b1 & r
+                rb2 = b2 & r
+                M1 = ((rb1 << 1) & bs2) | (bs1 & rb2)
+                M0 = rb1 & rb2
+                T12x = T12x | ((x << 1) & M1) | (x & M0) | (sb1 & rb2)
+            E1 = gate1(x, T1x)
+            T2E1 = xp.where(pd1, sb2, xp.where(ip1, T2x, T12x))
+            out = gate2(E1, T2E1)
+            new_state.append(out)
+
+            cur1 = cur2 = None
+            if sc.acc_mask:
+                st0 = state[reg_at]
+                reg_at += 1
+                st_T1 = st0 | (T1x & sc.acc_mask)
+                stE1 = gate1(st0, st_T1)
+                st_T2 = stE1 | (T2E1 & sc.acc_mask)
+                new_state.append(gate2(stE1, st_T2))
+                cur1, cur2 = st_T1, st_T2
+            if sc.acc_now_mask:
+                now1 = T1x & sc.acc_now_mask
+                now2 = T2E1 & sc.acc_now_mask
+                cur1 = now1 if cur1 is None else (cur1 | now1)
+                cur2 = now2 if cur2 is None else (cur2 | now2)
+            acc_or((cur1 != 0).astype(xp.int32),
+                   (cur2 != 0).astype(xp.int32))
+
+        for (sc, seg_offs, seg_accs, anch_e), plan in zip(cp.fused,
+                                                          cp.fused_plans):
+            x, done0 = state[reg_at], state[reg_at + 1]
+            reg_at += 2
+            b1 = _byte_mask_for(xp, plan, c1, t1, bt1)
+            b2 = _byte_mask_for(xp, plan, c2, t2, bt2)
+            # seeds: segment 0 start (always or first-byte-anchored) +
+            # done-driven segment seeds from done BEFORE the pair.  At byte
+            # 2 the stale done is completed by the natural shift carry
+            # (off_s - 1) -> off_s inside the composed mask (accepts are
+            # single bits in the no-smear family).
+            base1 = first1_i if sc.anch_start_mask else 1
+            base2 = first2_i if sc.anch_start_mask else 1
+            dseed = 0
+            for s in range(1, len(seg_offs)):
+                dseed = dseed | (((done0 >> (s - 1)) & 1) << seg_offs[s])
+            s1 = base1 | dseed
+            s2 = base2 | dseed
+            sb1 = s1 & b1
+            sb2 = s2 & b2
+            T1x = ((x << 1) & b1) | sb1
+            T2x = ((x << 1) & b2) | sb2
+            M2 = (b1 << 1) & b2
+            T12x = ((x << 2) & M2) | ((sb1 << 1) & b2) | sb2
+            # reset case (pd1): register AND done are zeroed before byte 2,
+            # so only the base seed applies
+            T20 = (base2 & b2) if isinstance(base2, int) else (base2 & b2)
+            E1 = gate1(x, T1x)
+            T2E1 = xp.where(pd1, T20, xp.where(ip1, T2x, T12x))
+            out = gate2(E1, T2E1)
+            new_state.append(out)
+
+            d_T1 = done0
+            last1 = None
+            for s, am in enumerate(seg_accs):
+                h = ((T1x & am) != 0).astype(xp.int32)
+                d_T1 = d_T1 | (h << s)
+                last1 = h
+            dE1 = gate1(done0, d_T1)
+            d_T2 = dE1
+            last2 = None
+            for s, am in enumerate(seg_accs):
+                h = ((T2E1 & am) != 0).astype(xp.int32)
+                d_T2 = d_T2 | (h << s)
+                last2 = h
+            new_state.append(gate2(dE1, d_T2))
+            ns = len(seg_accs)
+            acc_or(last1 if anch_e else ((d_T1 >> (ns - 1)) & 1),
+                   last2 if anch_e else ((d_T2 >> (ns - 1)) & 1))
+
+        if cp.needs_marker:
+            ones = xp.ones_like(c1)
+            mE1 = gate1(m0, ones)
+            new_state.append(gate2(mE1, ones))
+        return tuple(new_state), acc1, acc2
+
+    return transition2, cp.n_regs, 0

@@ -158,3 +158,20 @@ def build_index_for_column(reader, column: str, chunk_size: int = 4096,
         return build_index(pos, lens, reader.num_rows(), chunk_size)
     pos, lens, _offs, _chars = _string_stream(batch)
     return build_index(pos, lens, reader.num_rows(), chunk_size)
+
+
+def emissions_for_rg(reader, column: str, rg: int) -> tuple[np.ndarray, np.ndarray]:
+    """One row group's index emission stream as (GLOBAL row positions,
+    lens) — the per-block unit of partial checkpointing (the native
+    PS_INDEX pack emits it in one C++ sweep)."""
+    from ..host import bindings
+
+    batch = reader.prescan(column, rg, rg + 1,
+                           flags=bindings.PS_INDEX | bindings.PS_RUNS_ONLY)
+    raw_pos = batch.arrays["idx_emit_pos"]
+    raw_len = batch.arrays["idx_emit_len"]
+    keep = raw_len >= 0
+    base = sum(int(g["num_rows"])
+               for g in reader.metadata()["row_groups"][:rg])
+    return (raw_pos[keep] + base).astype(np.int64), \
+        raw_len[keep].astype(np.int64)

@@ -126,9 +126,21 @@ def _resolve_transition(xp, table, accept, use_mxu=False,
     bit-parallel program (ops/bitprog.py), bitap chain, MXU one-hot matmul
     (jnp), flat table gather (the numpy oracle)."""
     if prog is not None:
-        from .bitprog import make_bitprog_transition
+        from .bitprog import (
+            BitprogUnsupported,
+            make_bitprog_transition,
+            make_bitprog_transition_pair,
+        )
 
-        return make_bitprog_transition(xp, prog)
+        trans, n, ae = make_bitprog_transition(xp, prog)
+        try:
+            # 2-bytes-per-step composed variant (no-smear packed/fused
+            # family) — _match_stream_multi uses it when every matcher in
+            # the walk carries one
+            trans.pair2 = make_bitprog_transition_pair(xp, prog)[0]
+        except BitprogUnsupported:
+            pass
+        return trans, n, ae
     if chain:
         return make_bitap_transition(xp, chain)
 
@@ -250,6 +262,15 @@ def _match_stream_multi(xp, payload, payload_len, nn, specs,
     # widening per step is one fused op on the sliced column instead.
     cols = payload if transposed else xp.transpose(payload)  # [P, N] u8
 
+    pair_ok = (
+        steps % 2 == 0
+        and steps <= cols.shape[0]
+        and all(getattr(s[0], "pair2", None) is not None for s in specs)
+        and _pair_step_enabled()
+    )
+    if pair_ok:
+        return _pair_scan(xp, cols, steps, payload_len, nn, specs, init, n)
+
     def step(carry, xs):
         b, c8 = xs
         c = c8.astype(xp.int32)
@@ -260,6 +281,81 @@ def _match_stream_multi(xp, payload, payload_len, nn, specs,
         step, init, (xp.arange(steps, dtype=xp.int32), cols[:steps]),
         unroll=SCAN_UNROLL,
     )
+    return carry[4], carry[3]
+
+
+def _pair_step_enabled() -> bool:
+    from ..utils.config import get_config
+
+    return get_config().pair_step
+
+
+def _pair_scan(xp, cols, steps, payload_len, nn, specs, init, n):
+    """2-bytes-per-step walk: composed matcher transitions (bitprog pair
+    family — same dependent-chain depth as ONE byte, ops/pallas/README.md
+    round 3) with the two-byte boundary control run inline.  Semantically
+    identical to the per-byte walk; parity-pinned in test_bitprog."""
+    import jax
+
+    one = xp.ones((), xp.int32)
+
+    def pair_step(carry, xs):
+        b, c8 = xs                      # c8: [2, N] u8
+        c1 = c8[0].astype(xp.int32)
+        c2 = c8[1].astype(xp.int32)
+        prefix_left, ctr, state, done, hits = carry
+
+        # byte 1 control flags
+        active1 = (b < payload_len) & (done < nn)
+        ip1 = prefix_left > 0
+        la1 = ctr | (c1 << (8 * (4 - prefix_left)))
+        pl1 = prefix_left - 1
+        pd1 = ip1 & (pl1 == 0) & active1
+        zl1 = pd1 & (la1 == 0)
+        bl1 = ctr - 1
+        vd1 = (~ip1) & (bl1 == 0) & active1
+        fin1 = zl1 | vd1
+        done1 = done + fin1.astype(xp.int32)
+        npl1 = xp.where(fin1, 4, xp.where(ip1, pl1, prefix_left))
+        nctr1 = xp.where(fin1, 0, xp.where(ip1, la1, bl1))
+
+        # byte 2 control flags (from byte 1's control outputs)
+        active2 = (b + one < payload_len) & (done1 < nn)
+        ip2 = npl1 > 0
+        la2 = nctr1 | (c2 << (8 * (4 - npl1)))
+        pl2 = npl1 - 1
+        pd2 = ip2 & (pl2 == 0) & active2
+        zl2 = pd2 & (la2 == 0)
+        bl2 = nctr1 - 1
+        vd2 = (~ip2) & (bl2 == 0) & active2
+        fin2 = zl2 | vd2
+        done2 = done1 + fin2.astype(xp.int32)
+        npl2 = xp.where(fin2, 4, xp.where(ip2, pl2, npl1))
+        nctr2 = xp.where(fin2, 0, xp.where(ip2, la2, bl2))
+
+        # composed matcher advance (gating folded in)
+        news = []
+        acc1s, acc2s = [], []
+        i = 0
+        for trans, nregs, _ae in specs:
+            s2, a1, a2 = trans.pair2(tuple(state[i:i + nregs]), c1, c2,
+                                     pd1, ip1, pd2, ip2)
+            i += nregs
+            news.extend(s2)
+            acc1s.append(a1)
+            acc2s.append(a2)
+
+        hits = tuple(
+            h + xp.where(fin1, xp.where(zl1, spec[2], a1), 0)
+              + xp.where(fin2, xp.where(zl2, spec[2], a2), 0)
+            for h, spec, a1, a2 in zip(hits, specs, acc1s, acc2s)
+        )
+        return (npl2, nctr2, tuple(news), done2, hits), None
+
+    xs_idx = xp.arange(0, steps, 2, dtype=xp.int32)
+    xs_cols = cols[:steps].reshape(steps // 2, 2, n)
+    carry, _ = jax.lax.scan(pair_step, init, (xs_idx, xs_cols),
+                            unroll=max(SCAN_UNROLL // 2, 1))
     return carry[4], carry[3]
 
 

@@ -44,3 +44,10 @@ def distributed_init_from_env() -> None:
             num_processes=int(os.environ.get("DPQ_NUM_PROCESSES", "1")),
             process_id=int(os.environ.get("DPQ_PROCESS_ID", "0")),
         )
+
+
+def survivor_mesh(mesh: Mesh, live: list[int]) -> Mesh:
+    """A 1-D 'pages' mesh over the surviving device slots of `mesh`
+    (elastic recovery re-runs orphaned shards on this)."""
+    devs = list(np.asarray(mesh.devices).reshape(-1))
+    return Mesh(np.array([devs[d] for d in live]), (PAGES_AXIS,))

@@ -149,3 +149,13 @@ def _entry_permutation(nn_start: np.ndarray, order: np.ndarray) -> np.ndarray:
     counts = np.diff(nn_start)
     parts = [np.arange(nn_start[p], nn_start[p + 1]) for p in order]
     return np.concatenate(parts) if parts else np.zeros(0, np.int64)
+
+
+def take_pages(batch: DecodeBatch, page_ids: np.ndarray) -> DecodeBatch:
+    """Sub-batch holding only `page_ids` (in the given order) — the orphan
+    re-run unit of elastic recovery.  Per-page arrays subset; global
+    string/dict tables stay whole (per-page offsets keep indexing them)."""
+    page_ids = np.asarray(page_ids, np.int64)
+    sub = reorder_pages(batch, page_ids)
+    sub.dims["n_pages"] = int(len(page_ids))
+    return sub

@@ -146,6 +146,61 @@ def distributed_scan(mesh, batch, dfa, *, negate: bool = False) -> DistributedSc
     )
 
 
+# ── sharded column decode ────────────────────────────────────────────────────
+
+
+@functools.lru_cache(maxsize=32)
+def _make_decode_step(mesh, core_keys, n_plain, n_dict, has_bool, vmax,
+                      nn_cap, max_def, mode, def_lit, idx_lit, max_shift):
+    def local(core, plain, dct, bits):
+        planes, nonnull = _decode.decode_fixed(
+            jnp, core, list(plain), list(dct), bits if has_bool else None,
+            max_def=max_def, out_len=vmax, nn_len=nn_cap, mode=mode,
+            def_literal=def_lit, idx_literal=idx_lit,
+            max_null_shift=max_shift,
+        )
+        total = jax.lax.psum(
+            jnp.sum(jnp.where(nonnull, planes[0], 0)), PAGES_AXIS)
+        return tuple(planes), nonnull, total
+
+    spec_pages = {k: P(PAGES_AXIS) for k in core_keys}
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec_pages, (P(PAGES_AXIS),) * n_plain, (P(),) * n_dict,
+                  P(PAGES_AXIS)),
+        out_specs=((P(PAGES_AXIS),) * n_plain if n_plain else
+                   (P(PAGES_AXIS),), P(PAGES_AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def distributed_decode(mesh, batch):
+    """Fixed-width column decode sharded over the 'pages' mesh: each device
+    decodes its page shard (levels + dict/plain extraction, the same
+    gather-free kernels as single-chip — ops/decode.py); a psum checksum
+    validates the collective path.  Returns (planes [N, V] i32 page-major,
+    nonnull [N, V] bool, checksum int)."""
+    arrays = batch.arrays
+    core = {k: jnp.asarray(v) for k, v in core_arrays(batch).items()}
+    plain = tuple(jnp.asarray(p) for p in batch.plain_planes)
+    dct = tuple(jnp.asarray(p) for p in batch.dict_planes)
+    bool_bits = batch.bool_bits
+    has_bool = bool_bits is not None
+    bits = jnp.asarray(bool_bits if has_bool else np.zeros((batch.n_pages, 1),
+                                                           np.uint8))
+    step = _make_decode_step(
+        mesh, tuple(sorted(core)), len(plain), len(dct), has_bool,
+        batch.vmax, batch.nn_cap, batch.max_def, batch.mode,
+        _decode.batch_has_literal(arrays, "def") if batch.max_def > 0 else False,
+        _decode.batch_has_literal(arrays, "idx") if batch.mode != "plain" else False,
+        _decode.max_nulls_per_page(arrays) if batch.max_def > 0 else -1,
+    )
+    planes, nonnull, total = step(core, plain, dct, bits)
+    return ([np.asarray(p) for p in planes], np.asarray(nonnull),
+            int(np.asarray(total)))
+
+
 # ── index entry exchange ─────────────────────────────────────────────────────
 
 

@@ -62,3 +62,35 @@ def load_index(ckpt_dir: str, file_path: str, column: str, chunk_size: int):
             tuple_to_chunk=z["tuple_to_chunk"],
             chunk_starts=z["chunk_starts"],
         )
+
+
+# ── per-block (row-group) emission checkpoints ───────────────────────────────
+# A build killed mid-way resumes from the finished row groups instead of
+# recomputing everything (the round-2 all-or-nothing limitation).  Block
+# state is the (row, len) emission stream of one row group — tiny, and the
+# boundary plan over the concatenated stream is cheap to recompute.
+
+
+def block_path(ckpt_dir: str, file_path: str, column: str, rg: int) -> Path:
+    return Path(ckpt_dir) / (
+        f"emit-{_fingerprint(file_path)}-{column}-rg{rg}.npz"
+    )
+
+
+def save_block(ckpt_dir: str, file_path: str, column: str, rg: int,
+               pos: np.ndarray, lens: np.ndarray) -> Path:
+    out = block_path(ckpt_dir, file_path, column, rg)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    tmp = out.with_name(out.name + ".tmp.npz")
+    np.savez_compressed(tmp, pos=pos, lens=lens)
+    os.replace(tmp, out)
+    return out
+
+
+def load_block(ckpt_dir: str, file_path: str, column: str, rg: int):
+    """Returns the checkpointed (pos, lens) emission block or None."""
+    p = block_path(ckpt_dir, file_path, column, rg)
+    if not p.exists():
+        return None
+    with np.load(p, allow_pickle=False) as z:
+        return z["pos"], z["lens"]

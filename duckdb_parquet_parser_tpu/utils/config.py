@@ -20,6 +20,12 @@ class EngineConfig:
     # scan
     scan_engine: str = "jax"           # "jax" | "numpy"
     max_dfa_states: int = 4096
+    pair_step: bool = False            # 2-bytes-per-step composed matcher —
+                                       # measured SLOWER on v5e (the walk is
+                                       # VPU-throughput bound, not per-step
+                                       # latency bound; ops/pallas/README.md
+                                       # round 3); kept for A/B re-runs on
+                                       # future hardware (DPQ_PAIR_STEP=1)
 
     # parallel
     pages_per_shard_multiple: int = 8

@@ -317,3 +317,111 @@ def test_fused_boundary_semantics():
         expect = sum(1 for v in vals if rx.search(v))
         assert hits[0] == expect, (pattern, hits[0], expect)
         assert seen[0] == len(vals)
+
+
+def test_pair_step_parity():
+    """The 2-bytes-per-step composed transition is bit-identical to the
+    per-byte walk across the no-smear family (chains, classes, self-loop
+    repeats, gaps, anchors, packed alternations), on the jit path where it
+    engages."""
+    import jax.numpy as jnp
+
+    from duckdb_parquet_parser_tpu.ops import strings as S
+    from duckdb_parquet_parser_tpu.ops.bitprog import pair_supported
+    from duckdb_parquet_parser_tpu.utils.config import (
+        EngineConfig,
+        set_config,
+    )
+
+    rng = np.random.default_rng(1234)
+    pm, pl, nn = _pages(rng, n_pages=40, vals_per_page=6, maxlen=20)
+    if pm.shape[1] % 2:  # pair mode needs an even step count
+        pm = np.pad(pm, ((0, 0), (0, 1)))
+    pmj, plj, nnj = jnp.asarray(pm), jnp.asarray(pl), jnp.asarray(nn)
+
+    engaged = []
+    orig = S._pair_scan
+
+    def spy(*a, **k):
+        engaged.append(True)
+        return orig(*a, **k)
+
+    S._pair_scan = spy
+    try:
+        checked = 0
+        for pattern in SUPPORTED:
+            prog = compile_bitprog(pattern)
+            if not pair_supported(prog):
+                continue
+            dfa = compile_pattern(pattern)
+            engaged.clear()
+            set_config(EngineConfig(pair_step=True))
+            h_pair, s_pair = match_payload_stream(
+                jnp, pmj, plj, nnj, dfa.table, dfa.accept, prog=prog)
+            assert engaged, pattern  # the pair path must actually run
+            set_config(EngineConfig(pair_step=False))
+            h_byte, s_byte = match_payload_stream(
+                jnp, pmj, plj, nnj, dfa.table, dfa.accept, prog=prog)
+            np.testing.assert_array_equal(
+                np.asarray(h_pair), np.asarray(h_byte), err_msg=pattern)
+            np.testing.assert_array_equal(
+                np.asarray(s_pair), np.asarray(s_byte), err_msg=pattern)
+            checked += 1
+        assert checked >= 15  # the pair family covers most of SUPPORTED
+    finally:
+        S._pair_scan = orig
+        set_config(None)
+
+
+def test_pair_step_fuzz():
+    """Random compositions: pair vs per-byte vs the numpy DFA oracle."""
+    import jax.numpy as jnp
+
+    from duckdb_parquet_parser_tpu.ops.bitprog import pair_supported
+    from duckdb_parquet_parser_tpu.utils.config import (
+        EngineConfig,
+        set_config,
+    )
+
+    rng = np.random.default_rng(4321)
+    atoms = ["a", "b", "q", "[ab]", "[^q]", ".", "x", "yz"]
+    quants = ["", "+", "{1,2}", "{3}"]
+    try:
+        checked = 0
+        for _ in range(90):
+            parts = []
+            for _ in range(int(rng.integers(1, 5))):
+                a = atoms[int(rng.integers(len(atoms)))]
+                q = quants[int(rng.integers(len(quants)))]
+                if len(a) > 1 and not a.startswith("[") and q == "+":
+                    q = ""
+                parts.append(a + q)
+                if rng.random() < 0.2:
+                    parts.append(".*")
+            pattern = "".join(parts)
+            if rng.random() < 0.25:
+                pattern = "^" + pattern
+            if rng.random() < 0.25:
+                pattern = pattern + "$"
+            try:
+                prog = compile_bitprog(pattern)
+            except BitprogUnsupported:
+                continue
+            if not pair_supported(prog):
+                continue
+            dfa = compile_pattern(pattern)
+            pm, pl, nn = _pages(rng, n_pages=16, vals_per_page=5, maxlen=12)
+            if pm.shape[1] % 2:
+                pm = np.pad(pm, ((0, 0), (0, 1)))
+            h_dfa, _ = match_payload_stream(np, pm, pl, nn, dfa.table,
+                                            dfa.accept)
+            set_config(EngineConfig(pair_step=True))
+            h_pair, _ = match_payload_stream(
+                jnp, jnp.asarray(pm), jnp.asarray(pl), jnp.asarray(nn),
+                dfa.table, dfa.accept, prog=prog)
+            np.testing.assert_array_equal(np.asarray(h_pair), h_dfa,
+                                          err_msg=pattern)
+            checked += 1
+        assert checked > 30
+    finally:
+        set_config(None)
