@@ -1196,7 +1196,9 @@ def _string_positions(batch: DecodeBatch):
     is_dict = arrays["page_kind"] == 1
 
     if bool(np.any(is_dict)):
-        dict_idx, ok = _decode.decode_dict_indices(np, arrays, nn_idx, batch.nn_cap)
+        dict_idx, ok = _decode.decode_dict_indices(np, arrays, nn_idx,
+                                                   batch.nn_cap,
+                                                   nonnull=nonnull)
     else:
         dict_idx = np.zeros_like(nonnull, np.int32)
         ok = np.zeros_like(nonnull, bool)

@@ -714,7 +714,8 @@ def single_chip_forward(batch, dfa: DFA):
             jnp.where(is_dict, 0, nn), table, accept, use_mxu=True,
         )
         nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)
-        dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap)
+        dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap,
+                                                   nonnull=nonnull)
         g = jnp.clip(core["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),
                      0, dict_match.shape[0] - 1)
         from ..ops.pallas.dict_lookup import dict_lookup

@@ -52,7 +52,8 @@ MAX_MACHINES = 16      # top-level alternation fan-out bound
 MAX_SEGMENTS = 8       # '.*' gaps per machine (done bits share an int32)
 MAX_POSITIONS = 31     # positions per register (int32 bits 0..30)
 MAX_WIDE_REGS = 4      # registers a single WIDE segment may span (carry-chained)
-MAX_COUNTED = 64       # {m,n} expansion bound per atom
+MAX_COUNTED = 124      # {m,n} expansion bound per atom (the real bound is the
+                       # segment length, MAX_POSITIONS * MAX_WIDE_REGS)
 
 
 class BitprogUnsupported(UnsupportedPattern):
@@ -84,6 +85,11 @@ class Rep:
     hi: int | None  # None = unbounded
 
 
+@dataclass
+class Anch:
+    kind: str  # '^' or '$'
+
+
 def _parse(pattern: str):
     """Pattern -> AST (raises BitprogUnsupported on anchors/lookaround)."""
     p, n = pattern, len(pattern)
@@ -110,6 +116,8 @@ def _parse(pattern: str):
     def rep():
         nonlocal i
         node = atom()
+        if isinstance(node, Anch) and peek() in ("*", "+", "?", "{"):
+            raise BitprogUnsupported("quantified anchor")
         while (c := peek()) in ("*", "+", "?", "{"):
             if c == "{":
                 import re as _re
@@ -161,7 +169,7 @@ def _parse(pattern: str):
         if c in "*+?{":
             raise BitprogUnsupported(f"dangling quantifier '{c}'")
         if c in "^$":
-            raise BitprogUnsupported("inner anchors")
+            return Anch(c)  # inner anchors resolve in _segment
         return Lit(frozenset([ord(c)]))
 
     tree = alt()
@@ -173,7 +181,9 @@ def _parse(pattern: str):
 # ── lowering: AST -> machines of segments of positions ──────────────────────
 
 Q_ONE, Q_OPT, Q_PLUS, Q_STAR = 0, 1, 2, 3
-GAP = "gap"  # segment separator marker ('.*')
+GAP = "gap"      # segment separator marker ('.*')
+ANCH_S = "anch_s"  # inner '^' token (resolved per branch in _segment)
+ANCH_E = "anch_e"  # inner '$' token
 
 
 @dataclass
@@ -190,6 +200,7 @@ class Machine:
     anch_s: bool = False     # first segment seeds only at the value's 1st byte
     anch_e: bool = False     # accept sampled non-sticky (match must END at the
                              # value's last byte)
+    always: bool = False     # matches every value incl. empty ('.*', 'a?', …)
 
 
 def _as_class(node) -> frozenset | None:
@@ -220,6 +231,9 @@ def _flatten(node) -> list[list]:
 
     if isinstance(node, Lit):
         return [[(node.cls, Q_ONE)]]
+
+    if isinstance(node, Anch):
+        return [[ANCH_S if node.kind == "^" else ANCH_E]]
 
     if isinstance(node, Cat):
         seqs: list[list] = [[]]
@@ -264,12 +278,39 @@ def _flatten(node) -> list[list]:
     raise BitprogUnsupported(f"node {type(node).__name__}")
 
 
-def _segment(tokens: list) -> Machine:
+def _segment(tokens: list) -> Machine | None:
+    """Token list -> Machine.  Returns None for a branch that can never
+    match (an inner anchor with required content on its outer side — e.g.
+    'a^b' / 'a$b' never match, exactly like Python re without MULTILINE).
+    Inner anchors that are edge-EQUIVALENT (only assertion-transparent
+    positions outside them, e.g. '(^a)b') set the machine's anchor flags;
+    anchors adjacent to optionals or gaps raise (genuinely positional)."""
     m = Machine()
     seg = Segment()
     raw: list[Segment] = []
     saw_content = False
+    saw_required = False
+    anch_e_seen = False
     for tok in tokens:
+        if tok is ANCH_S:
+            if anch_e_seen:
+                return None  # '$^…' with content around: unmatchable
+            if not saw_content and not m.lead_gap:
+                m.anch_s = True
+                continue
+            if saw_required:
+                return None  # required bytes before '^': never matches
+            raise BitprogUnsupported("anchor adjacent to optionals/gaps")
+        if tok is ANCH_E:
+            anch_e_seen = True
+            continue
+        if anch_e_seen:
+            if tok is GAP:
+                raise BitprogUnsupported("anchor adjacent to optionals/gaps")
+            _cls, _q = tok
+            if _q in (Q_ONE, Q_PLUS):
+                return None  # required bytes after '$': never matches
+            raise BitprogUnsupported("anchor adjacent to optionals/gaps")
         if tok is GAP:
             if seg.cls:
                 raw.append(seg)
@@ -284,7 +325,13 @@ def _segment(tokens: list) -> Machine:
         seg.cls.append(cls)
         seg.quant.append(q)
         saw_content = True
+        saw_required = saw_required or q in (Q_ONE, Q_PLUS)
         m.trail_gap = False
+    if anch_e_seen:
+        if m.trail_gap or (seg.cls and not any(
+                q in (Q_ONE, Q_PLUS) for q in seg.quant)):
+            raise BitprogUnsupported("anchor adjacent to optionals/gaps")
+        m.anch_e = True
     if seg.cls:
         raw.append(seg)
     # drop fully-optional segments: they are absorbed by the gap around them
@@ -295,7 +342,15 @@ def _segment(tokens: list) -> Machine:
         if any(q in (Q_ONE, Q_PLUS) for q in s.quant)
     ]
     if not m.segments:
-        raise BitprogUnsupported("pattern matches the empty string everywhere")
+        # no required position anywhere: the branch matches EVERY value
+        # (search semantics — an empty match exists at some offset), unless
+        # anchors pin BOTH edges without a gap to absorb them (then the
+        # match set is value-dependent: fall back)
+        if m.anch_s and m.anch_e and not (m.lead_gap or m.trail_gap):
+            raise BitprogUnsupported(
+                "empty-matching branch pinned by both anchors")
+        m.always = True
+        return m
     if raw[0] is not m.segments[0]:
         m.lead_gap = True
     if raw[-1] is not m.segments[-1]:
@@ -313,6 +368,9 @@ class BitProgram:
     machines: list            # list[Machine]
     pattern: str
     fingerprint: tuple = ()   # hashable identity for jit caches
+    always: bool = False      # matches every value incl. empty; machines
+                              # empty + not always = matches NOTHING (all
+                              # branches carried unsatisfiable inner anchors)
 
     @property
     def n_registers(self) -> int:
@@ -344,11 +402,22 @@ def compile_bitprog(pattern: str) -> BitProgram:
     anchor_end = pat.endswith("$") and not pat.endswith("\\$")
     if anchor_end:
         pat = pat[:-1]
-    machines = [_segment(toks) for toks in _flatten(_parse(pat))]
+    machines = [m for m in (_segment(toks) for toks in _flatten(_parse(pat)))
+                if m is not None]  # None = a never-matching branch (dropped)
+    always = False
+    kept = []
     for m in machines:
-        m.anch_s = anchor_start and not m.lead_gap
-        m.anch_e = anchor_end and not m.trail_gap
-    fp = tuple(
+        m.anch_s = m.anch_s or (anchor_start and not m.lead_gap)
+        m.anch_e = m.anch_e or (anchor_end and not m.trail_gap)
+        if m.always:
+            if m.anch_s and m.anch_e:
+                raise BitprogUnsupported(
+                    "empty-matching branch pinned by both anchors")
+            always = True  # one always-branch accepts every value
+            continue
+        kept.append(m)
+    machines = [] if always else kept
+    fp = (always, tuple(
         (
             m.anch_s,
             m.anch_e,
@@ -361,8 +430,9 @@ def compile_bitprog(pattern: str) -> BitProgram:
             ),
         )
         for m in machines
-    )
-    return BitProgram(machines=machines, pattern=pattern, fingerprint=fp)
+    ))
+    return BitProgram(machines=machines, pattern=pattern, fingerprint=fp,
+                      always=always)
 
 
 # ── transition builder ──────────────────────────────────────────────────────
@@ -710,6 +780,12 @@ def make_bitprog_transition(xp, prog: BitProgram):
     byte — so the seed already covers the crossing.  Oversized machines keep
     the one-register-per-segment layout, and segments beyond MAX_POSITIONS
     split into carry-chained register chunks (_chunk_consts)."""
+    if prog.always:
+        # matches every value incl. empty: constant accept, no registers
+        return (lambda state, c: ((), xp.ones_like(c))), 0, 1
+    if not prog.machines:
+        # every branch was an unsatisfiable inner-anchor pattern
+        return (lambda state, c: ((), xp.zeros_like(c))), 0, 0
     cp = _compile_registers(prog)
     packed, fused, chained = cp.packed, cp.fused, cp.chained
     packed_plans, fused_plans = cp.packed_plans, cp.fused_plans
@@ -968,6 +1044,14 @@ def make_bitprog_transition_pair(xp, prog: BitProgram):
     byte i, valid when byte i ends a value (the caller samples it under
     fin_i).  Raises BitprogUnsupported outside the no-smear packed/fused
     family — callers fall back to the per-byte transition."""
+    if prog.always:
+        def always2(state, c1, c2, pd1, ip1, pd2, ip2):
+            return (), xp.ones_like(c1), xp.ones_like(c2)
+        return always2, 0, 1
+    if not prog.machines:
+        def never2(state, c1, c2, pd1, ip1, pd2, ip2):
+            return (), xp.zeros_like(c1), xp.zeros_like(c2)
+        return never2, 0, 0
     if not pair_supported(prog):
         raise BitprogUnsupported("pair mode: smears or wide registers")
     cp = _compile_registers(prog)

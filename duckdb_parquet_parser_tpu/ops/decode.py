@@ -98,7 +98,8 @@ def decode_levels(xp, arrays, max_def: int, out_len: int,
 
 
 def decode_dict_indices(xp, arrays, nn_idx, nn_len: int,
-                        idx_literal: bool = True, max_null_shift: int = -1):
+                        idx_literal: bool = True, max_null_shift: int = -1,
+                        nonnull=None):
     """Per-row dictionary index and its validity ([N, V] i32, [N, V] bool).
 
     The pre-scan's materialized `idx_vals` plane is VALUE-SPACE (the index
@@ -106,9 +107,12 @@ def decode_dict_indices(xp, arrays, nn_idx, nn_len: int,
     neither run expansion nor the null-rank mapping — the whole dict index
     decode is a slice.  Run expansion + rank mapping is the fallback.
 
-    `ok` is only meaningful AND'ed with the nonnull mask (the two paths may
-    disagree at null positions — the fallback leaves garbage-but-masked
-    values there, exactly like the device zero-fill semantics)."""
+    The idx_vals fast path is -1-filled at nulls and padding, so its `ok`
+    is trustworthy standalone.  The FALLBACK path leaves garbage-but-
+    spuriously-ok cells at null/pad positions (the rank mapping points
+    them at a neighbouring valid index); pass `nonnull` so `ok` is bounded
+    structurally there — callers that omit it MUST AND `ok` with their own
+    nonnull mask before use."""
     if "idx_vals" in arrays:
         out_len = nn_idx.shape[1]
         iv = arrays["idx_vals"]
@@ -130,6 +134,10 @@ def decode_dict_indices(xp, arrays, nn_idx, nn_len: int,
                                     nn_idx.shape[1])
         else:
             dict_idx = take2d(xp, idx_stream, xp.clip(nn_idx, 0, nn_len - 1))
+        if nonnull is not None:
+            # bound the fallback's garbage cells here (one AND, fallback
+            # path only — the idx_vals fast path never needs it)
+            dict_idx = xp.where(nonnull, dict_idx, -1)
     ok = (dict_idx >= 0) & (dict_idx < arrays["page_dict_size"][:, None])
     return dict_idx, ok
 
@@ -182,7 +190,8 @@ def decode_fixed(
 
         dict_idx, dict_ok = decode_dict_indices(xp, arrays, nn_idx, nn_len,
                                                 idx_literal,
-                                                max_null_shift=max_null_shift)
+                                                max_null_shift=max_null_shift,
+                                                nonnull=nonnull)
         dn = dict_planes[0].shape[0] if dict_planes else 1
         base = arrays["page_dict_base"][:, None]
         gidx = xp.clip(base + xp.clip(dict_idx, 0, None), 0, dn - 1)

@@ -463,7 +463,27 @@ def compile_pattern(pattern: str, max_states: int | None = None) -> DFA:
 
     nfa = _NFA()
     parser = _Parser(pat, nfa)
-    frag = parser.parse_alt()
+    try:
+        frag = parser.parse_alt()
+    except UnsupportedPattern as e:
+        if "inner anchors" in str(e):
+            # the bitprog front-end resolves inner anchors: branches with
+            # required bytes on the anchor's outer side are UNSATISFIABLE
+            # (like Python re without MULTILINE) and compile to a
+            # never-accepting DFA instead of falling back to the host
+            from .bitprog import BitprogUnsupported, compile_bitprog
+
+            try:
+                prog = compile_bitprog(pattern)
+            except BitprogUnsupported:
+                raise e from None
+            if not prog.machines and not prog.always:
+                return DFA(
+                    table=np.zeros((1, 256), np.int32),
+                    accept=np.zeros(1, bool),
+                    pattern=pattern,
+                )
+        raise
     if parser.i != len(pat):
         raise UnsupportedPattern(f"trailing junk at {parser.i}")
 

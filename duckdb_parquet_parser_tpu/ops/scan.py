@@ -159,7 +159,8 @@ def _value_accepts(batch, dfa, *, negate: bool = False, xp=np):
             dfa.table, dfa.accept,
         ))
         dict_idx, ok = _decode.decode_dict_indices(
-            xp, _as_xp(xp, arrays), nn_idx_x, batch.nn_cap
+            xp, _as_xp(xp, arrays), nn_idx_x, batch.nn_cap,
+            nonnull=nonnull_x,
         )
         g = np.clip(
             arrays["page_dict_base"][:, None] + np.clip(np.asarray(dict_idx), 0, None),
@@ -223,7 +224,8 @@ def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
         plain_counts = (nn - hits) if negate else hits
 
         nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)
-        dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap)
+        dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap,
+                                                   nonnull=nonnull)
         g = jnp.clip(core["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),
                      0, dict_match_d.shape[0] - 1)
         from .pallas.dict_lookup import dict_lookup
@@ -252,15 +254,18 @@ def _device_scan_multi_step(patterns_key, vmax, nn_cap, max_def, negate,
     import jax
     import jax.numpy as jnp
 
-    from .bitprog import BitprogUnsupported, compile_bitprog
-    from .regex import substring_chain
+    from .bitprog import compile_bitprog
+    from .regex import UnsupportedPattern, substring_chain
     from .strings import match_payload_multi
 
     matchers = []
     for pat in patterns_key:
         try:
             matchers.append((None, compile_bitprog(pat)))
-        except BitprogUnsupported:
+        except UnsupportedPattern:
+            # the broad class, mirroring scan_many's fusable test exactly
+            # (BitprogUnsupported extends it; a parse-level rejection that
+            # still yields a substring chain must land here, not crash)
             chain = substring_chain(pat)
             if chain is None:
                 raise ValueError(
@@ -279,7 +284,8 @@ def _device_scan_multi_step(patterns_key, vmax, nn_cap, max_def, negate,
         )[0]
 
         nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)
-        dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap)
+        dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap,
+                                                   nonnull=nonnull)
         g = jnp.clip(core["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),
                      0, dict_match_d.shape[1] - 1)
         from .pallas.dict_lookup import dict_lookup

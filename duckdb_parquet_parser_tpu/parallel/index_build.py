@@ -72,7 +72,8 @@ def _emissions_step(mesh, core_keys, vmax, nn_cap, max_def, has_payload,
             plens = jnp.zeros_like(nonnull, jnp.int32)
         is_dict = (core["page_kind"] == 1)[:, None]
         if has_dict:
-            dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap)
+            dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx,
+                                                       nn_cap, nonnull=nonnull)
             dn = dict_lens.shape[0]
             g = jnp.clip(
                 core["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),

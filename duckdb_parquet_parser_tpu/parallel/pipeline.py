@@ -49,7 +49,8 @@ def _local_match_counts(core, payload, plen, dict_match, *, table, accept,
     from ..ops.pallas.dict_lookup import dict_lookup
 
     nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)
-    dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap)
+    dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap,
+                                               nonnull=nonnull)
     dn = dict_match.shape[0]
     g = jnp.clip(core["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None), 0, dn - 1)
     dm = dict_lookup(jnp, [dict_match.astype(jnp.int32)], g)[0] != 0

@@ -51,14 +51,12 @@ SUPPORTED = [
 ]
 
 UNSUPPORTED = [
-    "a^b",             # inner anchors
-    "a$b",
     "(ab)*x",          # unbounded multi-byte repeat
     "aa|bb|cc|dd|ee|ff|gg|hh|ii|jj|kk|ll|mm|nn|oo|pp|qq",  # > MAX_MACHINES
-    "x{70}",           # counted repeat > MAX_COUNTED
+    "x{140}",          # counted repeat > MAX_COUNTED
     "a" * 130,         # segment > MAX_POSITIONS * MAX_WIDE_REGS
-    ".*",              # matches empty everywhere
-    "^.*",             # anchor strip leaves '.*' -> ditto
+    "a?^b",            # anchor adjacent to an optional (positional)
+    "^a?$",            # empty-matching branch pinned by both anchors
 ]
 
 
@@ -425,3 +423,84 @@ def test_pair_step_fuzz():
         assert checked > 30
     finally:
         set_config(None)
+
+
+def test_inner_anchors_and_empty_matchers():
+    """Round-3 family extensions (VERDICT #7): unsatisfiable inner anchors
+    compile to never-match machines, edge-equivalent inner anchors anchor
+    the machine, empty-matching patterns ('.*', 'a?') accept every value —
+    all at device speed, with Python re as the oracle."""
+    import re as _re
+
+    rng = np.random.default_rng(9)
+    pm, pl, nn = _pages(rng, n_pages=30, vals_per_page=6, maxlen=15)
+
+    # reconstruct per-page values to drive the re oracle
+    vals = []
+    for i in range(pm.shape[0]):
+        off, page = 0, []
+        for _ in range(int(nn[i])):
+            ln = int(np.frombuffer(pm[i, off:off + 4].tobytes(), "<i4")[0])
+            page.append(pm[i, off + 4:off + 4 + ln].tobytes())
+            off += 4 + ln
+        vals.append(page)
+
+    cases = [".*", "a?", "a^b", "a$b", "(^a)b", "ab$c", "x{2}^q",
+             "b|a^q"]  # alternation with one unsatisfiable branch
+    for pattern in cases:
+        prog = compile_bitprog(pattern)
+        rx = _re.compile(pattern.encode())
+        want = np.array([sum(1 for v in page if rx.search(v))
+                         for page in vals])
+        h, seen = match_payload_stream(np, pm, pl, nn, None, None, prog=prog)
+        np.testing.assert_array_equal(h, want, err_msg=pattern)
+        np.testing.assert_array_equal(seen, nn)
+
+
+def test_never_match_dfa():
+    """compile_pattern on unsatisfiable inner-anchor patterns yields a
+    never-accepting DFA (so dictionary pages and the MXU path agree with
+    the bitprog never-machines) instead of falling back to the host."""
+    for pattern in ("a^b", "a$b", "x{2}^q"):
+        dfa = compile_pattern(pattern)
+        assert dfa.n_states == 1 and not dfa.accept.any()
+        assert not dfa.match_str(b"ab")
+
+
+def test_wide_counted_repeats():
+    """MAX_COUNTED now spans the full wide-register range: counted repeats
+    up to ~124 positions run on the register machines (were DFA/host
+    fallback)."""
+    import re as _re
+
+    rng = np.random.default_rng(10)
+    for pattern, gen in [
+        ("x{70}", lambda: b"x" * int(rng.integers(60, 80))),
+        ("q[ab]{60,100}z",
+         lambda: b"q" + bytes(rng.choice([97, 98], int(rng.integers(50, 110))).astype(np.uint8)) + b"z"),
+    ]:
+        prog = compile_bitprog(pattern)
+        rx = _re.compile(pattern.encode())
+        payloads, plens, nns, vals = [], [], [], []
+        for _ in range(25):
+            buf = bytearray()
+            page = []
+            for _ in range(4):
+                v = gen()
+                buf += len(v).to_bytes(4, "little") + v
+                page.append(bytes(v))
+            payloads.append(bytes(buf))
+            plens.append(len(buf))
+            nns.append(4)
+            vals.append(page)
+        pitch = max(plens) + 8
+        pm = np.zeros((len(payloads), pitch), np.uint8)
+        for i, b in enumerate(payloads):
+            pm[i, :len(b)] = np.frombuffer(b, np.uint8)
+        want = np.array([sum(1 for v in page if rx.search(v))
+                         for page in vals])
+        h, _ = match_payload_stream(np, pm, np.array(plens, np.int32),
+                                    np.array(nns, np.int32), None, None,
+                                    prog=prog)
+        np.testing.assert_array_equal(h, want, err_msg=pattern)
+        assert want.sum() > 0  # the generator must produce real matches
