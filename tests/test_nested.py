@@ -325,3 +325,25 @@ def test_list_strings_iterator(tmp_path):
         _pos, _ln, s = it.next()
         emitted.append(s)
     assert emitted == got
+
+
+def test_key_value_named_struct_is_not_a_map(tmp_path):
+    """ADVICE round 2 #1: a struct (or list<struct>) whose leaves happen to
+    be named key/value must read back as dicts, not map tuples — MAP
+    detection keys on the converted-type annotation, not leaf names."""
+    t = pa.table({
+        "s": pa.array(
+            [{"key": 1, "value": b"a"}, None, {"key": 2, "value": None}],
+            type=pa.struct([("key", pa.int64()), ("value", pa.binary())])),
+        "ls": pa.array(
+            [[{"key": 1, "value": b"x"}], [], None],
+            type=pa.list_(pa.struct([("key", pa.int64()),
+                                     ("value", pa.binary())]))),
+        "m": pa.array([[(b"k", 7)], None, []],
+                      type=pa.map_(pa.binary(), pa.int64())),
+    })
+    path = tmp_path / "kv.parquet"
+    pq.write_table(t, path, compression="NONE")
+    tab = ParquetReader(str(path)).read_table()
+    for f in t.column_names:
+        assert tab[f].to_pylist() == t.column(f).to_pylist(), f
