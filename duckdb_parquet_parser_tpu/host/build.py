@@ -92,7 +92,7 @@ def build_library(force: bool = False, sanitize: bool = False) -> Path:
         )
         cache_dir.mkdir(parents=True, exist_ok=True)
         codec_flags = _codec_flags()
-        tag = _digest(codec_flags) + ("-asan" if sanitize else "")
+        tag = _digest(codec_flags + ["-march=native"]) + ("-asan" if sanitize else "")
         so_path = cache_dir / f"libdpqhost-{tag}.so"
         if not so_path.exists() or force:
             tmp = so_path.with_suffix(".so.tmp")
@@ -100,6 +100,10 @@ def build_library(force: bool = False, sanitize: bool = False) -> Path:
                 os.environ.get("CXX", "g++"),
                 "-std=c++17",
                 "-O3",
+                # the library is compiled on the machine that runs it (cached
+                # per source digest), so tuning for the local ISA is safe —
+                # the value walks vectorize with AVX2 where available
+                "-march=native",
                 "-fPIC",
                 "-shared",
                 "-pthread",

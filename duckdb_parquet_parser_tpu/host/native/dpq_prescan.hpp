@@ -749,6 +749,26 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       const RgResult& rgres = rg_results[rg_local];
       const int64_t base = row0[size_t(i)];
       const int64_t ebase = want_index ? emit_base[size_t(i)] : 0;
+      // BULK fast path: a null-free PLAIN string page is contiguous copies
+      // instead of a per-value lambda walk (the slens/soffs vectors already
+      // hold the final values).  Column emission needs views mode (copy
+      // mode accumulates char offsets); index emission needs lengths only.
+      if (is_ba && t.kind == 0 && t.nn == t.num_values && t.nn > 0 &&
+          (want_views || !want_column)) {
+        const size_t nv = size_t(t.nn);
+        if (want_column) {
+          std::memcpy(col_lens + base, t.slens.data(), nv * sizeof(int32_t));
+          std::memcpy(col_offs + base, t.soffs.data(), nv * sizeof(int64_t));
+          std::memset(col_src + base, 0, nv);
+          std::memset(col_valid + base, 1, nv);
+        }
+        if (want_index) {
+          std::memcpy(idx_len + ebase, t.slens.data(), nv * sizeof(int32_t));
+          for (size_t v = 0; v < nv; v++)
+            idx_pos[size_t(ebase) + v] = base + int64_t(v);
+        }
+        continue;
+      }
       if (t.kind == 1) {
         idx_scratch.assign(size_t(std::max(t.nn, 0)), 0);
         expand_runs_to(t.idx_runs, t.val_ptr, size_t(t.val_len), t.idx_bw,
@@ -808,7 +828,7 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
           idx_len[ebase + k] = emit_len;
         }
       };
-      if (lf.max_def > 0) {
+      if (lf.max_def > 0 && t.nn != t.num_values) {
         int32_t k = 0;
         expand_runs_to(t.def_runs, t.def_ptr, size_t(t.def_len), def_bw,
                        [&](int32_t v, int32_t lvl) {
@@ -816,6 +836,9 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
                            value_at(v, k++);
                        });
       } else {
+        // null-free page (nn == num_values): every slot is defined, so the
+        // non-null rank IS the slot index — skip the def-run walk (~80% of
+        // pages on low-null columns)
         for (int32_t v = 0; v < t.num_values; v++) value_at(v, v);
       }
     }
