@@ -97,12 +97,19 @@ def _emissions_step(mesh, core_keys, vmax, nn_cap, max_def, has_payload,
     return jax.jit(fn)
 
 
-def sharded_emissions(mesh, batch, block_pages: int = 0):
+def sharded_emissions(mesh, batch, block_pages: int = 0,
+                      fleet=None, fault_hook=None):
     """Decodes the (row, len) emission stream with per-shard device decode.
 
     Returns (pos [M] i64 absolute rows, lens [M] i64), in row order.
     `block_pages` > 0 splits the batch into fixed-shape page blocks whose
-    decodes pipeline (block i+1 dispatched while block i transfers back)."""
+    decodes pipeline (block i+1 dispatched while block i transfers back).
+
+    Elastic: `fault_hook(block_idx, lens, emit) -> iterable of failed
+    device ids` is the detection seam (same contract as
+    elastic_distributed_scan); a failed device's block shard re-decodes on
+    the surviving devices — decode is stateless, so the recomputed block
+    is bit-identical."""
     import jax.numpy as jnp
 
     from ..ops import decode as _decode
@@ -128,22 +135,50 @@ def sharded_emissions(mesh, batch, block_pages: int = 0):
         has_payload, has_dict,
     )
 
+    def block_inputs(lo, hi, pad_to):
+        core = {k: arrays[k][lo:hi] for k in core_keys}
+        payload = (arrays["payload"][lo:hi] if has_payload
+                   else np.zeros((hi - lo, 8), np.uint8))
+        if pad_to > hi - lo:
+            pad = pad_to - (hi - lo)
+            core = {k: np.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
+                    for k, v in core.items()}
+            payload = np.pad(payload, ((0, pad), (0, 0)))
+        return ({k: jnp.asarray(v) for k, v in core.items()},
+                jnp.asarray(payload))
+
     pending = []
     for lo in range(0, padded.n_pages, block_pages):
         hi = lo + block_pages
-        core = {k: jnp.asarray(arrays[k][lo:hi]) for k in core_keys}
-        payload = jnp.asarray(
-            arrays["payload"][lo:hi] if has_payload
-            else np.zeros((block_pages, 8), np.uint8)
-        )
+        core, payload = block_inputs(lo, hi, block_pages)
         pending.append((lo, step(core, payload, dict_lens)))
 
     pos_parts, len_parts = [], []
     row_start = arrays["page_row_start"]
-    for lo, (lens_d, emit_d) in pending:
+    for blk, (lo, (lens_d, emit_d)) in enumerate(pending):
         lens = np.asarray(lens_d)
         emit = np.asarray(emit_d)
-        pages, rows = np.nonzero(emit)
+        if fault_hook is not None:
+            failed = set(map(int, fault_hook(blk, lens, emit)))
+            if failed and fleet is not None:
+                for d in failed:
+                    fleet.mark_failed(d)
+                from .mesh import survivor_mesh
+
+                live = fleet.live_devices
+                sub_mesh = survivor_mesh(mesh, live)
+                sub_bp = max(-(-block_pages // len(live)) * len(live),
+                             len(live))
+                sub_step = _emissions_step(
+                    sub_mesh, core_keys, padded.vmax, padded.nn_cap,
+                    padded.max_def, has_payload, has_dict,
+                )
+                core, payload = block_inputs(
+                    lo, min(lo + block_pages, padded.n_pages), sub_bp)
+                lens_d2, emit_d2 = sub_step(core, payload, dict_lens)
+                lens = np.asarray(lens_d2)[:block_pages]
+                emit = np.asarray(emit_d2)[:block_pages]
+        pages, rows = np.nonzero(emit[:len(row_start) - lo])
         pos_parts.append(row_start[lo + pages] + rows)
         len_parts.append(lens[pages, rows].astype(np.int64))
     pos = np.concatenate(pos_parts) if pos_parts else np.zeros(0, np.int64)
@@ -156,15 +191,28 @@ def distributed_index_build(mesh, reader, column: str,
                             chunk_size: int = 4096,
                             block_pages: int = 8192,
                             entry_block: int = 262144,
-                            salt_threshold: float = 2.0) -> DistributedIndexResult:
+                            salt_threshold: float = 2.0,
+                            fleet=None,
+                            fault_hook=None) -> DistributedIndexResult:
     from ..host import bindings
     from .pipeline import exchange_entries
 
     n_devices = int(np.prod(list(mesh.shape.values())))
     batch = reader.prescan(column, pad_strings=8, flags=bindings.PS_PAYLOAD)
 
-    # 1. sharded decode (device) -> emission stream
-    pos, lens = sharded_emissions(mesh, batch, block_pages=block_pages)
+    if fault_hook is not None and fleet is None:
+        from .elastic import FleetState
+
+        fleet = FleetState(
+            weights=np.ones(max(batch.n_pages, 1), np.int64),
+            n_devices=n_devices,
+        )
+
+    # 1. sharded decode (device) -> emission stream (elastic: a failed
+    # device's block shard re-decodes on the survivors — see
+    # sharded_emissions)
+    pos, lens = sharded_emissions(mesh, batch, block_pages=block_pages,
+                                  fleet=fleet, fault_hook=fault_hook)
 
     # 2. boundary plan (host, exact reference semantics)
     index = build_index(pos, lens, reader.num_rows(), chunk_size)

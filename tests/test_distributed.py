@@ -372,3 +372,30 @@ def test_index_build_partial_resume(tmp_path):
               "chunk_starts"):
         np.testing.assert_array_equal(getattr(full, f), getattr(resumed, f),
                                       err_msg=f)
+
+
+def test_elastic_index_build(mesh, batch_and_path):
+    """A device fails during the index build's sharded decode; the orphaned
+    block re-decodes on survivors and the final index is bit-identical."""
+    from duckdb_parquet_parser_tpu.parallel.index_build import (
+        distributed_index_build,
+    )
+
+    reader, _batch = batch_and_path
+    clean = distributed_index_build(mesh, reader, "s", chunk_size=700)
+
+    calls = []
+
+    def hook(blk, lens, emit):
+        calls.append(blk)
+        return {2} if blk == 0 else ()
+
+    res = distributed_index_build(mesh, reader, "s", chunk_size=700,
+                                  fault_hook=hook)
+    assert calls  # the detection hook ran
+    for f in ("positions", "lens", "chunk_of_entry", "tuple_to_chunk",
+              "chunk_starts"):
+        np.testing.assert_array_equal(
+            getattr(clean.index, f), getattr(res.index, f), err_msg=f)
+    assert sum(len(r) for r in res.received) == \
+        sum(len(r) for r in clean.received)
