@@ -1180,7 +1180,7 @@ def make_bitprog_transition_pair(xp, prog: BitProgram):
             T12x = ((x << 2) & M2) | ((sb1 << 1) & b2) | sb2
             # reset case (pd1): register AND done are zeroed before byte 2,
             # so only the base seed applies
-            T20 = (base2 & b2) if isinstance(base2, int) else (base2 & b2)
+            T20 = base2 & b2
             E1 = gate1(x, T1x)
             T2E1 = xp.where(pd1, T20, xp.where(ip1, T2x, T12x))
             out = gate2(E1, T2E1)

@@ -113,6 +113,18 @@ if pa is not None:
     assert lc.to_pylist() == t.column("l").to_pylist()
     res4 = cold_scan(rn, "element", "alp.*a", exact_counts=True)
     assert int(res4.match_counts.sum()) == 120
+
+# Round-3 native surfaces: PS_INDEX emission + dpq_index_plan sweep (parity
+# vs the numpy model under ASAN) and the lean PS_COL_ONLY column read
+from duckdb_parquet_parser_tpu.ops.index import build_index_for_column
+ia = build_index_for_column(r, "s", 700, engine="numpy")
+ib = build_index_for_column(r, "s", 700, engine="native")
+assert np.array_equal(ia.tuple_to_chunk, ib.tuple_to_chunk)
+assert np.array_equal(ia.chunk_starts, ib.chunk_starts)
+b3 = r.prescan("s", flags=(bindings.PS_HOST_STRINGS | bindings.PS_STR_VIEWS
+                           | bindings.PS_COLUMN | bindings.PS_RUNS_ONLY
+                           | bindings.PS_COL_ONLY))
+assert int(b3.dims.get("col_mat", 0)) == 1
 print("ASAN_LANE_OK")
 """
 
