@@ -533,10 +533,21 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   auto* p_ds = store->alloc<int32_t>("page_dict_size", {N});
   auto* p_pl = store->alloc<int32_t>("page_payload_len", {N});
 
+  // HOST-ONLY batches (lean column reads / index emission: PS_RUNS_ONLY
+  // plus PS_COL_ONLY or PS_INDEX, no payload) never reach the device —
+  // skip every device-only plane: the run descriptor tables, the level /
+  // index byte planes, and the plain/bool payload copies.  Fallback
+  // consumers re-prescan without the lean flags (host/reader._decode_leaf).
+  const bool host_only =
+      (flags & PS_RUNS_ONLY) &&
+      ((flags & PS_COL_ONLY) || want_index) && !want_payload;
+
+  struct RunPtrs {
+    int32_t *kind = nullptr, *count = nullptr, *value = nullptr,
+            *bitoff = nullptr, *vstart = nullptr;
+  };
   auto alloc_runs = [&](const char* prefix, int64_t rmax) {
-    struct Ptrs {
-      int32_t *kind, *count, *value, *bitoff, *vstart;
-    } p;
+    RunPtrs p;
     std::string pre(prefix);
     p.kind = store->alloc<int32_t>(pre + "_run_kind", {N, rmax});
     p.count = store->alloc<int32_t>(pre + "_run_count", {N, rmax});
@@ -545,11 +556,15 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     p.vstart = store->alloc<int32_t>(pre + "_run_vstart", {N, rmax});
     return p;
   };
-  auto dr = alloc_runs("def", def_rmax);
-  auto ir = alloc_runs("idx", idx_rmax);
-
-  auto* a_def = store->alloc<uint8_t>("def_bytes", {N, def_pad});
-  auto* a_idx = store->alloc<uint8_t>("idx_bytes", {N, idx_pad});
+  RunPtrs dr, ir;
+  uint8_t* a_def = nullptr;
+  uint8_t* a_idx = nullptr;
+  if (!host_only) {
+    dr = alloc_runs("def", def_rmax);
+    ir = alloc_runs("idx", idx_rmax);
+    a_def = store->alloc<uint8_t>("def_bytes", {N, def_pad});
+    a_idx = store->alloc<uint8_t>("idx_bytes", {N, idx_pad});
+  }
   // Materialized planes (unless PS_RUNS_ONLY): definition levels per value
   // position and dictionary indices in VALUE SPACE (index of the value at
   // each row position, -1 at nulls — so the device needs neither run
@@ -575,9 +590,11 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     std::memset(a_idxv, 0xFF, size_t(N) * size_t(vmax) * sizeof(int32_t));
   }
   uint8_t* a_plain = nullptr;
-  if (w > 0) a_plain = store->alloc<uint8_t>("plain_fixed", {N, nn_cap * w});
+  if (w > 0 && !host_only)
+    a_plain = store->alloc<uint8_t>("plain_fixed", {N, nn_cap * w});
   uint8_t* a_bits = nullptr;
-  if (is_bool) a_bits = store->alloc<uint8_t>("bool_bits", {N, bool_pad});
+  if (is_bool && !host_only)
+    a_bits = store->alloc<uint8_t>("bool_bits", {N, bool_pad});
   uint8_t* a_payload = nullptr;
   if (want_payload) a_payload = store->alloc<uint8_t>("payload", {N, payload_pad});
 
@@ -674,27 +691,29 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     p_ds[i] = t.dict_size;
     p_pl[i] = int32_t(t.val_len);
 
-    for (size_t r = 0; r < t.def_runs.size(); r++) {
-      const Run& rn = t.def_runs[r];
-      int64_t k = i * def_rmax + int64_t(r);
-      dr.kind[k] = rn.kind;
-      dr.count[k] = rn.count;
-      dr.value[k] = rn.value;
-      dr.bitoff[k] = rn.bitoff;
-      dr.vstart[k] = rn.vstart;
+    if (dr.kind) {
+      for (size_t r = 0; r < t.def_runs.size(); r++) {
+        const Run& rn = t.def_runs[r];
+        int64_t k = i * def_rmax + int64_t(r);
+        dr.kind[k] = rn.kind;
+        dr.count[k] = rn.count;
+        dr.value[k] = rn.value;
+        dr.bitoff[k] = rn.bitoff;
+        dr.vstart[k] = rn.vstart;
+      }
+      for (size_t r = 0; r < t.idx_runs.size(); r++) {
+        const Run& rn = t.idx_runs[r];
+        int64_t k = i * idx_rmax + int64_t(r);
+        ir.kind[k] = rn.kind;
+        ir.count[k] = rn.count;
+        ir.value[k] = rn.value;
+        ir.bitoff[k] = rn.bitoff;
+        ir.vstart[k] = rn.vstart;
+      }
     }
-    for (size_t r = 0; r < t.idx_runs.size(); r++) {
-      const Run& rn = t.idx_runs[r];
-      int64_t k = i * idx_rmax + int64_t(r);
-      ir.kind[k] = rn.kind;
-      ir.count[k] = rn.count;
-      ir.value[k] = rn.value;
-      ir.bitoff[k] = rn.bitoff;
-      ir.vstart[k] = rn.vstart;
-    }
-    if (t.def_len)
+    if (a_def && t.def_len)
       std::memcpy(a_def + i * def_pad, t.def_ptr, size_t(t.def_len));
-    if (t.kind == 1 && t.val_len)
+    if (a_idx && t.kind == 1 && t.val_len)
       std::memcpy(a_idx + i * idx_pad, t.val_ptr, size_t(t.val_len));
     if (a_deflev && t.def_len) {
       uint8_t* row = a_deflev + i * vmax;
