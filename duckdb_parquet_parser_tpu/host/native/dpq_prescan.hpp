@@ -103,6 +103,12 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   const bool want_index = (flags & PS_INDEX) != 0;
   if (want_index && !is_ba)
     throw Error("PS_INDEX requires a BYTE_ARRAY column");
+  // Lean views-mode column reads parse string prefixes straight into the
+  // final col arrays in the pack pass (no intermediate slens/soffs
+  // vectors) — the walk skips building them for null-free plain pages
+  const bool col_direct = is_ba && want_views && (flags & PS_COLUMN) &&
+                          (flags & PS_RUNS_ONLY) && (flags & PS_COL_ONLY) &&
+                          !want_index;
 
   // Per-page accumulators; value-section spans point into the owning row
   // group's chunk buffer, which lives in its RgResult until final packing.
@@ -369,14 +375,21 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
             out.str_chars.insert(out.str_chars.end(), p, p + len);
           }
         } else if (want_views) {
-          Cursor vc(t.val_ptr, size_t(t.val_len));
-          t.slens.reserve(size_t(t.nn));
-          t.soffs.reserve(size_t(t.nn));
-          for (int32_t i = 0; i < t.nn; i++) {
-            uint32_t len = vc.le<uint32_t>();
-            const uint8_t* p = vc.bytes(len);
-            t.slens.push_back(int32_t(len));
-            t.soffs.push_back(int64_t(p - map_));
+          if (col_direct && t.nn == t.num_values) {
+            // null-free plain page in lean views mode: the pack pass
+            // parses the prefixes straight into col_offs/col_lens —
+            // skip the intermediate vectors entirely (bounds still
+            // checked there via the same Cursor)
+          } else {
+            Cursor vc(t.val_ptr, size_t(t.val_len));
+            t.slens.reserve(size_t(t.nn));
+            t.soffs.reserve(size_t(t.nn));
+            for (int32_t i = 0; i < t.nn; i++) {
+              uint32_t len = vc.le<uint32_t>();
+              const uint8_t* p = vc.bytes(len);
+              t.slens.push_back(int32_t(len));
+              t.soffs.push_back(int64_t(p - map_));
+            }
           }
         } else if (want_index) {
           // lengths only: the index emission needs no chars/offsets
@@ -776,8 +789,22 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
           (want_views || !want_column)) {
         const size_t nv = size_t(t.nn);
         if (want_column) {
-          std::memcpy(col_lens + base, t.slens.data(), nv * sizeof(int32_t));
-          std::memcpy(col_offs + base, t.soffs.data(), nv * sizeof(int64_t));
+          if (t.slens.empty()) {
+            // lean views mode (col_direct): parse the u32 length prefixes
+            // straight into the final arrays — one bounds-checked pass
+            Cursor vc(t.val_ptr, size_t(t.val_len));
+            for (size_t v = 0; v < nv; v++) {
+              uint32_t len = vc.le<uint32_t>();
+              const uint8_t* p = vc.bytes(len);
+              col_offs[base + int64_t(v)] = int64_t(p - map_);
+              col_lens[base + int64_t(v)] = int32_t(len);
+            }
+          } else {
+            std::memcpy(col_lens + base, t.slens.data(),
+                        nv * sizeof(int32_t));
+            std::memcpy(col_offs + base, t.soffs.data(),
+                        nv * sizeof(int64_t));
+          }
           std::memset(col_src + base, 0, nv);
           std::memset(col_valid + base, 1, nv);
         }
