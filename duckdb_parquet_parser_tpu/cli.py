@@ -136,6 +136,30 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Total chunks: {idx.num_chunks}")
         return 0
 
+    if argv and argv[0] == "table":
+        # one-call whole-file read with per-shape reconstruction (generic
+        # Dremel assembly for nested fields — engine extension)
+        ap = argparse.ArgumentParser(prog="dpq-tpu table")
+        ap.add_argument("file")
+        ap.add_argument("columns", nargs="*",
+                        help="top-level fields (default: all)")
+        ap.add_argument("--limit", type=int, default=10,
+                        help="rows to print (0 = totals only)")
+        args = ap.parse_args(argv[1:])
+        reader = ParquetReader()
+        if not reader.open(args.file):
+            print(f"error: cannot open {args.file}", file=sys.stderr)
+            return 1
+        tab = reader.read_table(args.columns or None)
+        names = list(tab)
+        n = len(tab[names[0]]) if names else 0
+        print(f"Rows: {n}  Columns: {', '.join(names)}")
+        if args.limit > 0 and names:
+            lists = {f: tab[f].to_pylist()[:args.limit] for f in names}
+            for r in range(min(args.limit, n)):
+                print(" | ".join(repr(lists[f][r]) for f in names))
+        return 0
+
     if argv and argv[0] == "stats":
         # Page Index stats + optional stats-based pruning (engine extension;
         # the reference never reads the ColumnIndex/OffsetIndex region).

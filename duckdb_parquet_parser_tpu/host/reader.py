@@ -748,6 +748,29 @@ class ParquetReader:
                 raise KeyError(f"Columns not found: {missing}")
             by_field = {f: by_field[f] for f in columns}
 
+        def _plain_list(node) -> bool:
+            """LIST whose element is a bare leaf (no struct wrapper) — the
+            SoA read_list_column fast path preserves pyarrow shapes only
+            then; list<struct<single-field>> must assemble generically."""
+            if node is None:
+                return True  # legacy file without schema tree: leaf path
+            if node.is_leaf:
+                return True  # legacy repeated leaf
+            if node.converted != _asm._CONV_LIST or len(node.children) != 1:
+                return False
+            cur = node.children[0]  # repeated wrapper ('list')
+            while not cur.is_leaf and len(cur.children) == 1 \
+                    and cur.repetition == _asm.REPEATED:
+                cur = cur.children[0]
+            # unwrap chained list-of-list annotations down to the element
+            while not cur.is_leaf and cur.converted == _asm._CONV_LIST \
+                    and len(cur.children) == 1:
+                cur = cur.children[0]
+                while not cur.is_leaf and len(cur.children) == 1 \
+                        and cur.repetition == _asm.REPEATED:
+                    cur = cur.children[0]
+            return cur.is_leaf
+
         out: dict = {}
         for field, leaves in by_field.items():
             node = next((c for c in tree.children if c.name == field), None)
@@ -755,9 +778,8 @@ class ParquetReader:
             if node is not None and node.is_leaf \
                     and node.repetition != _asm.REPEATED:
                 out[field] = self.read_column_by_idx(-1, leaves[0])
-            elif len(leaves) == 1 and c0["max_rep"] >= 1 and (
-                    node is None or node.is_leaf
-                    or node.converted == _asm._CONV_LIST):
+            elif len(leaves) == 1 and c0["max_rep"] >= 1 \
+                    and _plain_list(node):
                 out[field] = self.read_list_column(leaves[0])
             else:
                 out[field] = NestedColumn(

@@ -216,7 +216,7 @@ def _rand_value(rng, typ, nullable: bool = True):
     return bytes(rng.integers(32, 127, rng.integers(0, 12)).astype(np.uint8))
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(20))
 def test_random_nested_trees(tmp_path, seed):
     """read_table == pyarrow to_pylist on RANDOM schema trees (depth ≤4):
     list<struct>, structs in lists, maps with nested values, and every

@@ -59,3 +59,38 @@ def test_read_table_subset_and_errors(table_file):
     assert set(sub) == {"i", "m"}
     with pytest.raises(KeyError):
         r.read_table(columns=["nope"])
+
+
+def test_single_leaf_list_shapes(tmp_path):
+    """read_table dispatch: single-LEAF list columns whose element is a
+    struct (list<struct<a>>) must assemble generically — only lists of
+    bare leaves take the SoA read_list_column fast path (regression: the
+    round-3 CLI smoke caught list<struct<a>> reading back as bare ints)."""
+    rng = np.random.default_rng(3)
+
+    def maybe(v, prob=0.2):
+        return None if rng.random() < prob else v
+
+    n = 150
+    t = pa.table({
+        "a": pa.array([maybe([maybe({"a": maybe(1)})
+                              for _ in range(int(rng.integers(0, 3)))])
+                       for _ in range(n)],
+                      type=pa.list_(pa.struct([("a", pa.int64())]))),
+        "b": pa.array([maybe([maybe([maybe(2)])
+                              for _ in range(int(rng.integers(0, 3)))])
+                       for _ in range(n)],
+                      type=pa.list_(pa.list_(pa.int64()))),
+        "c": pa.array([maybe([maybe(3)
+                              for _ in range(int(rng.integers(0, 3)))])
+                       for _ in range(n)],
+                      type=pa.list_(pa.int64())),
+        "d": pa.array([maybe([maybe([maybe({"z": maybe(b"q")})])])
+                       for _ in range(n)],
+                      type=pa.list_(pa.list_(pa.struct([("z", pa.binary())])))),
+    })
+    path = tmp_path / "sls.parquet"
+    pq.write_table(t, path, compression="NONE", data_page_size=512)
+    tab = ParquetReader(str(path)).read_table()
+    for f in t.column_names:
+        assert tab[f].to_pylist() == t.column(f).to_pylist(), f
