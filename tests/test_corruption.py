@@ -33,12 +33,14 @@ def base_file(tmp_path_factory):
 
 def _exercise(path):
     r = ParquetReader(path)
-    r.read_column("i")
+    r.read_column("i")   # lean PS_COL_ONLY path (round 3)
     r.read_column("s")
     list(r.page_stats(0) or [])
     from duckdb_parquet_parser_tpu.models.scan import cold_scan
+    from duckdb_parquet_parser_tpu.ops.index import build_index_for_column
 
     cold_scan(r, "s", "w1")
+    build_index_for_column(r, "s")  # PS_INDEX emission + native plan sweep
 
 
 @pytest.mark.parametrize("seed", range(40))
