@@ -35,6 +35,13 @@ class UnsupportedPattern(ValueError):
     pass
 
 
+class InnerAnchors(UnsupportedPattern):
+    """'^'/'$' away from the pattern edges — the DFA compiler cannot model
+    them, but bitprog resolves the unsatisfiable cases to never-match
+    machines (compile_pattern consults it before giving up)."""
+    pass
+
+
 # ── NFA construction ────────────────────────────────────────────────────────
 
 ANY = frozenset(range(256))
@@ -213,7 +220,7 @@ class _Parser:
         if c in "*+?{":
             raise UnsupportedPattern(f"dangling quantifier '{c}'")
         if c in "^$":
-            raise UnsupportedPattern("inner anchors")
+            raise InnerAnchors("inner anchors")
         return self._leaf(frozenset([ord(c)]))
 
     def _leaf(self, symbols: frozenset) -> _Frag:
@@ -465,24 +472,23 @@ def compile_pattern(pattern: str, max_states: int | None = None) -> DFA:
     parser = _Parser(pat, nfa)
     try:
         frag = parser.parse_alt()
-    except UnsupportedPattern as e:
-        if "inner anchors" in str(e):
-            # the bitprog front-end resolves inner anchors: branches with
-            # required bytes on the anchor's outer side are UNSATISFIABLE
-            # (like Python re without MULTILINE) and compile to a
-            # never-accepting DFA instead of falling back to the host
-            from .bitprog import BitprogUnsupported, compile_bitprog
+    except InnerAnchors as e:
+        # the bitprog front-end resolves inner anchors: branches with
+        # required bytes on the anchor's outer side are UNSATISFIABLE
+        # (like Python re without MULTILINE) and compile to a
+        # never-accepting DFA instead of falling back to the host
+        from .bitprog import BitprogUnsupported, compile_bitprog
 
-            try:
-                prog = compile_bitprog(pattern)
-            except BitprogUnsupported:
-                raise e from None
-            if not prog.machines and not prog.always:
-                return DFA(
-                    table=np.zeros((1, 256), np.int32),
-                    accept=np.zeros(1, bool),
-                    pattern=pattern,
-                )
+        try:
+            prog = compile_bitprog(pattern)
+        except BitprogUnsupported:
+            raise e from None
+        if not prog.machines and not prog.always:
+            return DFA(
+                table=np.zeros((1, 256), np.int32),
+                accept=np.zeros(1, bool),
+                pattern=pattern,
+            )
         raise
     if parser.i != len(pat):
         raise UnsupportedPattern(f"trailing junk at {parser.i}")

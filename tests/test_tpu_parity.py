@@ -33,7 +33,9 @@ path = %(path)r
 eng = ScanEngine(path)
 out = {"platform": jax.default_backend()}
 for pat in ["alpha.*bravo", "al[pb]ha", "alpha|bravo|charlie", "^alpha",
-            "bravo$", "^alpha.*o$", "[a-z]{3,35}o$"]:
+            "bravo$", "^alpha.*o$", "[a-z]{3,35}o$",
+            # round 3: empty-match / never-match / wide counted families
+            "a?", "al$pha", "[a-z]{3,40}"]:
     a = eng.scan("s", pat, engine="jax")
     b = eng.scan("s", pat, engine="numpy")
     out[pat] = bool(
