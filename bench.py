@@ -419,6 +419,41 @@ def bench_engine(path: Path, reps: int) -> dict:
         if out["scan_bucketed_rows_per_s"] > out["scan_rows_per_s"]:
             out["scan_rows_per_s"] = out["scan_bucketed_rows_per_s"]
 
+    # ── Pallas streaming matcher (resident serving fast path, round 3b) ─────
+    # Same pre-transposed stream re-laid tiled-contiguous once at residency;
+    # the kernel walks each lane tile fully per invocation (see
+    # ops/pallas/stream_matcher.py).  Production route: ResidentColumn.scan.
+    from duckdb_parquet_parser_tpu.ops.pallas.stream_matcher import (
+        match_stream_pallas_tiled,
+        stream_supported,
+        tile_stream,
+    )
+
+    if jax.default_backend() != "cpu" and stream_supported(steps):
+        n_pages_all = pd.shape[1]
+        tiled = tile_stream(pd, steps)
+        jax.block_until_ready(tiled)
+
+        def make_pallas(pattern):
+            def make(reps_n):
+                def f(tp, pl, n):
+                    def body(i, acc):
+                        h, _ = match_stream_pallas_tiled(
+                            tp, pl, n + (i % 2), pattern, n_pages_all)
+                        return acc + jnp.sum(h)
+                    return jax.lax.fori_loop(0, reps_n, body,
+                                             jnp.zeros((), jnp.int32))
+                return jax.jit(f)
+            return make
+
+        _, marg_ps = _marginal(make_pallas(PATTERN), (tiled, pld, nnd),
+                               reps_hi=1 + reps)
+        out["scan_pallas_stream_rows_per_s"] = total / marg_ps
+        log(f"scan pallas stream {PATTERN!r}: {total/marg_ps:.3g} rows/s "
+            f"(marginal {marg_ps*1000:.2f} ms)")
+        if out["scan_pallas_stream_rows_per_s"] > out["scan_rows_per_s"]:
+            out["scan_rows_per_s"] = out["scan_pallas_stream_rows_per_s"]
+
     # ── cold one-shot paths (fresh engine each run, min-of-3) ───────────────
     from duckdb_parquet_parser_tpu.models.scan import ScanEngine
 

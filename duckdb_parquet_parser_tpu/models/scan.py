@@ -505,7 +505,19 @@ class ResidentColumn:
         arrays = self._batch.arrays
         plen_np = np.asarray(arrays["page_payload_len"])
         is_dict = np.asarray(arrays["page_kind"]) == 1
+        # Pallas streaming serving layout (round 3b): on a real device the
+        # bucket ALSO keeps the tile_stream copy the kernel consumes —
+        # ~856M vs 660M rows/s for the lax.scan walk on the 2M-row fixture
+        # (ops/pallas/README.md); lax.scan stays for scan_many / DFA
+        # fallback patterns and CPU runs.
+        from ..utils.config import get_config
+
+        use_pallas = (get_config().pallas_stream
+                      and jax.default_backend() != "cpu")
+        from ..ops.pallas.stream_matcher import stream_supported, tile_stream
+
         self._buckets = []
+        self._tiled = []
         for idx, steps in length_buckets(np.where(is_dict, 0, plen_np)):
             core = {
                 k: jax.device_put(np.ascontiguousarray(arrays[k][idx]))
@@ -516,6 +528,10 @@ class ResidentColumn:
             )
             plen = jax.device_put(np.ascontiguousarray(plen_np[idx]))
             self._buckets.append((idx, steps, core, payload_t, plen))
+            self._tiled.append(
+                tile_stream(payload_t, steps)
+                if use_pallas and stream_supported(steps) else None
+            )
         self._gid = arrays["page_gid"].copy()
         self._dfa_match = _dfa_match
 
@@ -556,15 +572,21 @@ class ResidentColumn:
         counts = _np.zeros(n, _np.int64)
         values = _np.zeros(n, _np.int64)
         pending = []
-        for idx, steps, core, payload, plen in self._buckets:
+        for (idx, steps, core, payload, plen), tiled in zip(self._buckets,
+                                                            self._tiled):
+            # Pallas streaming fast path: bitprog patterns over the tiled
+            # resident layout (round 3b); lax.scan otherwise
+            use_pallas = tiled is not None and prog_pattern is not None
             step = _device_scan_step(
                 table.tobytes(), table.shape,
                 _np.ascontiguousarray(dfa.accept, bool).tobytes(),
                 self._batch.vmax, self._batch.nn_cap, self._batch.max_def,
                 bool(negate), True, tuple(chain) if chain else None,
                 prog_pattern, steps, True,
+                len(idx) if use_pallas else None,
             )
-            pending.append((idx, step(core, payload, plen, dict_match_d)))
+            pending.append((idx, step(core, tiled if use_pallas else payload,
+                                      plen, dict_match_d)))
         for idx, (c, v) in pending:
             counts[idx] = _np.asarray(c, _np.int64)
             values[idx] = _np.asarray(v, _np.int64)

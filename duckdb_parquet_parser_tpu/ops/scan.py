@@ -191,13 +191,16 @@ def scan_batch(batch, pattern: str, *, negate: bool = False, xp=np) -> PageMatch
 @_functools.lru_cache(maxsize=64)
 def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
                       max_def, negate, use_mxu, chain_key, prog_pattern=None,
-                      max_steps=None, transposed=False):
+                      max_steps=None, transposed=False, pallas_n=None):
     """jit-compiled single-device scan step, cached per automaton + batch
     shape class (the DFA tables must be compile-time constants for the
     gather-free transition builders).  `prog_pattern` selects the
     bit-parallel NFA transition (recompiled here — compile_bitprog is
     deterministic and cheap, and the pattern string is the natural cache
-    key)."""
+    key).  `pallas_n` (the bucket's page count) routes the byte walk
+    through the Pallas streaming kernel instead of the lax.scan walk —
+    `payload` is then the tile_stream layout (resident serving fast path,
+    ops/pallas/stream_matcher.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -215,12 +218,20 @@ def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
     def step(core, payload, plen, dict_match_d):
         is_dict = core["page_kind"] == 1
         nn = core["page_nn"]
-        hits, _seen = match_payload_stream(
-            jnp, payload, jnp.where(is_dict, 0, plen),
-            jnp.where(is_dict, 0, nn), table, accept, use_mxu=use_mxu,
-            chain=chain, prog=prog, max_steps=max_steps,
-            transposed=transposed,
-        )
+        if pallas_n is not None:
+            from .pallas.stream_matcher import match_stream_pallas_tiled
+
+            hits, _seen = match_stream_pallas_tiled(
+                payload, jnp.where(is_dict, 0, plen),
+                jnp.where(is_dict, 0, nn), prog_pattern, pallas_n,
+            )
+        else:
+            hits, _seen = match_payload_stream(
+                jnp, payload, jnp.where(is_dict, 0, plen),
+                jnp.where(is_dict, 0, nn), table, accept, use_mxu=use_mxu,
+                chain=chain, prog=prog, max_steps=max_steps,
+                transposed=transposed,
+            )
         plain_counts = (nn - hits) if negate else hits
 
         nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)

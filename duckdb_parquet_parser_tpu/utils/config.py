@@ -20,6 +20,11 @@ class EngineConfig:
     # scan
     scan_engine: str = "jax"           # "jax" | "numpy"
     max_dfa_states: int = 4096
+    pallas_stream: bool = True         # Pallas streaming matcher for
+                                       # resident serving (tiled layout;
+                                       # ~1.3x the lax.scan walk on v5e —
+                                       # ops/pallas/README.md round 3b);
+                                       # DPQ_PALLAS_STREAM=0 disables
     pair_step: bool = False            # 2-bytes-per-step composed matcher —
                                        # measured SLOWER on v5e (the walk is
                                        # VPU-throughput bound, not per-step

@@ -1,0 +1,54 @@
+"""Pallas streaming matcher (ops/pallas/stream_matcher.py) vs the
+production walk — interpret mode on CPU; the real-device lane
+(test_tpu_parity) runs the compiled kernel on the chip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from duckdb_parquet_parser_tpu.ops.bitprog import compile_bitprog
+from duckdb_parquet_parser_tpu.ops.strings import match_payload_stream
+from tests.test_bitprog import _pages
+
+
+@pytest.mark.parametrize("pattern", [
+    "a.*z", "ab|cde|fg", "^ab", "q[ax]+x", "a?", "a{40}",
+    "gr[ae]y|colou?r", "bc$",
+])
+def test_interpret_parity(pattern):
+    import jax.numpy as jnp
+
+    from duckdb_parquet_parser_tpu.ops.pallas.stream_matcher import (
+        match_stream_pallas,
+    )
+
+    rng = np.random.default_rng(12)
+    pm, pl_, nn = _pages(rng, n_pages=300, vals_per_page=6, maxlen=18)
+    prog = compile_bitprog(pattern)
+    h0, s0 = match_payload_stream(np, pm, pl_, nn, None, None, prog=prog)
+    # lane_tile=128 forces multiple grid tiles over 300 pages
+    h1, s1 = match_stream_pallas(jnp.asarray(pm.T), pl_, nn, pattern,
+                                 max_steps=pm.shape[1], lane_tile=128,
+                                 inner=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h1), h0, err_msg=pattern)
+    np.testing.assert_array_equal(np.asarray(s1), s0, err_msg=pattern)
+
+
+def test_tiled_layout_roundtrip():
+    import jax.numpy as jnp
+
+    from duckdb_parquet_parser_tpu.ops.pallas.stream_matcher import (
+        tile_stream,
+    )
+
+    rng = np.random.default_rng(5)
+    pt = rng.integers(0, 256, (64, 300), dtype=np.uint8)
+    tiled = np.asarray(tile_stream(jnp.asarray(pt), 64, lane_tile=128))
+    assert tiled.shape == (3, 64, 128)
+    # tile t, column k == original column t*128 + k (zero-padded past N)
+    for t in range(3):
+        for k in (0, 5, 127):
+            col = t * 128 + k
+            want = pt[:, col] if col < 300 else np.zeros(64, np.uint8)
+            np.testing.assert_array_equal(tiled[t, :, k], want)
