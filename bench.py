@@ -374,6 +374,42 @@ def bench_engine(path: Path, reps: int) -> dict:
         f"(marginal {marg_multi*1000:.1f} ms vs "
         f"{(1/out['scan_rows_per_s']+1/out['scan_general_rows_per_s']+1/out['scan_alternation_rows_per_s'])*total*1000:.1f} ms separate)")
 
+    # fused K-pattern PALLAS walk (the round-3c kernel; production route:
+    # ResidentColumn.scan_many over the tiled resident layout)
+    from duckdb_parquet_parser_tpu.ops.pallas.stream_matcher import (
+        stream_supported as _ps_ok,
+    )
+
+    if jax.default_backend() != "cpu" and _ps_ok(steps):
+        from duckdb_parquet_parser_tpu.ops.pallas.stream_matcher import (
+            match_stream_pallas_tiled as _mspt,
+        )
+        from duckdb_parquet_parser_tpu.ops.pallas.stream_matcher import (
+            tile_stream as _ts,
+        )
+
+        tiled_m = _ts(pd, steps)
+        jax.block_until_ready(tiled_m)
+        n_pages_all = pd.shape[1]
+
+        def make_multi_pallas(reps_n):
+            def f(tp, pl, n):
+                def body(i, acc):
+                    hits, _ = _mspt(tp, pl, n + (i % 2), multi_pats,
+                                    n_pages_all)
+                    return acc + jnp.sum(hits)
+                return jax.lax.fori_loop(0, reps_n, body,
+                                         jnp.zeros((), jnp.int32))
+            return jax.jit(f)
+
+        _, marg_mp = _marginal(make_multi_pallas, (tiled_m, pld, nnd),
+                               reps_hi=1 + reps)
+        rate_mp = 3 * total / marg_mp
+        log(f"scan fused x3 (pallas): {rate_mp:.3g} pattern-rows/s "
+            f"(marginal {marg_mp*1000:.1f} ms)")
+        if rate_mp > out["scan_multi3_pattern_rows_per_s"]:
+            out["scan_multi3_pattern_rows_per_s"] = rate_mp
+
     # length-bucketed serving layout (ResidentColumn's): each bucket walks
     # only to its own max payload length
     from duckdb_parquet_parser_tpu.ops.scan import length_buckets

@@ -645,14 +645,30 @@ class ResidentColumn:
         n = self.n_pages
         counts = _np.zeros((len(fused), n), _np.int64)
         values = _np.zeros((len(fused), n), _np.int64)
+        # fused Pallas walk when every pattern is bitprog-compiled and the
+        # tiled resident layout exists (round 3c); lax.scan multi otherwise
+        def _all_prog():
+            from ..ops.bitprog import BitprogUnsupported
+
+            try:
+                for j in fused:
+                    compile_bitprog(pats[j])
+                return True
+            except BitprogUnsupported:
+                return False
+
+        all_prog = _all_prog()
         pending = []
-        for idx, steps, core, payload, plen in self._buckets:
+        for (idx, steps, core, payload, plen), tiled in zip(self._buckets,
+                                                            self._tiled):
+            use_pallas = tiled is not None and all_prog
             step = _device_scan_multi_step(
                 tuple(pats[j] for j in fused), self._batch.vmax,
                 self._batch.nn_cap, self._batch.max_def, bool(negate),
-                steps, True,
+                steps, True, len(idx) if use_pallas else None,
             )
-            pending.append((idx, step(core, payload, plen, dm_d)))
+            pending.append((idx, step(core, tiled if use_pallas else payload,
+                                      plen, dm_d)))
         for idx, (cs, vs) in pending:
             for r in range(len(fused)):
                 counts[r, idx] = _np.asarray(cs[r], _np.int64)

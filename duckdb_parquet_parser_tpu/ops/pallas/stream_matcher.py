@@ -40,16 +40,21 @@ def stream_supported(steps: int) -> bool:
 
 
 @functools.lru_cache(maxsize=64)
-def _build_call(pattern: str, steps: int, n_pad: int, lane_tile: int,
+def _build_call(patterns: tuple, steps: int, n_pad: int, lane_tile: int,
                 inner: int, interpret: bool):
+    """The K-pattern kernel: the tile DMA, the byte loop, and the boundary
+    control amortize over every pattern (the in-kernel analog of
+    ops/strings.match_payload_multi)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     from ..bitprog import compile_bitprog, make_bitprog_transition
 
-    prog = compile_bitprog(pattern)
-    trans, nregs, ae = make_bitprog_transition(jnp, prog)
+    specs = [make_bitprog_transition(jnp, compile_bitprog(p))
+             for p in patterns]
+    k = len(specs)
+    total_regs = sum(s[1] for s in specs)
     n_tiles = n_pad // lane_tile
     n_inner = steps // inner
 
@@ -59,13 +64,20 @@ def _build_call(pattern: str, steps: int, n_pad: int, lane_tile: int,
         zero = jnp.zeros((lane_tile,), jnp.int32)
 
         def step(i, carry):
-            prefix_left, ctr, done, hits, *state = carry
-            state = tuple(state)
+            prefix_left, ctr, done = carry[0], carry[1], carry[2]
+            hits = list(carry[3:3 + k])
+            state = list(carry[3 + k:])
             blk = pay_ref[0, pl.ds(i * inner, inner), :]
             for j in range(inner):
                 b = i * inner + j
                 c = blk[j, :].astype(jnp.int32)
-                st2, acc = trans(state, c)
+                st2, accs = [], []
+                at = 0
+                for trans, nregs, _ae in specs:
+                    s2, a = trans(tuple(state[at:at + nregs]), c)
+                    at += nregs
+                    st2.extend(s2)
+                    accs.append(a)
                 active = (b < plen) & (done < nnv)
                 in_prefix = prefix_left > 0
                 la2 = ctr | (c << (8 * (4 - prefix_left)))
@@ -75,21 +87,26 @@ def _build_call(pattern: str, steps: int, n_pad: int, lane_tile: int,
                 bl2 = ctr - 1
                 value_done = (~in_prefix) & (bl2 == 0) & active
                 fin = zero_len | value_done
-                hits = hits + jnp.where(fin, jnp.where(zero_len, ae, acc), 0)
+                hits = [
+                    h + jnp.where(fin, jnp.where(zero_len, spec[2], a), 0)
+                    for h, spec, a in zip(hits, specs, accs)
+                ]
                 done = done + fin.astype(jnp.int32)
                 prefix_left = jnp.where(
                     fin, 4, jnp.where(in_prefix, pl2, prefix_left))
                 ctr = jnp.where(fin, 0, jnp.where(in_prefix, la2, bl2))
-                state = tuple(
+                state = [
                     jnp.where(prefix_done, 0, jnp.where(in_prefix, o, nw))
                     for o, nw in zip(state, st2)
-                )
-            return (prefix_left, ctr, done, hits, *state)
+                ]
+            return (prefix_left, ctr, done, *hits, *state)
 
-        init = ((jnp.full((lane_tile,), 4, jnp.int32), zero, zero, zero)
-                + tuple(zero for _ in range(nregs)))
+        init = ((jnp.full((lane_tile,), 4, jnp.int32), zero, zero)
+                + tuple(zero for _ in range(k))
+                + tuple(zero for _ in range(total_regs)))
         out = jax.lax.fori_loop(0, n_inner, step, init)
-        hits_ref[0, :] = out[3]
+        for kk in range(k):
+            hits_ref[kk, :] = out[3 + kk]
         seen_ref[0, :] = out[2]
 
     return pl.pallas_call(
@@ -101,11 +118,11 @@ def _build_call(pattern: str, steps: int, n_pad: int, lane_tile: int,
             pl.BlockSpec((1, lane_tile), lambda t: (0, t)),
         ],
         out_specs=[
-            pl.BlockSpec((1, lane_tile), lambda t: (0, t)),
+            pl.BlockSpec((k, lane_tile), lambda t: (0, t)),
             pl.BlockSpec((1, lane_tile), lambda t: (0, t)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((k, n_pad), jnp.int32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         interpret=interpret,
@@ -142,14 +159,18 @@ def tile_stream(payload_t, steps: int, lane_tile: int = LANE_TILE,
     return build(payload_t)
 
 
-def match_stream_pallas_tiled(tiled, payload_len, nn, pattern: str,
+def match_stream_pallas_tiled(tiled, payload_len, nn, pattern,
                               n: int, lane_tile: int = LANE_TILE,
                               inner: int = INNER, interpret: bool = False):
     """Streaming match over a `tile_stream` layout.  Returns
-    (hits [n] i32, seen [n] i32) — the match_payload_stream contract for a
-    single bitprog pattern (dict pages masked by the caller via plen/nn)."""
+    (hits, seen [n] i32) — the match_payload_stream contract (dict pages
+    masked by the caller via plen/nn).  `pattern` may be a single pattern
+    string or a tuple of K patterns (one fused walk, K hit vectors —
+    `hits` is then [K, n])."""
     import jax.numpy as jnp
 
+    single = isinstance(pattern, str)
+    patterns = (pattern,) if single else tuple(pattern)
     n_tiles, steps, lt = tiled.shape
     n_pad = n_tiles * lt
     while steps % inner:
@@ -159,9 +180,11 @@ def match_stream_pallas_tiled(tiled, payload_len, nn, pattern: str,
     if n_pad != n:
         plen = jnp.pad(plen, (0, n_pad - n))
         nnv = jnp.pad(nnv, (0, n_pad - n))
-    call = _build_call(pattern, steps, n_pad, lt, inner, interpret)
+    call = _build_call(patterns, steps, n_pad, lt, inner, interpret)
     hits, seen = call(tiled, plen.reshape(1, n_pad), nnv.reshape(1, n_pad))
-    return hits[0, :n], seen[0, :n]
+    if single:
+        return hits[0, :n], seen[0, :n]
+    return hits[:, :n], seen[0, :n]
 
 
 def match_stream_pallas(payload_t, payload_len, nn, pattern: str,

@@ -255,7 +255,7 @@ def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
 
 @_functools.lru_cache(maxsize=32)
 def _device_scan_multi_step(patterns_key, vmax, nn_cap, max_def, negate,
-                            max_steps, transposed):
+                            max_steps, transposed, pallas_n=None):
     """jit-compiled MULTI-pattern scan step (cached per pattern tuple +
     batch shape class): K register-machine patterns ride one payload walk
     (ops/strings.match_payload_multi — the byte stream, per-step slices and
@@ -288,11 +288,22 @@ def _device_scan_multi_step(patterns_key, vmax, nn_cap, max_def, negate,
     def step(core, payload, plen, dict_match_d):
         is_dict = core["page_kind"] == 1
         nn = core["page_nn"]
-        hits_k = match_payload_multi(
-            jnp, payload, jnp.where(is_dict, 0, plen),
-            jnp.where(is_dict, 0, nn), matchers, max_steps=max_steps,
-            transposed=transposed,
-        )[0]
+        if pallas_n is not None:
+            # fused K-pattern Pallas walk over the tiled resident layout
+            # (caller guarantees every pattern is bitprog-compiled)
+            from .pallas.stream_matcher import match_stream_pallas_tiled
+
+            hits_mat, _seen = match_stream_pallas_tiled(
+                payload, jnp.where(is_dict, 0, plen),
+                jnp.where(is_dict, 0, nn), tuple(patterns_key), pallas_n,
+            )
+            hits_k = tuple(hits_mat[kk] for kk in range(len(patterns_key)))
+        else:
+            hits_k = match_payload_multi(
+                jnp, payload, jnp.where(is_dict, 0, plen),
+                jnp.where(is_dict, 0, nn), matchers, max_steps=max_steps,
+                transposed=transposed,
+            )[0]
 
         nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)
         dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap,
