@@ -42,6 +42,22 @@ for pat in ["alpha.*bravo", "al[pb]ha", "alpha|bravo|charlie", "^alpha",
         np.array_equal(a.match_counts, b.match_counts)
         and np.array_equal(a.value_counts, b.value_counts)
     )
+
+# resident serving (Pallas streaming kernel on TPU) vs the numpy golden,
+# single + fused multi-pattern
+rc = eng.resident("s")
+serve_pats = ["alpha.*bravo", "al[pb]ha", "alpha|bravo|charlie"]
+for pat in serve_pats:
+    a = rc.scan(pat)
+    b = eng.scan("s", pat, engine="numpy")
+    out["resident:" + pat] = bool(
+        np.array_equal(a.match_counts, b.match_counts))
+many = rc.scan_many(serve_pats)
+out["resident:scan_many"] = all(
+    bool(np.array_equal(m.match_counts,
+                        eng.scan("s", p, engine="numpy").match_counts))
+    for m, p in zip(many, serve_pats)
+)
 print("PARITY " + json.dumps(out))
 """
 
