@@ -487,7 +487,14 @@ class ResidentColumn:
     PRE-TRANSPOSED ([steps, n] — the layout the per-step column slices
     consume): transposing inside the query jit rematerializes ~90 MB per
     call once the matrix outgrows VMEM (~1 ms/query measured on the 2M-row
-    fixture; ops/pallas/README.md round 2e)."""
+    fixture; ops/pallas/README.md round 2e).
+
+    On a real device each bucket additionally keeps the TILED-CONTIGUOUS
+    copy the Pallas streaming kernel consumes (round 3c,
+    ops/pallas/stream_matcher.py): bitprog patterns serve at ~856M rows/s
+    single / 1.24B pattern-rows/s fused-x3 vs 660M/748M for the lax.scan
+    walk, which remains the path for DFA-fallback patterns and CPU runs
+    (EngineConfig.pallas_stream gates the extra HBM copy)."""
 
     def __init__(self, reader: ParquetReader, column: str):
         import jax
