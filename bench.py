@@ -490,6 +490,19 @@ def bench_engine(path: Path, reps: int) -> dict:
         if out["scan_pallas_stream_rows_per_s"] > out["scan_rows_per_s"]:
             out["scan_rows_per_s"] = out["scan_pallas_stream_rows_per_s"]
 
+        # every pattern family serves through the same kernel — fold the
+        # pallas numbers into the per-family metrics like the bucketed ones
+        for pat, key in ((PATTERN_GENERAL, "scan_general_rows_per_s"),
+                         (PATTERN_ALT, "scan_alternation_rows_per_s"),
+                         (PATTERN_WIDE, "scan_wide_rows_per_s")):
+            _, marg_pf = _marginal(make_pallas(pat), (tiled, pld, nnd),
+                                   reps_hi=1 + reps)
+            rate = total / marg_pf
+            log(f"scan pallas stream {pat!r}: {rate:.3g} rows/s "
+                f"(marginal {marg_pf*1000:.2f} ms)")
+            if rate > out[key]:
+                out[key] = rate
+
     # ── cold one-shot paths (fresh engine each run, min-of-3) ───────────────
     from duckdb_parquet_parser_tpu.models.scan import ScanEngine
 
