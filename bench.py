@@ -380,7 +380,8 @@ def bench_engine(path: Path, reps: int) -> dict:
         stream_supported as _ps_ok,
     )
 
-    if jax.default_backend() != "cpu" and _ps_ok(steps):
+    try:
+      if jax.default_backend() != "cpu" and _ps_ok(steps):
         from duckdb_parquet_parser_tpu.ops.pallas.stream_matcher import (
             match_stream_pallas_tiled as _mspt,
         )
@@ -409,6 +410,8 @@ def bench_engine(path: Path, reps: int) -> dict:
             f"(marginal {marg_mp*1000:.1f} ms)")
         if rate_mp > out["scan_multi3_pattern_rows_per_s"]:
             out["scan_multi3_pattern_rows_per_s"] = rate_mp
+    except Exception as e:  # Mosaic may not support every chip
+        log(f"pallas fused multi unavailable: {str(e)[:200]}")
 
     # length-bucketed serving layout (ResidentColumn's): each bucket walks
     # only to its own max payload length
@@ -465,7 +468,8 @@ def bench_engine(path: Path, reps: int) -> dict:
         tile_stream,
     )
 
-    if jax.default_backend() != "cpu" and stream_supported(steps):
+    pallas_ok = jax.default_backend() != "cpu" and stream_supported(steps)
+    if pallas_ok:
         n_pages_all = pd.shape[1]
         tiled = tile_stream(pd, steps)
         jax.block_until_ready(tiled)
@@ -482,8 +486,14 @@ def bench_engine(path: Path, reps: int) -> dict:
                 return jax.jit(f)
             return make
 
-        _, marg_ps = _marginal(make_pallas(PATTERN), (tiled, pld, nnd),
-                               reps_hi=1 + reps)
+        try:
+            _, marg_ps = _marginal(make_pallas(PATTERN), (tiled, pld, nnd),
+                                   reps_hi=1 + reps)
+        except Exception as e:  # Mosaic may not support every chip
+            log(f"pallas stream unavailable: {str(e)[:200]}")
+            marg_ps = None
+            pallas_ok = False
+    if pallas_ok and marg_ps is not None:
         out["scan_pallas_stream_rows_per_s"] = total / marg_ps
         log(f"scan pallas stream {PATTERN!r}: {total/marg_ps:.3g} rows/s "
             f"(marginal {marg_ps*1000:.2f} ms)")
@@ -492,6 +502,7 @@ def bench_engine(path: Path, reps: int) -> dict:
 
         # every pattern family serves through the same kernel — fold the
         # pallas numbers into the per-family metrics like the bucketed ones
+    if pallas_ok:
         for pat, key in ((PATTERN_GENERAL, "scan_general_rows_per_s"),
                          (PATTERN_ALT, "scan_alternation_rows_per_s"),
                          (PATTERN_WIDE, "scan_wide_rows_per_s")):
