@@ -582,18 +582,32 @@ class ResidentColumn:
         for (idx, steps, core, payload, plen), tiled in zip(self._buckets,
                                                             self._tiled):
             # Pallas streaming fast path: bitprog patterns over the tiled
-            # resident layout (round 3b); lax.scan otherwise
+            # resident layout (round 3b); lax.scan otherwise — and as the
+            # live fallback should Mosaic reject this chip/shape
             use_pallas = tiled is not None and prog_pattern is not None
-            step = _device_scan_step(
-                table.tobytes(), table.shape,
-                _np.ascontiguousarray(dfa.accept, bool).tobytes(),
-                self._batch.vmax, self._batch.nn_cap, self._batch.max_def,
-                bool(negate), True, tuple(chain) if chain else None,
-                prog_pattern, steps, True,
-                len(idx) if use_pallas else None,
-            )
-            pending.append((idx, step(core, tiled if use_pallas else payload,
-                                      plen, dict_match_d)))
+
+            def _bucket_step(use_pallas=use_pallas, steps=steps, idx=idx,
+                             core=core, payload=payload, plen=plen,
+                             tiled=tiled):
+                step = _device_scan_step(
+                    table.tobytes(), table.shape,
+                    _np.ascontiguousarray(dfa.accept, bool).tobytes(),
+                    self._batch.vmax, self._batch.nn_cap,
+                    self._batch.max_def, bool(negate),
+                    True, tuple(chain) if chain else None,
+                    prog_pattern, steps, True,
+                    len(idx) if use_pallas else None,
+                )
+                return step(core, tiled if use_pallas else payload, plen,
+                            dict_match_d)
+
+            if use_pallas:
+                try:
+                    pending.append((idx, _bucket_step()))
+                    continue
+                except Exception:  # Mosaic compile failure: lax fallback
+                    pass
+            pending.append((idx, _bucket_step(use_pallas=False)))
         for idx, (c, v) in pending:
             counts[idx] = _np.asarray(c, _np.int64)
             values[idx] = _np.asarray(v, _np.int64)
@@ -669,13 +683,25 @@ class ResidentColumn:
         for (idx, steps, core, payload, plen), tiled in zip(self._buckets,
                                                             self._tiled):
             use_pallas = tiled is not None and all_prog
-            step = _device_scan_multi_step(
-                tuple(pats[j] for j in fused), self._batch.vmax,
-                self._batch.nn_cap, self._batch.max_def, bool(negate),
-                steps, True, len(idx) if use_pallas else None,
-            )
-            pending.append((idx, step(core, tiled if use_pallas else payload,
-                                      plen, dm_d)))
+
+            def _bucket_step(use_pallas=use_pallas, steps=steps, idx=idx,
+                             core=core, payload=payload, plen=plen,
+                             tiled=tiled):
+                step = _device_scan_multi_step(
+                    tuple(pats[j] for j in fused), self._batch.vmax,
+                    self._batch.nn_cap, self._batch.max_def, bool(negate),
+                    steps, True, len(idx) if use_pallas else None,
+                )
+                return step(core, tiled if use_pallas else payload, plen,
+                            dm_d)
+
+            if use_pallas:
+                try:
+                    pending.append((idx, _bucket_step()))
+                    continue
+                except Exception:  # Mosaic compile failure: lax fallback
+                    pass
+            pending.append((idx, _bucket_step(use_pallas=False)))
         for idx, (cs, vs) in pending:
             for r in range(len(fused)):
                 counts[r, idx] = _np.asarray(cs[r], _np.int64)
