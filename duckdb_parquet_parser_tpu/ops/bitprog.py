@@ -52,8 +52,14 @@ MAX_MACHINES = 16      # top-level alternation fan-out bound
 MAX_SEGMENTS = 8       # '.*' gaps per machine (done bits share an int32)
 MAX_POSITIONS = 31     # positions per register (int32 bits 0..30)
 MAX_WIDE_REGS = 4      # registers a single WIDE segment may span (carry-chained)
-MAX_COUNTED = 124      # {m,n} expansion bound per atom (the real bound is the
-                       # segment length, MAX_POSITIONS * MAX_WIDE_REGS)
+MAX_COUNTED = 1 << 16  # {m,n} token-expansion sanity cap per atom.  The REAL
+                       # register bound (MAX_POSITIONS * MAX_WIDE_REGS = 124
+                       # positions per segment) is enforced AFTER
+                       # _collapse_lead_runs in compile_bitprog — a LEADING
+                       # same-class {m,n} of any size collapses to a counter
+                       # register, so 'x{500}' / '[a-z]{2000}q' compile while
+                       # 'q[ab]{500}z' still raises (mid-segment runs keep
+                       # their shift-ladder positions)
 
 
 class BitprogUnsupported(UnsupportedPattern):
@@ -201,6 +207,9 @@ class Machine:
     anch_e: bool = False     # accept sampled non-sticky (match must END at the
                              # value's last byte)
     always: bool = False     # matches every value incl. empty ('.*', 'a?', …)
+    lead_run: tuple | None = None  # (cls, mand, sticky): leading same-class
+                             # position run collapsed to a saturating counter
+                             # (_collapse_lead_runs); segments hold the residual
 
 
 def _as_class(node) -> frozenset | None:
@@ -254,12 +263,12 @@ def _flatten(node) -> list[list]:
         if cls is not None:
             if node.lo == 0 and node.hi is None and cls == ANY:
                 return [[GAP]]  # '.*' — the unanchored gap
+            if max(node.lo, node.hi or 0) > MAX_COUNTED:
+                raise BitprogUnsupported("counted repeat too large")
             if node.hi is None:
                 if node.lo == 0:
                     return [[(cls, Q_STAR)]]
                 return [[(cls, Q_ONE)] * (node.lo - 1) + [(cls, Q_PLUS)]]
-            if node.hi > MAX_COUNTED:
-                raise BitprogUnsupported("counted repeat too large")
             return [[(cls, Q_ONE)] * node.lo + [(cls, Q_OPT)] * (node.hi - node.lo)]
         # bounded repeat of a multi-byte group: expand by concatenation
         if node.hi is not None and node.hi <= 4:
@@ -357,10 +366,62 @@ def _segment(tokens: list) -> Machine | None:
         m.trail_gap = True
     if len(m.segments) > MAX_SEGMENTS:
         raise BitprogUnsupported("too many '.*' gaps")
-    for s in m.segments:
-        if len(s.cls) > MAX_POSITIONS * MAX_WIDE_REGS:
-            raise BitprogUnsupported("segment too long")
+    # NOTE: segment-length limits are enforced in compile_bitprog AFTER
+    # _collapse_lead_runs (a leading same-class run of any length collapses
+    # to a counter register and escapes the position budget entirely)
     return m
+
+
+LEAD_RUN_MIN = 9  # below this, the positions ride an existing shift ladder
+                  # for free; at/above, a counter register wins
+
+
+def _collapse_lead_runs(machines: list[Machine]) -> None:
+    """Collapse each unanchored machine's leading run of SAME-CLASS positions
+    into a saturating-counter register (Machine.lead_run).
+
+    Valid because an unanchored machine seeds a fresh match attempt at EVERY
+    byte: the run lengths that can precede the residual at byte t form the
+    full range {mand .. current same-class streak}, so "the residual may
+    start at byte t" reduces to "the streak of class bytes ending at t-1 is
+    >= mand" (mand = the run's required-position count).  The run's upper
+    bound and its optional/repeatable structure are both irrelevant — a
+    streak of k >= mand class bytes always contains a suffix the run
+    accepts.  The transition then pays ~4 ops/byte for the whole run
+    (saturating count + compare) instead of a 31-bit shift ladder per
+    register chunk — `[a-z ]{30,45}requests` drops from 2 carry-chained
+    registers (53 positions) to a counter plus an 8-position register.
+
+    sticky: the run was segment 0 ENTIRELY, so run-done feeds segments[1:]
+    like a '.*' done bit (once seen, seeds forever).  Non-sticky: the run
+    was a strict prefix of segment 0 — the residual's first position must
+    match the byte immediately after the streak, so it is seeded per byte
+    from the live counter."""
+    for m in machines:
+        if m.anch_s or m.always or not m.segments:
+            continue
+        seg = m.segments[0]
+        cls0 = seg.cls[0]
+        j = 1
+        while j < len(seg.cls) and seg.cls[j] == cls0:
+            j += 1
+        if j < LEAD_RUN_MIN:
+            continue
+        mand = sum(1 for q in seg.quant[:j] if q in (Q_ONE, Q_PLUS))
+        if mand < 1:
+            continue  # all-optional run: machine-level semantics unchanged
+        rest_cls, rest_q = seg.cls[j:], seg.quant[j:]
+        sticky = not rest_cls
+        if not sticky and not any(q in (Q_ONE, Q_PLUS) for q in rest_q):
+            # residual prefix with no required position: acceptance would
+            # need counter-OR-register accepts — rare shape, keep registers
+            continue
+        residual = ([] if sticky else [Segment(cls=rest_cls, quant=rest_q)])
+        residual += m.segments[1:]
+        if sum(len(s.cls) for s in residual) > MAX_POSITIONS:
+            continue  # v1: residual must fit one fused register
+        m.lead_run = (cls0, mand, sticky)
+        m.segments = residual
 
 
 @dataclass
@@ -380,6 +441,7 @@ class BitProgram:
         registers and reports the true count."""
         return sum(
             sum(-(-len(s.cls) // MAX_POSITIONS) for s in m.segments) + 1
+            + (2 if m.lead_run else 0)
             for m in self.machines
         ) + 1
 
@@ -417,10 +479,17 @@ def compile_bitprog(pattern: str) -> BitProgram:
             continue
         kept.append(m)
     machines = [] if always else kept
+    _collapse_lead_runs(machines)
+    for m in machines:
+        for s in m.segments:
+            if len(s.cls) > MAX_POSITIONS * MAX_WIDE_REGS:
+                raise BitprogUnsupported("segment too long")
     fp = (always, tuple(
         (
             m.anch_s,
             m.anch_e,
+            (None if m.lead_run is None
+             else (tuple(sorted(m.lead_run[0])), m.lead_run[1], m.lead_run[2])),
             tuple(
                 tuple(
                     (tuple(sorted(c)), q)
@@ -515,6 +584,26 @@ def _smear_plan(o_mask: int) -> tuple:
     return tuple(plan)
 
 
+def _arith_fill_ok(sc) -> bool:
+    """True when the epsilon smear may run as ONE arithmetic carry fill.
+
+    Within a contiguous optional run M, the upward closure of entering bits
+    t = f & M is exactly the carry-in set of the integer add M + t (the carry
+    enters every position above the lowest t bit and exits one past the run
+    top, then dies where M = 0):  fill = ((M + t) ^ M) ^ t.  That is 5 ops
+    independent of the run length, vs 3 ops per doubling level.
+
+    The add propagates carries through ANY contiguous run of the merged
+    o_mask — including runs spliced together across a machine/segment packing
+    boundary, where the doubling plan (masks computed per component) correctly
+    stops.  Safe iff every adjacent optional pair lies inside one component."""
+    adj = sc.o_mask & (sc.o_mask >> 1)
+    internal = 0
+    for cm in sc.o_runs:
+        internal |= cm & (cm >> 1)
+    return adj == internal
+
+
 @dataclass
 class _SegConsts:
     """Per-register compile-time constants of one (possibly packed) segment."""
@@ -531,6 +620,10 @@ class _SegConsts:
     width: int = 0         # bits used (packing watermark)
     anch_start_mask: int = 0  # start bits seeded only at the value's 1st byte
     acc_now_mask: int = 0     # NON-STICKY accept bits ('$'-anchored machines)
+    o_runs: tuple = ()     # per-component o_masks BEFORE merging: the
+                           # arithmetic carry fill (see _arith_fill_ok) is only
+                           # safe when no optional run crosses a component
+                           # (machine/segment) packing boundary
 
 
 def _seg_consts(seg: Segment, base: int) -> _SegConsts:
@@ -556,7 +649,8 @@ def _seg_consts(seg: Segment, base: int) -> _SegConsts:
         if seg.quant[i] not in (Q_OPT, Q_STAR):
             break
     return _SegConsts(weights, any_bits, r_mask, o_mask, _smear_plan(o_mask),
-                      acc_mask, 1 << base, 0, base + len(seg.cls))
+                      acc_mask, 1 << base, 0, base + len(seg.cls),
+                      o_runs=((o_mask,) if o_mask else ()))
 
 
 def _merge(a: _SegConsts, b: _SegConsts) -> _SegConsts:
@@ -575,7 +669,8 @@ def _merge(a: _SegConsts, b: _SegConsts) -> _SegConsts:
                       a.acc_mask | b.acc_mask, a.start_mask | b.start_mask, 0,
                       max(a.width, b.width),
                       a.anch_start_mask | b.anch_start_mask,
-                      a.acc_now_mask | b.acc_now_mask)
+                      a.acc_now_mask | b.acc_now_mask,
+                      a.o_runs + b.o_runs)
 
 
 def _chunk_consts(seg: Segment) -> list[_SegConsts]:
@@ -649,6 +744,17 @@ def _mask_plan(sc: _SegConsts, class_ids, specs) -> _MaskPlan:
 
 
 @dataclass
+class _CountedMachine:
+    """Lead-run counter machine (Machine.lead_run, _collapse_lead_runs)."""
+
+    run_cid: int | None    # specs index of the run class; None = ANY
+    mand: int              # counter threshold (saturation point)
+    sticky: bool           # run-done feeds residual like a '.*' done bit
+    res: tuple | None      # (consts, seg_offs, seg_accs) residual, or None
+    anch_e: bool
+
+
+@dataclass
 class _Compiled:
     """Register-compile stage shared by the per-byte and pair emitters."""
 
@@ -662,6 +768,8 @@ class _Compiled:
     bit_planes: list
     needs_marker: bool
     n_regs: int
+    counted: list = field(default_factory=list)        # _CountedMachine
+    counted_plans: list = field(default_factory=list)  # _MaskPlan | None
 
 
 def _compile_registers(prog: BitProgram) -> _Compiled:
@@ -672,8 +780,33 @@ def _compile_registers(prog: BitProgram) -> _Compiled:
     fused = []    # (consts, seg_offs, seg_accs, anch_e) per gapped machine
     chained = []  # per oversized machine: ([[chunk consts] per seg], anch_e)
     needs_marker = any(m.anch_s for m in prog.machines)
+    counted: list[_CountedMachine] = []
 
     for m in prog.machines:
+        if m.lead_run is not None:
+            run_cls, mand, sticky = m.lead_run
+            if run_cls == ANY:
+                rcid = None
+            else:
+                if run_cls not in class_ids:
+                    class_ids[run_cls] = len(specs)
+                    specs.append(_intervals(run_cls))
+                rcid = class_ids[run_cls]
+            res = None
+            if m.segments:
+                base = 0
+                consts = None
+                seg_offs, seg_accs = [], []
+                for seg in m.segments:
+                    sc = _seg_consts(seg, base)
+                    seg_offs.append(base)
+                    seg_accs.append(sc.acc_mask)
+                    consts = sc if consts is None else _merge(consts, sc)
+                    base += len(seg.cls)
+                consts.start_mask = 0  # seeded by the counter, never freely
+                res = (consts, tuple(seg_offs), tuple(seg_accs))
+            counted.append(_CountedMachine(rcid, mand, sticky, res, m.anch_e))
+            continue
         if len(m.segments) == 1 and len(m.segments[0].cls) <= MAX_POSITIONS:
             seg = m.segments[0]
 
@@ -728,10 +861,15 @@ def _compile_registers(prog: BitProgram) -> _Compiled:
         [[_mask_plan(sc, class_ids, specs) for sc in chunks] for chunks in segs]
         for segs, _ in chained
     ]
+    counted_plans = [
+        _mask_plan(e.res[0], class_ids, specs) if e.res is not None else None
+        for e in counted
+    ]
     bit_planes = sorted({
         k
         for plan in (packed_plans + fused_plans
-                     + [p for seg in chained_plans for ch in seg for p in ch])
+                     + [p for seg in chained_plans for ch in seg for p in ch]
+                     + [p for p in counted_plans if p is not None])
         if plan.bslice is not None
         for k, _, _ in plan.bslice[3]
     })
@@ -744,9 +882,12 @@ def _compile_registers(prog: BitProgram) -> _Compiled:
     n_regs = (sum(2 if sc.acc_mask else 1 for sc in packed)
               + 2 * len(fused)
               + sum(sum(len(ch) for ch in s) + 1 for s, _ in chained)
+              + sum(3 if e.res is not None else (1 if e.anch_e else 2)
+                    for e in counted)
               + (1 if needs_marker else 0))
     return _Compiled(packed, fused, chained, packed_plans, fused_plans,
-                     chained_plans, specs, bit_planes, needs_marker, n_regs)
+                     chained_plans, specs, bit_planes, needs_marker, n_regs,
+                     counted, counted_plans)
 
 
 def make_bitprog_transition(xp, prog: BitProgram):
@@ -790,6 +931,7 @@ def make_bitprog_transition(xp, prog: BitProgram):
     packed, fused, chained = cp.packed, cp.fused, cp.chained
     packed_plans, fused_plans = cp.packed_plans, cp.fused_plans
     chained_plans = cp.chained_plans
+    counted, counted_plans = cp.counted, cp.counted_plans
     specs, bit_planes = cp.specs, cp.bit_planes
     needs_marker, n_regs = cp.needs_marker, cp.n_regs
 
@@ -853,11 +995,23 @@ def make_bitprog_transition(xp, prog: BitProgram):
             if clear:
                 f = f & ~clear
             f = f | seed
-            for d, m in sc.smear_plan:
-                inc = (f & m) << d
+            if len(sc.smear_plan) >= 2 and _arith_fill_ok(sc):
+                # arithmetic carry fill: constant 5 ops vs 3/doubling level
+                # (_arith_fill_ok proves no run crosses a component boundary;
+                # a `clear` bit inside a run would also cross one, so a single
+                # post-fill clear matches the per-level doubling clears)
+                m = sc.o_mask
+                t = f & m
+                inc = ((m + t) ^ m) ^ t
                 if clear:
                     inc = inc & ~clear
                 f = f | inc
+            else:
+                for d, m in sc.smear_plan:
+                    inc = (f & m) << d
+                    if clear:
+                        inc = inc & ~clear
+                    f = f | inc
             b = byte_mask(plan)
             nxt = f & b
             if sc.r_mask:
@@ -953,6 +1107,48 @@ def make_bitprog_transition(xp, prog: BitProgram):
                     last_hit = hit
             acc_or(last_hit if anch_e else ((new_done >> (len(segs) - 1)) & 1))
             new_state.append(new_done)
+        for ent, plan in zip(counted, counted_plans):
+            # lead-run counter machine: cnt = saturating streak of run-class
+            # bytes (value-boundary resets zero it like any register)
+            cnt = state[reg_at]
+            reg_at += 1
+            inc = xp.minimum(cnt + 1, ent.mand)
+            new_cnt = (inc if ent.run_cid is None
+                       else xp.where(tests[ent.run_cid], inc, 0))
+            new_state.append(new_cnt)
+            hit_now = (new_cnt >= ent.mand).astype(xp.int32)
+            if ent.res is None:
+                if ent.anch_e:
+                    acc_or(hit_now)  # run must END at the value's last byte
+                else:
+                    stick = state[reg_at] | hit_now
+                    reg_at += 1
+                    new_state.append(stick)
+                    acc_or(stick)
+                continue
+            sc, seg_offs, seg_accs = ent.res
+            old_reg, done = state[reg_at], state[reg_at + 1]
+            reg_at += 2
+            # done bit 0 = run-done (sticky machines only: run was segment 0
+            # entirely, so it seeds like a '.*' done bit); residual segment s
+            # owns done bit s+1.  Non-sticky: the residual's first position
+            # must start the byte right after the streak — seed it from the
+            # LIVE counter (run through the previous byte) instead.
+            seed = (done & 1) if ent.sticky else (cnt >= ent.mand).astype(
+                xp.int32)
+            for s in range(1, len(seg_offs)):
+                seed = seed | (((done >> s) & 1) << seg_offs[s])
+            reg, _ = advance(sc, plan, old_reg, seed)
+            new_done = (done | hit_now) if ent.sticky else done
+            last_hit = None
+            for s, acc_mask in enumerate(seg_accs):
+                hit = ((reg & acc_mask) != 0).astype(xp.int32)
+                new_done = new_done | (hit << (s + 1))
+                last_hit = hit
+            acc_or(last_hit if ent.anch_e
+                   else ((new_done >> len(seg_accs)) & 1))
+            new_state.append(reg)
+            new_state.append(new_done)
 
         if needs_marker:
             new_state.append(xp.ones_like(c))
@@ -993,6 +1189,8 @@ def pair_supported(prog: BitProgram) -> bool:
     no optional positions — the family `make_bitprog_transition_pair`
     covers."""
     for m in prog.machines:
+        if m.lead_run is not None:
+            return False          # counter machines: per-byte only
         total = sum(len(s.cls) for s in m.segments)
         if total > MAX_POSITIONS:
             return False          # chained/wide registers: per-byte only

@@ -53,8 +53,9 @@ SUPPORTED = [
 UNSUPPORTED = [
     "(ab)*x",          # unbounded multi-byte repeat
     "aa|bb|cc|dd|ee|ff|gg|hh|ii|jj|kk|ll|mm|nn|oo|pp|qq",  # > MAX_MACHINES
-    "x{140}",          # counted repeat > MAX_COUNTED
-    "a" * 130,         # segment > MAX_POSITIONS * MAX_WIDE_REGS
+    "qx{140}z",        # MID-segment 140-run: > MAX_POSITIONS * MAX_WIDE_REGS
+    "q" + "a" * 130,   # segment > MAX_POSITIONS * MAX_WIDE_REGS (non-leading)
+    "x{99999}",        # beyond the token-expansion sanity cap
     "a?^b",            # anchor adjacent to an optional (positional)
     "^a?$",            # empty-matching branch pinned by both anchors
 ]
@@ -504,3 +505,163 @@ def test_wide_counted_repeats():
                                     prog=prog)
         np.testing.assert_array_equal(h, want, err_msg=pattern)
         assert want.sum() > 0  # the generator must produce real matches
+
+
+def test_arith_fill_safety_and_parity(pages):
+    """The arithmetic carry-fill smear (constant 5 ops) must only engage when
+    no optional run crosses a packed-component boundary, and must stay
+    bit-identical to the doubling plan wherever it engages."""
+    from duckdb_parquet_parser_tpu.ops.bitprog import (
+        _arith_fill_ok,
+        _compile_registers,
+    )
+
+    # trailing optional of machine 0 adjacent to leading optional of
+    # machine 1 in the shared register -> the add would leak a carry
+    # across the boundary -> must be flagged unsafe
+    cp = _compile_registers(compile_bitprog("ab?|c?d"))
+    (sc,) = cp.packed
+    assert not _arith_fill_ok(sc)
+
+    # non-adjacent optionals across the same boundary -> safe
+    cp = _compile_registers(compile_bitprog("ab?x|yc?d"))
+    (sc,) = cp.packed
+    assert _arith_fill_ok(sc)
+
+    # DFA parity on smear-heavy shapes: long optional runs (arith path),
+    # packed boundary-adjacent optionals (doubling fallback), fused gapped
+    # machines with optional tails, anchored optionals (clear interaction)
+    pm, pl, nn = pages
+    for pattern in [
+        "ab?|c?d", "xy?|z?w|q?r", "a?b|c?d",
+        "qa?b?c?d?e?f?g?x", "q[ab]{2,9}z", "a?b?c?.*x?y?z",
+        "^a?b?c?q", "qa?b?c?$", "ga?b?q|xc?d?y",
+    ]:
+        prog = compile_bitprog(pattern)
+        dfa = compile_pattern(pattern)
+        h_dfa, s_dfa = match_payload_stream(np, pm, pl, nn, dfa.table,
+                                            dfa.accept)
+        h_bp, s_bp = match_payload_stream(np, pm, pl, nn, dfa.table,
+                                          dfa.accept, prog=prog)
+        np.testing.assert_array_equal(h_bp, h_dfa, err_msg=pattern)
+        np.testing.assert_array_equal(s_bp, s_dfa, err_msg=pattern)
+
+
+def test_lead_run_counter_semantics():
+    """Leading same-class runs collapse to a saturating counter
+    (_collapse_lead_runs).  Adversarial streak shapes around the threshold:
+    exact/short/long runs, interrupted streaks, streaks ending at the value
+    edge, '$' samples, '.*' residuals, ANY-class runs, and residual chars
+    that themselves extend the class streak."""
+    import re as _re
+
+    from duckdb_parquet_parser_tpu.ops.bitprog import _compile_registers
+
+    def pages_from(values_per_page):
+        payloads, plens, nns = [], [], []
+        for page in values_per_page:
+            buf = bytearray()
+            for v in page:
+                buf += len(v).to_bytes(4, "little") + v
+            payloads.append(bytes(buf))
+            plens.append(len(buf))
+            nns.append(len(page))
+        pitch = max(plens) + 8
+        pm = np.zeros((len(payloads), pitch), np.uint8)
+        for i, b in enumerate(payloads):
+            pm[i, : len(b)] = np.frombuffer(b, np.uint8)
+        return pm, np.array(plens, np.int32), np.array(nns, np.int32)
+
+    cases = {
+        "[ab]{10}": [b"a" * 9, b"a" * 10, b"ab" * 5, b"a" * 30,
+                     b"a" * 9 + b"x" + b"b" * 9, b"a" * 5 + b"b" * 5,
+                     b"x" * 4 + b"ab" * 6 + b"x", b""],
+        "[ab]{12}$": [b"a" * 12, b"a" * 12 + b"x", b"x" + b"b" * 12,
+                      b"a" * 11, b"a" * 20 + b"b"],
+        "[a-z]{9,11}q": [b"abcdefghi" + b"q", b"abcdefgh" + b"q",
+                         b"z" * 40 + b"q", b"z" * 8 + b" " + b"z" * 9 + b"q",
+                         b"q" * 10, b"qqqqqqqqq"],
+        ".{12}q": [b"x" * 12 + b"q", b"x" * 11 + b"q", b"q" * 13,
+                   b"\x00" * 12 + b"q"],
+        "[ab]{9}c?d": [b"a" * 9 + b"d", b"a" * 9 + b"cd", b"a" * 9 + b"ccd",
+                       b"a" * 8 + b"cd", b"b" * 15 + b"d"],
+        "[a-z]{10}.*qx": [b"m" * 10 + b"   qx", b"m" * 10 + b"qx",
+                          b"m" * 9 + b"qx", b"m" * 10, b"qx" + b"m" * 10],
+        "e{9}|q{9}": [b"e" * 9, b"q" * 9, b"e" * 8 + b"q" * 8,
+                      b"e" * 4 + b"q" * 9],
+        # residual chars extend the class streak (overlap shape)
+        "[a-z]{10,12}requests": [b"m" * 10 + b"requests",
+                                 b"m" * 2 + b"requests" + b"requests",
+                                 b"m" * 9 + b"requests",
+                                 b"requestsrequests", b"requests" * 3],
+    }
+    for pat, vals in cases.items():
+        prog = compile_bitprog(pat)
+        assert _compile_registers(prog).counted, pat  # transform engaged
+        rx = _re.compile(pat.encode())
+        pages = [vals[i : i + 3] for i in range(0, len(vals), 3)]
+        pages = [p for p in pages if p]
+        pm, pl, nn = pages_from(pages)
+        want = np.array([sum(1 for v in page if rx.search(v))
+                         for page in pages])
+        h, seen = match_payload_stream(np, pm, pl, nn, None, None, prog=prog)
+        np.testing.assert_array_equal(h, want, err_msg=pat)
+        np.testing.assert_array_equal(seen, [len(p) for p in pages],
+                                      err_msg=pat)
+    # fuzz: random streak soups vs re, numpy AND jax paths
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(123)
+    pats = ["[ab]{9}", "[ab]{9,14}x", "[ab]{10}.*q", "[ab]{12}$",
+            "a{9}b", ".{9}b"]
+    pages = []
+    for _ in range(40):
+        page = []
+        for _ in range(int(rng.integers(1, 5))):
+            parts = []
+            for _ in range(int(rng.integers(1, 5))):
+                ch = bytes([int(rng.choice([97, 98, 120, 113]))])
+                parts.append(ch * int(rng.integers(0, 16)))
+            page.append(b"".join(parts))
+        pages.append(page)
+    pm, pl, nn = pages_from(pages)
+    for pat in pats:
+        prog = compile_bitprog(pat)
+        rx = _re.compile(pat.encode())
+        want = np.array([sum(1 for v in page if rx.search(v))
+                         for page in pages])
+        h, _ = match_payload_stream(np, pm, pl, nn, None, None, prog=prog)
+        np.testing.assert_array_equal(h, want, err_msg=pat)
+        hj, _ = match_payload_stream(jnp, jnp.asarray(pm), jnp.asarray(pl),
+                                     jnp.asarray(nn), None, None, prog=prog)
+        np.testing.assert_array_equal(np.asarray(hj), want, err_msg=pat)
+
+
+def test_lead_run_lifts_counted_limit():
+    """Leading counted repeats beyond the old 124-position register budget
+    now compile via the counter (MAX_COUNTED is a token sanity cap only);
+    mid-segment runs keep raising."""
+    import re as _re
+
+    for pat, mk in [
+        ("x{140}", lambda k: b"x" * k),
+        ("a" * 130, lambda k: b"a" * k),
+        ("[ab]{200}q", lambda k: b"ab" * (k // 2) + b"q"),
+        ("m{500}", lambda k: b"m" * k),
+    ]:
+        prog = compile_bitprog(pat)  # must not raise
+        rx = _re.compile(pat.encode())
+        m = 500 if "500" in pat else (200 if "200" in pat else
+                                      (140 if "140" in pat else 130))
+        vals = [mk(m - 1), mk(m), mk(m + 40), b"q" * 8]
+        payloads, plens = [], []
+        for v in vals:
+            payloads.append(len(v).to_bytes(4, "little") + v)
+        buf = b"".join(payloads)
+        pm = np.zeros((1, len(buf) + 8), np.uint8)
+        pm[0, : len(buf)] = np.frombuffer(buf, np.uint8)
+        want = sum(1 for v in vals if rx.search(v))
+        h, seen = match_payload_stream(
+            np, pm, np.array([len(buf)], np.int32),
+            np.array([len(vals)], np.int32), None, None, prog=prog)
+        assert int(h[0]) == want and int(seen[0]) == len(vals), pat
