@@ -116,7 +116,14 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     int32_t num_values, nn, kind, idx_bw;
     int64_t row_start, gid;
     int32_t rg, dict_base, dict_size;  // dict_base local to rg; fixed in merge
-    std::vector<Run> def_runs, idx_runs;
+    // def/idx runs live in the owning RgResult's run_arena (one heap alloc
+    // per ROW GROUP instead of per page — a per-page std::vector<Run>
+    // measured ~150 ns/page of malloc churn, the bulk of the walk on 1 KB-
+    // page columns); def_runs_p/idx_runs_p are fixed up after the walk.
+    int32_t def_run_at = 0, def_nruns = 0;
+    int32_t idx_run_at = 0, idx_nruns = 0;
+    const Run* def_runs_p = nullptr;
+    const Run* idx_runs_p = nullptr;
     const uint8_t* def_ptr = nullptr;
     int64_t def_len = 0;
     const uint8_t* rep_ptr = nullptr;  // nested columns (max_rep > 0)
@@ -139,6 +146,7 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
                                       // straight into the mmap)
     std::vector<std::vector<uint8_t>> decomp;  // per-page Snappy buffers
                                                // (PageTmp spans point here)
+    std::vector<Run> run_arena;  // all pages' def/idx runs, back to back
     int32_t dict_n = 0;
   };
   std::vector<RgResult> rg_results(size_t(std::max(rg1 - rg0, 0)));
@@ -271,11 +279,13 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
                                                        // the rep_levels plane
           t.def_ptr = cur.bytes(size_t(pr.v2_def_len));
           t.def_len = pr.v2_def_len;
+          t.def_run_at = int32_t(out.run_arena.size());
           rle_prescan(t.def_ptr, size_t(t.def_len), def_bw, t.num_values,
-                      t.def_runs);
-          t.nn = int32_t(count_matching(t.def_runs, t.def_ptr,
-                                        size_t(t.def_len), def_bw,
-                                        lf.max_def));
+                      out.run_arena);
+          t.def_nruns = int32_t(out.run_arena.size()) - t.def_run_at;
+          t.nn = int32_t(count_matching(
+              out.run_arena.data() + t.def_run_at, size_t(t.def_nruns),
+              t.def_ptr, size_t(t.def_len), def_bw, lf.max_def));
         } else {
           cur.bytes(size_t(pr.v2_def_len));
           t.nn = t.num_values;
@@ -296,9 +306,13 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
           uint32_t def_len = cur.le<uint32_t>();
           t.def_ptr = cur.bytes(def_len);
           t.def_len = def_len;
-          rle_prescan(t.def_ptr, def_len, def_bw, t.num_values, t.def_runs);
-          t.nn = int32_t(count_matching(t.def_runs, t.def_ptr, def_len,
-                                        def_bw, lf.max_def));
+          t.def_run_at = int32_t(out.run_arena.size());
+          rle_prescan(t.def_ptr, def_len, def_bw, t.num_values,
+                      out.run_arena);
+          t.def_nruns = int32_t(out.run_arena.size()) - t.def_run_at;
+          t.nn = int32_t(count_matching(
+              out.run_arena.data() + t.def_run_at, size_t(t.def_nruns),
+              t.def_ptr, def_len, def_bw, lf.max_def));
         } else {
           t.nn = t.num_values;
         }
@@ -323,7 +337,10 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
         t.idx_bw = cur.u8();
         t.val_len = int64_t(cur.left());
         t.val_ptr = cur.bytes(size_t(t.val_len));
-        rle_prescan(t.val_ptr, size_t(t.val_len), t.idx_bw, t.nn, t.idx_runs);
+        t.idx_run_at = int32_t(out.run_arena.size());
+        rle_prescan(t.val_ptr, size_t(t.val_len), t.idx_bw, t.nn,
+                    out.run_arena);
+        t.idx_nruns = int32_t(out.run_arena.size()) - t.idx_run_at;
       } else if (is_bool && pr.encoding == E_RLE) {
         // RLE booleans (pyarrow's V2 default for BOOLEAN): u32-prefixed
         // hybrid runs of 1-bit values — expanded here to the bit-packed
@@ -375,11 +392,12 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
             out.str_chars.insert(out.str_chars.end(), p, p + len);
           }
         } else if (want_views) {
-          if (col_direct && t.nn == t.num_values) {
-            // null-free plain page in lean views mode: the pack pass
-            // parses the prefixes straight into col_offs/col_lens —
-            // skip the intermediate vectors entirely (bounds still
-            // checked there via the same Cursor)
+          if (col_direct) {
+            // plain page in lean views mode (null-free OR sparse): the
+            // pack pass parses the prefixes straight into
+            // col_offs/col_lens (def runs drive the slot mapping for
+            // pages with nulls) — skip the intermediate vectors entirely
+            // (bounds still checked there via the same Cursor)
           } else {
             Cursor vc(t.val_ptr, size_t(t.val_len));
             t.slens.reserve(size_t(t.nn));
@@ -455,6 +473,9 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   int64_t dict_chars_total = 0, str_chars_total = 0;
   for (auto& res : rg_results) {
     for (auto& t : res.pages) {
+      // run_arena is final now (the walk is done): resolve span pointers
+      t.def_runs_p = res.run_arena.data() + t.def_run_at;
+      t.idx_runs_p = res.run_arena.data() + t.idx_run_at;
       tmp.push_back(&t);
       page_dict_base_fix.push_back(t.dict_base >= 0 ? t.dict_base + dict_n : -1);
       page_schar_fix.push_back(t.schar_start + str_chars_total);
@@ -473,8 +494,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     const PageTmp& t = *tp;
     vmax = std::max<int64_t>(vmax, t.num_values);
     nn_cap = std::max<int64_t>(nn_cap, t.nn);
-    def_rmax = std::max<int64_t>(def_rmax, int64_t(t.def_runs.size()));
-    idx_rmax = std::max<int64_t>(idx_rmax, int64_t(t.idx_runs.size()));
+    def_rmax = std::max<int64_t>(def_rmax, int64_t(t.def_nruns));
+    idx_rmax = std::max<int64_t>(idx_rmax, int64_t(t.idx_nruns));
     def_pad = std::max<int64_t>(def_pad, t.def_len);
     if (t.kind == 1) idx_pad = std::max<int64_t>(idx_pad, t.val_len);
     payload_max = std::max<int64_t>(payload_max, t.val_len);
@@ -647,8 +668,10 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     col_valid = store->alloc<uint8_t>("col_valid", {tr});
     if (is_ba) {
       col_offs = store->alloc<int64_t>("col_offs", {tr});
+      // -1 = NULL sentinel in col_lens: filled PER PAGE inside the parallel
+      // pack pass (generic pages only — the direct branches write every
+      // slot), not as an eager single-threaded memset here
       col_lens = store->alloc<int32_t>("col_lens", {tr});
-      std::memset(col_lens, 0xFF, size_t(tr) * sizeof(int32_t));  // -1 = NULL
       col_src = store->alloc<uint8_t>("col_src", {tr});
     } else {
       col_values = store->alloc<uint8_t>("col_values", {tr, col_w});
@@ -674,8 +697,9 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     dims["total_rows"] = total_rows;
     const int64_t ic = std::max<int64_t>(idx_cap, 1);
     idx_pos = store->alloc<int64_t>("idx_emit_pos", {ic});
+    // -1 = dropped-slot sentinel: filled per page in the pack pass (generic
+    // pages only), same as col_lens above
     idx_len = store->alloc<int32_t>("idx_emit_len", {ic});
-    std::memset(idx_len, 0xFF, size_t(ic) * sizeof(int32_t));
   }
 
   // Pack pass: each page writes a disjoint row of every plane, so split the
@@ -695,8 +719,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     p_kind[i] = t.kind;
     p_dbw[i] = lf.max_def > 0 ? def_bw : 0;
     p_ibw[i] = t.idx_bw;
-    p_dnr[i] = int32_t(t.def_runs.size());
-    p_inr[i] = int32_t(t.idx_runs.size());
+    p_dnr[i] = t.def_nruns;
+    p_inr[i] = t.idx_nruns;
     p_row[i] = t.row_start;
     p_gid[i] = t.gid;
     p_rg[i] = t.rg;
@@ -705,8 +729,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     p_pl[i] = int32_t(t.val_len);
 
     if (dr.kind) {
-      for (size_t r = 0; r < t.def_runs.size(); r++) {
-        const Run& rn = t.def_runs[r];
+      for (size_t r = 0; r < size_t(t.def_nruns); r++) {
+        const Run& rn = t.def_runs_p[r];
         int64_t k = i * def_rmax + int64_t(r);
         dr.kind[k] = rn.kind;
         dr.count[k] = rn.count;
@@ -714,8 +738,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
         dr.bitoff[k] = rn.bitoff;
         dr.vstart[k] = rn.vstart;
       }
-      for (size_t r = 0; r < t.idx_runs.size(); r++) {
-        const Run& rn = t.idx_runs[r];
+      for (size_t r = 0; r < size_t(t.idx_nruns); r++) {
+        const Run& rn = t.idx_runs_p[r];
         int64_t k = i * idx_rmax + int64_t(r);
         ir.kind[k] = rn.kind;
         ir.count[k] = rn.count;
@@ -730,7 +754,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       std::memcpy(a_idx + i * idx_pad, t.val_ptr, size_t(t.val_len));
     if (a_deflev && t.def_len) {
       uint8_t* row = a_deflev + i * vmax;
-      expand_runs_to(t.def_runs, t.def_ptr, size_t(t.def_len), def_bw,
+      expand_runs_to(t.def_runs_p, size_t(t.def_nruns), t.def_ptr,
+                     size_t(t.def_len), def_bw,
                      [&](int32_t v, int32_t val) {
                        if (v >= 0 && v < vmax) row[v] = uint8_t(val);
                      });
@@ -750,13 +775,15 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       // its row position (nulls keep the -1 fill)
       int32_t* row = a_idxv + i * vmax;
       idx_scratch.assign(size_t(std::max(t.nn, 0)), 0);
-      expand_runs_to(t.idx_runs, t.val_ptr, size_t(t.val_len), t.idx_bw,
+      expand_runs_to(t.idx_runs_p, size_t(t.idx_nruns), t.val_ptr,
+                     size_t(t.val_len), t.idx_bw,
                      [&](int32_t v, int32_t val) {
                        if (v >= 0 && v < t.nn) idx_scratch[size_t(v)] = val;
                      });
       if (lf.max_def > 0) {
         int32_t k = 0;
-        expand_runs_to(t.def_runs, t.def_ptr, size_t(t.def_len), def_bw,
+        expand_runs_to(t.def_runs_p, size_t(t.def_nruns), t.def_ptr,
+                     size_t(t.def_len), def_bw,
                        [&](int32_t v, int32_t lvl) {
                          if (lvl == lf.max_def && v < t.num_values &&
                              k < t.nn) {
@@ -815,9 +842,43 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
         }
         continue;
       }
+      // Sparse plain page in lean views mode (col_direct skipped the
+      // slens/soffs vectors in the walk): the def runs drive the slot
+      // mapping — non-null storage order IS prefix order — and the
+      // prefixes parse straight into the final arrays.  col_valid/col_src
+      // stay 0 at null slots (planes are zero-initialized).
+      if (is_ba && t.kind == 0 && want_views && want_column &&
+          t.slens.empty() && t.nn != t.num_values) {
+        Cursor vc(t.val_ptr, size_t(t.val_len));
+        expand_runs_to(t.def_runs_p, size_t(t.def_nruns), t.def_ptr,
+                     size_t(t.def_len), def_bw,
+                       [&](int32_t v, int32_t lvl) {
+                         if (v >= t.num_values) return;
+                         if (lvl != lf.max_def) {
+                           col_lens[base + v] = -1;  // NULL sentinel
+                           return;
+                         }
+                         uint32_t len = vc.le<uint32_t>();
+                         const uint8_t* p = vc.bytes(len);
+                         col_offs[base + v] = int64_t(p - map_);
+                         col_lens[base + v] = int32_t(len);
+                         col_valid[base + v] = 1;
+                       });
+        continue;
+      }
+      // Generic pages (dict-encoded, copy-mode strings, V2/delta shapes):
+      // pre-fill the NULL/dropped sentinels the value walk below leaves
+      // unset — per page, inside this parallel pass (an eager whole-column
+      // memset measured several single-threaded ms on 2M-row columns)
+      if (col_lens && t.num_values > 0)
+        std::memset(col_lens + base, 0xFF,
+                    size_t(t.num_values) * sizeof(int32_t));
+      if (want_index && t.nn > 0)
+        std::memset(idx_len + ebase, 0xFF, size_t(t.nn) * sizeof(int32_t));
       if (t.kind == 1) {
         idx_scratch.assign(size_t(std::max(t.nn, 0)), 0);
-        expand_runs_to(t.idx_runs, t.val_ptr, size_t(t.val_len), t.idx_bw,
+        expand_runs_to(t.idx_runs_p, size_t(t.idx_nruns), t.val_ptr,
+                     size_t(t.val_len), t.idx_bw,
                        [&](int32_t v, int32_t val) {
                          if (v >= 0 && v < t.nn) idx_scratch[size_t(v)] = val;
                        });
@@ -876,7 +937,8 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       };
       if (lf.max_def > 0 && t.nn != t.num_values) {
         int32_t k = 0;
-        expand_runs_to(t.def_runs, t.def_ptr, size_t(t.def_len), def_bw,
+        expand_runs_to(t.def_runs_p, size_t(t.def_nruns), t.def_ptr,
+                     size_t(t.def_len), def_bw,
                        [&](int32_t v, int32_t lvl) {
                          if (lvl == lf.max_def && v < t.num_values)
                            value_at(v, k++);

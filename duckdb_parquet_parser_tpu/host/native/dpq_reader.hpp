@@ -125,13 +125,29 @@ struct PageRec {
 
 enum DType : int32_t { DT_U8 = 1, DT_I32 = 2, DT_I64 = 3 };
 
+// Deleter for batch-array buffers: big planes are anonymous mmaps (huge-page
+// madvised), small ones calloc.
+struct BatchBufFree {
+  size_t map_bytes = 0;  // 0 = calloc-backed
+  void operator()(uint8_t* p) const {
+    if (!p) return;
+    if (map_bytes)
+      ::munmap(p, map_bytes);
+    else
+      std::free(p);
+  }
+};
+
 struct NamedArray {
   int32_t dtype = DT_U8;
   std::vector<int64_t> shape;
-  // calloc-backed so large padded planes are zeroed lazily by the kernel
-  // (first-touch) instead of an eager memset — measured tens of ms on the
-  // 100+ MB payload matrices of a 2M-row column.
-  std::unique_ptr<uint8_t, decltype(&std::free)> buf{nullptr, &std::free};
+  // Zero pages come lazily from the kernel (first-touch) instead of an eager
+  // memset — measured tens of ms on the 100+ MB payload matrices of a
+  // 2M-row column.  Planes >= 2 MB are anonymous mmaps with MADV_HUGEPAGE:
+  // this box runs THP in `madvise` mode, and 4 KB first-touch faults on the
+  // fresh ~30 MB of column planes cost several ms PER READ (allocations are
+  // per-call, so the faults recur every call).
+  std::unique_ptr<uint8_t, BatchBufFree> buf{nullptr, BatchBufFree{}};
   size_t nbytes = 0;
 
   int64_t numel() const {
@@ -155,7 +171,14 @@ struct ArrayStore {
                                                 : DT_I64;
     a.shape = std::move(shape);
     a.nbytes = size_t(a.numel()) * sizeof(T);
-    a.buf.reset(static_cast<uint8_t*>(std::calloc(std::max(a.nbytes, size_t(1)), 1)));
+    // NOTE: MADV_HUGEPAGE was tried here (THP runs in `madvise` mode on this
+    // box) and REVERTED: with defrag=madvise a huge-page fault does
+    // synchronous compaction, and packs that cost 25 ms went to 220-380 ms
+    // under memory pressure.  Plain calloc's 4 KB first-touch faults are the
+    // stable choice.
+    a.buf = std::unique_ptr<uint8_t, BatchBufFree>(
+        static_cast<uint8_t*>(std::calloc(std::max(a.nbytes, size_t(1)), 1)),
+        BatchBufFree{});
     if (!a.buf) throw Error("out of memory allocating batch array " + name);
     auto [it, ok] = arrays.emplace(name, std::move(a));
     (void)ok;
@@ -223,10 +246,11 @@ inline void rle_prescan(const uint8_t* d, size_t size, int bw, int64_t want,
 // 4-byte windows — the byte-level parsing the device would otherwise redo
 // with ~15 ns/element gathers every decode.
 template <typename Write>
-inline void expand_runs_to(const std::vector<Run>& runs, const uint8_t* sec,
+inline void expand_runs_to(const Run* runs, size_t n_runs, const uint8_t* sec,
                            size_t len, int bw, Write&& write) {
   const uint32_t mask = bw >= 32 ? ~0u : ((1u << bw) - 1);
-  for (const Run& r : runs) {
+  for (size_t ri = 0; ri < n_runs; ri++) {
+    const Run& r = runs[ri];
     if (r.kind == 0) {
       for (int32_t i = 0; i < r.count; i++) write(r.vstart + i, r.value);
     } else if (bw > 0 && bw <= 24) {
@@ -255,6 +279,13 @@ inline void expand_runs_to(const std::vector<Run>& runs, const uint8_t* sec,
   }
 }
 
+template <typename Write>
+inline void expand_runs_to(const std::vector<Run>& runs, const uint8_t* sec,
+                           size_t len, int bw, Write&& write) {
+  expand_runs_to(runs.data(), runs.size(), sec, len, bw,
+                 std::forward<Write>(write));
+}
+
 // Extract one bw-bit little-endian value at `bitpos` (zero beyond `size`).
 inline uint32_t bits_at(const uint8_t* d, size_t size, int64_t bitpos, int bw) {
   uint32_t v = 0;
@@ -267,10 +298,11 @@ inline uint32_t bits_at(const uint8_t* d, size_t size, int64_t bitpos, int bw) {
 }
 
 // Count values equal to `target` across pre-scanned runs of one section.
-inline int64_t count_matching(const std::vector<Run>& runs, const uint8_t* d,
+inline int64_t count_matching(const Run* runs, size_t n_runs, const uint8_t* d,
                               size_t size, int bw, int64_t target) {
   int64_t n = 0;
-  for (const Run& r : runs) {
+  for (size_t ri = 0; ri < n_runs; ri++) {
+    const Run& r = runs[ri];
     if (r.kind == 0) {
       if (r.value == target) n += r.count;
     } else if (bw == 1 && target == 1) {
@@ -283,6 +315,11 @@ inline int64_t count_matching(const std::vector<Run>& runs, const uint8_t* d,
     }
   }
   return n;
+}
+
+inline int64_t count_matching(const std::vector<Run>& runs, const uint8_t* d,
+                              size_t size, int bw, int64_t target) {
+  return count_matching(runs.data(), runs.size(), d, size, bw, target);
 }
 
 inline int64_t round_up(int64_t v, int64_t m) { return (v + m - 1) / m * m; }
