@@ -253,6 +253,28 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
     const size_t K = pat.needles.size();
     std::vector<std::vector<uint64_t>> masks(K);  // chain candidate bitmasks
 
+    // Chunk-level candidate sweep (uncompressed chains): ONE SIMD pass per
+    // needle over the whole chunk span instead of one per 1 KB page — the
+    // per-page sweeps were call/setup bound (~1.6 GB/s effective on AVX512
+    // hardware).  Mask bits sit at ABSOLUTE chunk offsets; candidates inside
+    // page headers / level sections are dead bits the confirm walk never
+    // visits, and memoized failed confirms persist across pages (same byte
+    // -> same failure).  Compressed chunks keep the per-page sweep (their
+    // value sections live in per-page scratch buffers).
+    const bool chunk_sweep = !compressed && pat.use_chain();
+    std::vector<std::vector<uint64_t>> cmasks(K);
+    bool chunk_possible = true;
+    if (chunk_sweep) {
+      auto t0 = tick();
+      for (size_t k = 0; k < K && chunk_possible; k++) {
+        bigram_masks(chunk_ptr, size_t(span), pat.needles[k], cmasks[k]);
+        uint64_t any = 0;
+        for (uint64_t w : cmasks[k]) any |= w;
+        chunk_possible = any != 0;
+      }
+      if (timing) lap(ns_sweep, t0);
+    }
+
     for (size_t pi = 0; pi < pages_.size(); pi++) {
       const PageRec& pr = pages_[pi];
       if (pr.rg != rg || pr.chunk_col != lf.chunk_idx) continue;
@@ -380,39 +402,52 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
         // CONFIRMED occurrence == the bitap register semantics — memoizing
         // failed confirms by clearing their bits.
         auto t0 = tick();
-        bool possible = true;
-        for (size_t k = 0; k < K && possible; k++) {
-          bigram_masks(vp, size_t(vlen), pat.needles[k], masks[k]);
-          uint64_t any = 0;
-          for (uint64_t w : masks[k]) any |= w;
-          possible = any != 0;
+        bool possible;
+        int64_t mbase;  // mask-bit offset of vp[0] (absolute in chunk mode)
+        if (chunk_sweep) {
+          possible = chunk_possible;
+          mbase = int64_t(vp - chunk_ptr);
+        } else {
+          possible = true;
+          mbase = 0;
+          for (size_t k = 0; k < K && possible; k++) {
+            bigram_masks(vp, size_t(vlen), pat.needles[k], masks[k]);
+            uint64_t any = 0;
+            for (uint64_t w : masks[k]) any |= w;
+            possible = any != 0;
+          }
         }
+        auto& msel = chunk_sweep ? cmasks : masks;
         if (timing) {
           lap(ns_sweep, t0);
           t0 = tick();
         }
         if (possible) {
-          const int64_t nb = int64_t(masks[0].size());
+          const int64_t nb = int64_t(msel[0].size());
           // first confirmed candidate of needle k in [from, last_start]
+          // (vp-relative; mask bits live at mbase + rel)
           auto next_conf = [&](size_t k, int64_t from,
                                int64_t last_start) -> int64_t {
             if (from > last_start) return -1;
             const std::string& nd = pat.needles[k];
             const size_t nl = nd.size();
-            auto& mk = masks[k];
-            int64_t blk = from >> 6;
-            const int64_t blk_hi = last_start >> 6;
-            uint64_t w = blk < nb ? mk[size_t(blk)] & (~0ull << (from & 63)) : 0;
+            auto& mk = msel[k];
+            const int64_t afrom = mbase + from;
+            const int64_t alast = mbase + last_start;
+            int64_t blk = afrom >> 6;
+            const int64_t blk_hi = alast >> 6;
+            uint64_t w =
+                blk < nb ? mk[size_t(blk)] & (~0ull << (afrom & 63)) : 0;
             for (;;) {
               while (!w) {
                 if (++blk > blk_hi || blk >= nb) return -1;
                 w = mk[size_t(blk)];
               }
               const int64_t pos = blk * 64 + __builtin_ctzll(w);
-              if (pos > last_start) return -1;
+              if (pos > alast) return -1;
               if (nl <= 2 ||
-                  ::memcmp(vp + pos + 2, nd.data() + 2, nl - 2) == 0)
-                return pos;
+                  ::memcmp(vp + (pos - mbase) + 2, nd.data() + 2, nl - 2) == 0)
+                return pos - mbase;
               const uint64_t low = w & (~w + 1);
               mk[size_t(blk)] &= ~low;  // memoize failed confirm
               w &= ~low;
