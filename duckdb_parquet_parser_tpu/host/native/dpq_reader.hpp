@@ -653,9 +653,16 @@ class Reader {
       }
     });
 
+    size_t total_pages = 0, total_gids = 0;
+    for (const auto& job : jobs) {
+      total_pages += job.pages.size();
+      for (const PageRec& r : job.pages) total_gids += (r.gid >= 0);
+    }
+    pages_.reserve(total_pages);
+    data_gids_.reserve(total_gids);
     int64_t gid = 0;
     for (auto& job : jobs) {
-      for (PageRec rec : job.pages) {
+      for (PageRec& rec : job.pages) {
         if (rec.gid >= 0) {
           rec.gid = gid++;
           if (rec.kind == P_DATA || rec.kind == P_DATA_V2)
