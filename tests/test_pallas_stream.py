@@ -15,6 +15,8 @@ from tests.test_bitprog import _pages
 @pytest.mark.parametrize("pattern", [
     "a.*z", "ab|cde|fg", "^ab", "q[ax]+x", "a?", "a{40}",
     "gr[ae]y|colou?r", "bc$",
+    # lead-run counter machines (sticky, non-sticky residual, '$'-sampled)
+    "[abq]{9}", "[a-gq-z]{9,12}x", "[abx ]{10}$",
 ])
 def test_interpret_parity(pattern):
     import jax.numpy as jnp

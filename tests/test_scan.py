@@ -97,7 +97,8 @@ def test_resident_scan_many_parity(tmp_path):
     path = strings_file(tmp_path / "many.parquet", rng, n=1200, null_p=0.1,
                         n_unique=None, rgs=2)
     res = ScanEngine(path).resident("s")
-    pats = ["alpha", "a.*o", "gamma|delta", "^br", "(al|br)*avo"]
+    pats = ["alpha", "a.*o", "gamma|delta", "^br", "(al|br)*avo",
+            "[a-z]{4,9}a"]  # lead-run counter machine rides the fused walk
     for negate in (False, True):
         many = res.scan_many(pats, negate=negate)
         for p, m in zip(pats, many):
