@@ -73,6 +73,11 @@ def _load() -> ct.CDLL:
         ct.c_char_p, ct.c_size_t,
     ]
     lib.dpq_index_plan.restype = ct.c_void_p
+    lib.dpq_split_plan.argtypes = [
+        ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_void_p, ct.c_void_p,
+        ct.c_void_p, ct.c_int64, ct.c_char_p, ct.c_size_t,
+    ]
+    lib.dpq_split_plan.restype = ct.c_void_p
 
     lib.dpq_writer_new.argtypes = [ct.c_char_p, ct.c_char_p, ct.c_size_t]
     lib.dpq_writer_new.restype = ct.c_void_p
@@ -293,6 +298,28 @@ def native_index_plan(pos: np.ndarray, lens: np.ndarray, num_rows: int,
     b = lib().dpq_index_plan(
         pos.ctypes.data_as(ct.c_void_p), lens.ctypes.data_as(ct.c_void_p),
         len(pos), num_rows, chunk_size, err, _ERRCAP,
+    )
+    if not b:
+        raise NativeError(err.value.decode("utf-8", "replace"))
+    return _wrap_batch(b)
+
+
+def native_split_plan(payload: np.ndarray, plen: np.ndarray, nn: np.ndarray,
+                      kind: np.ndarray, target: int
+                      ) -> tuple[dict, dict[str, np.ndarray]]:
+    """Value-boundary payload split plan (dpq_scan.hpp::split_payload_plan):
+    seg_page/seg_off/seg_len/seg_nn arrays re-chunking big PLAIN pages at
+    value starts for the device streaming matcher."""
+    payload = np.ascontiguousarray(payload, np.uint8)
+    plen = np.ascontiguousarray(plen, np.int32)
+    nn = np.ascontiguousarray(nn, np.int32)
+    kind = np.ascontiguousarray(kind, np.int32)
+    err = _err_buf()
+    b = lib().dpq_split_plan(
+        payload.ctypes.data_as(ct.c_void_p), payload.shape[0],
+        payload.shape[1], plen.ctypes.data_as(ct.c_void_p),
+        nn.ctypes.data_as(ct.c_void_p), kind.ctypes.data_as(ct.c_void_p),
+        int(target), err, _ERRCAP,
     )
     if not b:
         raise NativeError(err.value.decode("utf-8", "replace"))

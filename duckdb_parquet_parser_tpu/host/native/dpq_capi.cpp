@@ -162,6 +162,20 @@ void* dpq_index_plan(const int64_t* pos, const int32_t* lens, int64_t cap,
   })
 }
 
+// Value-boundary payload split plan (see dpq_scan.hpp::split_payload_plan):
+// ArrayStore handle with seg_page/seg_off/seg_len/seg_nn + dims
+// n_segs/seg_pitch — re-chunks big PLAIN pages at value starts for the
+// device streaming matcher.
+void* dpq_split_plan(const uint8_t* payload, int64_t n, int64_t pitch,
+                     const int32_t* plen, const int32_t* nn,
+                     const int32_t* kind, int64_t target, char* err,
+                     size_t errcap) {
+  DPQ_TRY({
+    auto out = split_payload_plan(payload, n, pitch, plen, nn, kind, target);
+    return static_cast<void*>(out.release());
+  })
+}
+
 // Page Index (ColumnIndex/OffsetIndex) stats per data page — ArrayStore
 // handle with gid/row_start/has_stats/null_page/null_count, raw min/max
 // byte planes, and OffsetIndex locations (see dpq_pageindex.hpp).

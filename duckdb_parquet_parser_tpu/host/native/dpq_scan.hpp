@@ -177,6 +177,94 @@ inline void bigram_masks(const uint8_t* s, size_t len, const std::string& nd,
       out[i >> 6] |= 1ull << (i & 63);
 }
 
+// Value-boundary payload split plan: big PLAIN pages re-chunk into ~target-
+// byte segments that START AT VALUE STARTS, so the device streaming matcher
+// walks many short lanes instead of one mega-page (a pyarrow-default ~1 MB
+// page otherwise forces a ~1M-step sequential lax.scan — measured minutes
+// for a 200k-row file).  No matcher state crosses a value start, so the
+// per-segment walk is exact; segments partition each page's values, so the
+// page's hits/seen are the segment sums (ops/scan.py applies a segment-sum
+// keyed by seg_page).  Truncated values stop the split — the tail segment
+// inherits everything remaining, reproducing the unsplit walk's
+// never-finalizes semantics.  Dictionary pages and pages <= target pass
+// through as single segments.
+inline std::unique_ptr<ArrayStore> split_payload_plan(
+    const uint8_t* payload, int64_t n, int64_t pitch, const int32_t* plen,
+    const int32_t* nn, const int32_t* kind, int64_t target) {
+  struct Seg {
+    int32_t page;
+    int64_t off;
+    int32_t len;
+    int32_t nn;
+  };
+  std::vector<Seg> segs;
+  segs.reserve(size_t(n));
+  for (int64_t i = 0; i < n; i++) {
+    const int64_t pl = std::min<int64_t>(std::max<int64_t>(plen[i], 0), pitch);
+    const int32_t nv = nn[i];
+    if (kind[i] != 0 || pl <= target || nv <= 1) {
+      segs.push_back({int32_t(i), 0, int32_t(pl), nv});
+      continue;
+    }
+    const uint8_t* row = payload + i * pitch;
+    int64_t pos = 0, seg_start = 0;
+    int32_t seg_nn = 0, emitted = 0;
+    for (int32_t v = 0; v < nv; v++) {
+      if (pos + 4 > pl) break;  // truncated prefix: stop splitting here
+      uint32_t len;
+      std::memcpy(&len, row + pos, 4);
+      if (pos + 4 + int64_t(len) > pl) break;  // truncated bytes: stop
+      if (seg_nn > 0 && pos - seg_start >= target) {
+        segs.push_back(
+            {int32_t(i), seg_start, int32_t(pos - seg_start), seg_nn});
+        emitted += seg_nn;
+        seg_start = pos;
+        seg_nn = 0;
+      }
+      pos += 4 + int64_t(len);
+      seg_nn++;
+    }
+    segs.push_back({int32_t(i), seg_start, int32_t(pl - seg_start),
+                    nv - emitted});
+  }
+  auto store = std::make_unique<ArrayStore>();
+  const int64_t m = int64_t(segs.size());
+  store->dims["n_segs"] = m;
+  int64_t seg_max = 1;
+  for (const Seg& s : segs) seg_max = std::max<int64_t>(seg_max, s.len);
+  // pitch quantized like ops/scan.scan_steps so compiled shapes stay stable
+  const int64_t seg_pitch = round_up(seg_max, 128);
+  store->dims["seg_pitch"] = seg_pitch;
+  // Blowup guard: one giant VALUE sets the pitch for every segment; if the
+  // split matrix would outgrow the unsplit one by >1.5x, report not-ok and
+  // let the caller keep the original layout.
+  if (m * seg_pitch > (n * pitch * 3) / 2 + (64 << 10)) {
+    store->dims["split_ok"] = 0;
+    return store;
+  }
+  store->dims["split_ok"] = 1;
+  auto* a_page = store->alloc<int32_t>("seg_page", {m});
+  auto* a_off = store->alloc<int64_t>("seg_off", {m});
+  auto* a_len = store->alloc<int32_t>("seg_len", {m});
+  auto* a_nn = store->alloc<int32_t>("seg_nn", {m});
+  for (int64_t s = 0; s < m; s++) {
+    a_page[s] = segs[size_t(s)].page;
+    a_off[s] = segs[size_t(s)].off;
+    a_len[s] = segs[size_t(s)].len;
+    a_nn[s] = segs[size_t(s)].nn;
+  }
+  auto* a_pay = store->alloc<uint8_t>("seg_payload", {m, seg_pitch});
+  const int64_t BLK = 4096;
+  parallel_for(int((m + BLK - 1) / BLK), [&](int blk) {
+    const int64_t lo = int64_t(blk) * BLK, hi = std::min(m, lo + BLK);
+    for (int64_t s = lo; s < hi; s++)
+      std::memcpy(a_pay + s * seg_pitch,
+                  payload + int64_t(a_page[s]) * pitch + a_off[s],
+                  size_t(a_len[s]));
+  });
+  return store;
+}
+
 // Raw accept of one value's bytes (before negation).
 inline bool cold_accept(const ColdPattern& p, const uint8_t* s, size_t len) {
   if (p.use_chain()) return chain_match(p.needles, s, len);

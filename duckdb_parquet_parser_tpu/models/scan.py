@@ -523,9 +523,32 @@ class ResidentColumn:
                       and jax.default_backend() != "cpu")
         from ..ops.pallas.stream_matcher import stream_supported, tile_stream
 
+        # Big pages (pyarrow-default ~1 MB) re-chunk at value boundaries
+        # (ops/scan.split_payload_pages): the resident layout is then the
+        # SEGMENT matrix (short lanes) + a per-page core for the dict path,
+        # served through the split scan step (hits segment-sum to pages).
+        from ..ops.scan import scan_steps, split_payload_pages
+
+        self._split = None
+        sp = split_payload_pages(arrays)
+        if sp is not None:
+            sub_payload, sub_len, sub_nn, seg_page = sp
+            steps = scan_steps(sub_len)
+            self._split = (
+                jax.device_put(
+                    np.ascontiguousarray(sub_payload[:, :steps].T)),
+                jax.device_put(np.ascontiguousarray(sub_len)),
+                jax.device_put(np.ascontiguousarray(sub_nn)),
+                jax.device_put(np.ascontiguousarray(seg_page)),
+                steps,
+                {k: jax.device_put(np.ascontiguousarray(arrays[k]))
+                 for k in _decode.DECODE_ARRAYS if k in arrays},
+            )
         self._buckets = []
         self._tiled = []
-        for idx, steps in length_buckets(np.where(is_dict, 0, plen_np)):
+        buckets = ([] if self._split is not None
+                   else length_buckets(np.where(is_dict, 0, plen_np)))
+        for idx, steps in buckets:
             core = {
                 k: jax.device_put(np.ascontiguousarray(arrays[k][idx]))
                 for k in _decode.DECODE_ARRAYS if k in arrays
@@ -574,6 +597,22 @@ class ResidentColumn:
             prog_pattern, chain = pat, None
         except BitprogUnsupported:
             prog_pattern, chain = None, substring_chain(pat)
+
+        if self._split is not None:
+            payload_t, sub_len, sub_nn, seg, steps, core = self._split
+            step = _device_scan_step(
+                table.tobytes(), table.shape,
+                _np.ascontiguousarray(dfa.accept, bool).tobytes(),
+                self._batch.vmax, self._batch.nn_cap, self._batch.max_def,
+                bool(negate), True, tuple(chain) if chain else None,
+                prog_pattern, steps, True, split=True,
+            )
+            c, v = step(core, payload_t, sub_len, sub_nn, seg, dict_match_d)
+            return PageMatchResult(
+                page_gid=self._gid.copy(),
+                match_counts=_np.asarray(c, _np.int64),
+                value_counts=_np.asarray(v, _np.int64),
+            )
 
         n = self.n_pages
         counts = _np.zeros(n, _np.int64)
@@ -635,6 +674,11 @@ class ResidentColumn:
         from ..ops.bitprog import compile_bitprog
         from ..ops.regex import like_to_regex, substring_chain
         from ..ops.scan import _device_scan_multi_step
+
+        if self._split is not None:
+            # value-boundary split layout (big pages): per-pattern scans —
+            # the fused walk does not carry the segment-sum plumbing (yet)
+            return [self.scan(p, negate=negate, like=like) for p in patterns]
 
         pats = [like_to_regex(p) if like else p for p in patterns]
         fused, solo = [], []

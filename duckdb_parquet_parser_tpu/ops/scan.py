@@ -188,10 +188,45 @@ def scan_batch(batch, pattern: str, *, negate: bool = False, xp=np) -> PageMatch
     )
 
 
+SPLIT_TRIGGER = 4096  # engage the value-boundary split when any page's
+                      # payload exceeds this (pyarrow defaults to ~1 MB
+                      # pages — a 1M-step sequential walk without it)
+SPLIT_TARGET = 2048   # aim per-segment payload bytes
+
+
+def split_payload_pages(arrays, trigger: int = SPLIT_TRIGGER,
+                        target: int = SPLIT_TARGET):
+    """Re-chunk big PLAIN pages at VALUE boundaries for the streaming walk.
+
+    The device matcher's cost is lanes x sequential steps; a pyarrow-default
+    ~1 MB page makes steps ~1M with a handful of lanes (measured minutes per
+    scan).  No matcher state crosses a value start, so segments starting at
+    value boundaries walk independently and a per-page segment-sum of
+    hits/seen is exact (native plan: dpq_scan.hpp::split_payload_plan).
+
+    Returns (seg_payload [M, seg_pitch] u8, seg_len i32, seg_nn i32,
+    seg_page i32) or None when no page exceeds `trigger`, nothing actually
+    split, or a giant single value would blow up the split matrix."""
+    plen = np.asarray(arrays["page_payload_len"])
+    if plen.size == 0 or int(plen.max()) <= trigger:
+        return None
+    from ..host import bindings
+
+    dims, segs = bindings.native_split_plan(
+        np.asarray(arrays["payload"]), plen, np.asarray(arrays["page_nn"]),
+        np.asarray(arrays["page_kind"]), target,
+    )
+    if int(dims.get("split_ok", 0)) != 1 or int(dims["n_segs"]) <= plen.size:
+        return None
+    return (segs["seg_payload"], segs["seg_len"], segs["seg_nn"],
+            segs["seg_page"])
+
+
 @_functools.lru_cache(maxsize=64)
 def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
                       max_def, negate, use_mxu, chain_key, prog_pattern=None,
-                      max_steps=None, transposed=False, pallas_n=None):
+                      max_steps=None, transposed=False, pallas_n=None,
+                      split=False):
     """jit-compiled single-device scan step, cached per automaton + batch
     shape class (the DFA tables must be compile-time constants for the
     gather-free transition builders).  `prog_pattern` selects the
@@ -214,6 +249,43 @@ def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
         from .bitprog import compile_bitprog
 
         prog = compile_bitprog(prog_pattern)
+
+    if split:
+        # value-boundary split layout: `payload` rows are SEGMENTS of the
+        # original pages (split_payload_pages); hits segment-sum back to
+        # pages before merging with the dictionary path
+        def step_split(core, payload, plen_sub, nn_sub, seg, dict_match_d):
+            is_dict = core["page_kind"] == 1
+            nn = core["page_nn"]
+            is_dict_sub = jnp.take(is_dict, seg)
+            hits_sub, _seen = match_payload_stream(
+                jnp, payload, jnp.where(is_dict_sub, 0, plen_sub),
+                jnp.where(is_dict_sub, 0, nn_sub), table, accept,
+                use_mxu=use_mxu, chain=chain, prog=prog, max_steps=max_steps,
+                transposed=transposed,
+            )
+            hits = jax.ops.segment_sum(
+                hits_sub, seg, num_segments=nn.shape[0],
+                indices_are_sorted=True,
+            )
+            plain_counts = (nn - hits) if negate else hits
+
+            nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)
+            dict_idx, ok = _decode.decode_dict_indices(
+                jnp, core, nn_idx, nn_cap, nonnull=nonnull)
+            g = jnp.clip(
+                core["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),
+                0, dict_match_d.shape[0] - 1)
+            from .pallas.dict_lookup import dict_lookup
+
+            dm = dict_lookup(jnp, [dict_match_d.astype(jnp.int32)], g)[0] != 0
+            accept_d = (dm ^ negate) & ok & nonnull
+            counts = jnp.where(is_dict, jnp.sum(accept_d, axis=1),
+                               plain_counts)
+            values = jnp.where(is_dict, jnp.sum(ok & nonnull, axis=1), nn)
+            return counts, values
+
+        return jax.jit(step_split)
 
     def step(core, payload, plen, dict_match_d):
         is_dict = core["page_kind"] == 1
@@ -368,17 +440,28 @@ def scan_batch_device(batch, pattern: str, *, negate: bool = False,
     except BitprogUnsupported:
         prog_pattern = None
     chain = substring_chain(pattern) if prog_pattern is None else None
+    # big pages (pyarrow-default ~1 MB) re-chunk at value boundaries so the
+    # walk runs many short lanes instead of one ~1M-step page
+    sp = split_payload_pages(arrays)
     step = _device_scan_step(
         table.tobytes(), table.shape,
         np.ascontiguousarray(dfa.accept, bool).tobytes(),
         batch.vmax, batch.nn_cap, batch.max_def, bool(negate), bool(use_mxu),
         tuple(chain) if chain else None, prog_pattern,
-        scan_steps(arrays["page_payload_len"]),
+        scan_steps(sp[1] if sp is not None else arrays["page_payload_len"]),
+        split=sp is not None,
     )
-    counts, values = step(
-        core, jnp.asarray(arrays["payload"]),
-        jnp.asarray(arrays["page_payload_len"]), jnp.asarray(dict_match),
-    )
+    if sp is not None:
+        sub_payload, sub_len, sub_nn, seg = sp
+        counts, values = step(
+            core, jnp.asarray(sub_payload), jnp.asarray(sub_len),
+            jnp.asarray(sub_nn), jnp.asarray(seg), jnp.asarray(dict_match),
+        )
+    else:
+        counts, values = step(
+            core, jnp.asarray(arrays["payload"]),
+            jnp.asarray(arrays["page_payload_len"]), jnp.asarray(dict_match),
+        )
     _ = n
     return PageMatchResult(
         page_gid=arrays["page_gid"].copy(),
