@@ -530,13 +530,15 @@ class ResidentColumn:
         from ..ops.scan import scan_steps, split_payload_pages
 
         self._split = None
+        self._split_tiled = None
         sp = split_payload_pages(arrays)
         if sp is not None:
             sub_payload, sub_len, sub_nn, seg_page = sp
             steps = scan_steps(sub_len)
+            payload_t = jax.device_put(
+                np.ascontiguousarray(sub_payload[:, :steps].T))
             self._split = (
-                jax.device_put(
-                    np.ascontiguousarray(sub_payload[:, :steps].T)),
+                payload_t,
                 jax.device_put(np.ascontiguousarray(sub_len)),
                 jax.device_put(np.ascontiguousarray(sub_nn)),
                 jax.device_put(np.ascontiguousarray(seg_page)),
@@ -544,6 +546,8 @@ class ResidentColumn:
                 {k: jax.device_put(np.ascontiguousarray(arrays[k]))
                  for k in _decode.DECODE_ARRAYS if k in arrays},
             )
+            if use_pallas and stream_supported(steps):
+                self._split_tiled = tile_stream(payload_t, steps)
         self._buckets = []
         self._tiled = []
         buckets = ([] if self._split is not None
@@ -600,14 +604,29 @@ class ResidentColumn:
 
         if self._split is not None:
             payload_t, sub_len, sub_nn, seg, steps, core = self._split
-            step = _device_scan_step(
-                table.tobytes(), table.shape,
-                _np.ascontiguousarray(dfa.accept, bool).tobytes(),
-                self._batch.vmax, self._batch.nn_cap, self._batch.max_def,
-                bool(negate), True, tuple(chain) if chain else None,
-                prog_pattern, steps, True, split=True,
-            )
-            c, v = step(core, payload_t, sub_len, sub_nn, seg, dict_match_d)
+            n_segs = int(sub_len.shape[0])
+
+            def _split_step(use_pallas):
+                step = _device_scan_step(
+                    table.tobytes(), table.shape,
+                    _np.ascontiguousarray(dfa.accept, bool).tobytes(),
+                    self._batch.vmax, self._batch.nn_cap,
+                    self._batch.max_def, bool(negate), True,
+                    tuple(chain) if chain else None, prog_pattern, steps,
+                    True, n_segs if use_pallas else None, split=True,
+                )
+                return step(core,
+                            self._split_tiled if use_pallas else payload_t,
+                            sub_len, sub_nn, seg, dict_match_d)
+
+            c = v = None
+            if self._split_tiled is not None and prog_pattern is not None:
+                try:
+                    c, v = _split_step(True)
+                except Exception:  # Mosaic compile failure: lax fallback
+                    c = v = None
+            if c is None:
+                c, v = _split_step(False)
             return PageMatchResult(
                 page_gid=self._gid.copy(),
                 match_counts=_np.asarray(c, _np.int64),

@@ -258,12 +258,21 @@ def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
             is_dict = core["page_kind"] == 1
             nn = core["page_nn"]
             is_dict_sub = jnp.take(is_dict, seg)
-            hits_sub, _seen = match_payload_stream(
-                jnp, payload, jnp.where(is_dict_sub, 0, plen_sub),
-                jnp.where(is_dict_sub, 0, nn_sub), table, accept,
-                use_mxu=use_mxu, chain=chain, prog=prog, max_steps=max_steps,
-                transposed=transposed,
-            )
+            if pallas_n is not None:
+                from .pallas.stream_matcher import match_stream_pallas_tiled
+
+                hits_sub, _seen = match_stream_pallas_tiled(
+                    payload, jnp.where(is_dict_sub, 0, plen_sub),
+                    jnp.where(is_dict_sub, 0, nn_sub), prog_pattern,
+                    pallas_n,
+                )
+            else:
+                hits_sub, _seen = match_payload_stream(
+                    jnp, payload, jnp.where(is_dict_sub, 0, plen_sub),
+                    jnp.where(is_dict_sub, 0, nn_sub), table, accept,
+                    use_mxu=use_mxu, chain=chain, prog=prog,
+                    max_steps=max_steps, transposed=transposed,
+                )
             hits = jax.ops.segment_sum(
                 hits_sub, seg, num_segments=nn.shape[0],
                 indices_are_sorted=True,
