@@ -187,9 +187,14 @@ class ScanEngine:
 
             n = batch.n_pages
             bp = min(batch_pages, max(n, 1))
-            from ..ops.scan import scan_steps
+            from ..ops.scan import SPLIT_TRIGGER, scan_batch_device, scan_steps
 
             steps = scan_steps(batch.arrays["page_payload_len"])
+            if steps > SPLIT_TRIGGER:
+                # big pages (pyarrow-default ~1 MB): the fixed-shape batch
+                # pipeline would walk one mega-page per lane — route through
+                # the value-boundary split path instead
+                return scan_batch_device(batch, pattern, negate=negate)
 
             @jax.jit
             def step(payload, plen, nn):
@@ -275,7 +280,20 @@ class ScanEngine:
             block_pages = max(-(-int(probe.n_pages * 1.25) // 4096) * 4096, 4096)
             first_batch = probe
         else:
-            first_batch = None
+            first_batch = self.reader.prescan(
+                col_idx, 0, 1, pad_strings=8, flags=bindings.PS_PAYLOAD,
+                payload_align=payload_bucket,
+            )
+        if first_batch.n_pages and int(
+                first_batch.arrays["page_payload_len"].max()) > 4096:
+            # big pages (pyarrow-default ~1 MB): the fixed-shape streaming
+            # blocks would walk one mega-page per lane — route through the
+            # value-boundary split path instead (ops/scan.SPLIT_TRIGGER)
+            from ..ops.scan import scan_batch_device
+
+            batch = self.reader.prescan(
+                column, pad_strings=8, flags=bindings.PS_PAYLOAD)
+            return scan_batch_device(batch, pattern, negate=negate)
 
         def prescan_rg(rg):
             if rg == 0 and first_batch is not None:

@@ -156,3 +156,25 @@ def test_engine_scan_big_pages(tmp_path):
     solo = [rc.scan(p) for p in ["special.*requests", "carefully|quickly"]]
     for m, s in zip(many, solo):
         np.testing.assert_array_equal(m.match_counts, s.match_counts)
+
+
+def test_batched_and_streaming_reroute_big_pages(tmp_path):
+    """scan_batched / scan_streaming reroute big-page files through the
+    split path instead of walking mega-page lanes."""
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    from duckdb_parquet_parser_tpu.models.scan import ScanEngine
+
+    rng = np.random.default_rng(4)
+    words = [b"carefully", b"quickly", b"special", b"requests"]
+    vals = [b" ".join(rng.choice(words, 4)) for _ in range(3000)]
+    f = str(tmp_path / "big2.parquet")
+    pq.write_table(pa.table({"s": vals}), f, compression="none",
+                   use_dictionary=False)
+    want = sum(1 for v in vals if re.search(b"special.*requests", v))
+    eng = ScanEngine(f)
+    r1 = eng.scan_batched("s", "special.*requests")
+    assert int(np.asarray(r1.match_counts).sum()) == want
+    r2 = eng.scan_streaming("s", "special.*requests")
+    assert int(np.asarray(r2.match_counts).sum()) == want
