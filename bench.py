@@ -135,6 +135,32 @@ def gen_dict_fixture(rows: int) -> Path:
     return path
 
 
+def gen_bigpage_fixture(rows: int) -> Path:
+    """pyarrow-DEFAULT layout: ~1 MB data pages (vs the reference writer's
+    1 KB) — exercises the value-boundary split path (ops/scan.split_
+    payload_pages); real-world files look like this."""
+    path = CACHE / f"bigpages_{rows}.parquet"
+    if path.exists():
+        return path
+    CACHE.mkdir(parents=True, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(13)
+    words = [b"carefully", b"furiously", b"quickly", b"slyly", b"requests",
+             b"deposits", b"packages", b"special", b"express", b"regular"]
+    vals = []
+    done = 0
+    while done < rows:
+        n = min(250_000, rows - done)
+        pick = rng.integers(0, len(words), (n, 5))
+        vals.extend(b" ".join(words[j] for j in row) for row in pick)
+        done += n
+    pq.write_table(pa.table({"l_comment": vals}), str(path),
+                   compression="none", use_dictionary=False)
+    return path
+
+
 def gen_dict_strings_fixture(rows: int) -> Path:
     """Low-cardinality BYTE_ARRAY column (city names, 2% nulls) — every data
     page dictionary-encoded (64 distinct <= non_null/5)."""
@@ -513,6 +539,74 @@ def bench_engine(path: Path, reps: int) -> dict:
                 f"(marginal {marg_pf*1000:.2f} ms)")
             if rate > out[key]:
                 out[key] = rate
+
+    # ── big-page files (pyarrow-default ~1 MB pages): split layout ──────────
+    # Real-world files carry ~1 MB pages; the value-boundary split re-chunks
+    # them at value starts (ops/scan.split_payload_pages — the unsplit walk
+    # measured 243 s on a 200k-row file).  Measures the resident serving
+    # walk over the segment matrix (lax + pallas routes, best wins).
+    from duckdb_parquet_parser_tpu.ops.scan import split_payload_pages
+
+    bp_batch = ParquetReader(str(gen_bigpage_fixture(out["rows"]))).prescan(
+        "l_comment", flags=bindings.PS_PAYLOAD)
+    sp_bp = split_payload_pages(bp_batch.arrays)
+    if sp_bp is not None:
+        sub_bp, slen_bp, snn_bp, _seg_bp = sp_bp
+        bsteps = scan_steps(slen_bp)
+        bp_payload = jax.jit(lambda x: jnp.transpose(x[:, :bsteps]))(
+            jax.device_put(sub_bp))
+        bp_len = jax.device_put(np.ascontiguousarray(slen_bp))
+        bp_nn = jax.device_put(np.ascontiguousarray(snn_bp))
+        jax.block_until_ready((bp_payload, bp_len, bp_nn))
+        bp_total = int(bp_batch.arrays["page_num_values"].sum())
+        prog_bp = compile_bitprog(PATTERN)
+        dfa_bp = compile_pattern(PATTERN)
+
+        def make_bp(reps_n):
+            def f(p, pl, n2):
+                def body(i, acc):
+                    hits, _ = match_payload_stream(
+                        jnp, p, pl, n2 + (i % 2), dfa_bp.table, dfa_bp.accept,
+                        prog=prog_bp, transposed=True)
+                    return acc + jnp.sum(hits)
+                return jax.lax.fori_loop(0, reps_n, body,
+                                         jnp.zeros((), jnp.int32))
+            return jax.jit(f)
+
+        _, marg_bp = _marginal(make_bp, (bp_payload, bp_len, bp_nn),
+                               reps_hi=1 + reps)
+        out["scan_bigpage_rows_per_s"] = bp_total / marg_bp
+        log(f"scan big-page split (lax): {bp_total/marg_bp:.3g} rows/s "
+            f"(marginal {marg_bp*1000:.2f} ms, "
+            f"{sub_bp.shape[0]} segs x {bsteps} steps)")
+        if pallas_ok and stream_supported(bsteps):
+            tiled_bp = tile_stream(bp_payload, bsteps)
+            jax.block_until_ready(tiled_bp)
+            n_segs_all = bp_payload.shape[1]
+
+            def make_bp_pallas(reps_n):
+                def f(tp, pl, n2):
+                    def body(i, acc):
+                        h, _ = match_stream_pallas_tiled(
+                            tp, pl, n2 + (i % 2), PATTERN, n_segs_all)
+                        return acc + jnp.sum(h)
+                    return jax.lax.fori_loop(0, reps_n, body,
+                                             jnp.zeros((), jnp.int32))
+                return jax.jit(f)
+
+            try:
+                _, marg_bpp = _marginal(make_bp_pallas,
+                                        (tiled_bp, bp_len, bp_nn),
+                                        reps_hi=1 + reps)
+                rate_bp = bp_total / marg_bpp
+                log(f"scan big-page split (pallas): {rate_bp:.3g} rows/s "
+                    f"(marginal {marg_bpp*1000:.2f} ms)")
+                if rate_bp > out["scan_bigpage_rows_per_s"]:
+                    out["scan_bigpage_rows_per_s"] = rate_bp
+            except Exception as e:  # Mosaic may not support every chip
+                log(f"big-page pallas unavailable: {str(e)[:200]}")
+            del tiled_bp
+        del bp_payload, bp_len, bp_nn
 
     # ── cold one-shot paths (fresh engine each run, min-of-3) ───────────────
     from duckdb_parquet_parser_tpu.models.scan import ScanEngine
