@@ -321,6 +321,89 @@ inline PageHead read_page_head(TReader& r) {
   return h;
 }
 
+// ── Hand-rolled page-header fast path ───────────────────────────────────────
+//
+// The page-index walk parses one PageHeader per page (~100k headers on a
+// 100 MB file); the generic visitor parser costs ~280 ns/header, which is
+// most of a cold open() on this box.  This parser handles only the CANONICAL
+// compact-protocol layouts — fields in wire order, no page statistics, no
+// unknown fields — and returns 0 whenever the bytes deviate, at which point
+// the caller retries with the generic read_page_head.  Every byte sequence
+// this accepts decodes to exactly the values the generic parser would
+// produce (it is a strict subset of the grammar), so parity is structural.
+//
+// Canonical layouts (field-header byte = (id delta << 4) | wire type):
+//   PageHeader: 0x15 kind, 0x15 uncompressed, 0x15 compressed,
+//               [0x15 crc,] ((hid-last)<<4|0xC) nested header, 0x00
+//   DataPageHead (id 5):   0x15 ×4 (num_values, enc, def_enc, rep_enc), 0x00
+//   DictPageHead (id 7):   0x15 ×2 (num_values, enc), [0x11|0x12,] 0x00
+//   DataPageHeadV2 (id 8): 0x15 ×6 (nv, nulls, rows, enc, dlen, rlen),
+//                          [0x11|0x12,] 0x00
+inline size_t fast_page_head(const uint8_t* base, const uint8_t* end,
+                             PageHead& h) {
+  const uint8_t* p = base;
+  auto zz32 = [&](int32_t& out) -> bool {  // zigzag varint (i32)
+    uint64_t v = 0;
+    int sh = 0;
+    while (p < end) {
+      uint8_t b = *p++;
+      v |= uint64_t(b & 0x7F) << sh;
+      if (!(b & 0x80)) {
+        out = int32_t(int64_t(v >> 1) ^ -int64_t(v & 1));
+        return true;
+      }
+      sh += 7;
+      if (sh > 63) return false;
+    }
+    return false;
+  };
+  auto i32_field = [&](int32_t& out) -> bool {
+    return p < end && *p == 0x15 && (p++, zz32(out));
+  };
+  if (!i32_field(h.kind) || !i32_field(h.uncompressed_size) ||
+      !i32_field(h.compressed_size))
+    return 0;
+  int last_id = 3;
+  if (p < end && *p == 0x15) {  // optional crc (id 4)
+    p++;
+    int32_t crc;
+    if (!zz32(crc)) return 0;
+    h.crc = crc;
+    last_id = 4;
+  }
+  if (p >= end) return 0;
+  uint8_t nested = *p++;
+  if ((nested & 0x0F) != tc::STRUCT) return 0;
+  int hid = last_id + int(nested >> 4);
+  if (hid == 5) {  // DataPageHead
+    DataPageHead d;
+    if (!i32_field(d.num_values) || !i32_field(d.encoding) ||
+        !i32_field(d.def_encoding) || !i32_field(d.rep_encoding))
+      return 0;
+    if (p >= end || *p++ != tc::STOP) return 0;  // page stats → generic path
+    h.data = d;
+  } else if (hid == 7) {  // DictPageHead
+    DictPageHead d;
+    if (!i32_field(d.num_values) || !i32_field(d.encoding)) return 0;
+    if (p < end && (*p == 0x11 || *p == 0x12)) d.is_sorted = (*p++ == 0x11);
+    if (p >= end || *p++ != tc::STOP) return 0;
+    h.dict = d;
+  } else if (hid == 8) {  // DataPageHeadV2
+    DataPageHeadV2 d;
+    if (!i32_field(d.num_values) || !i32_field(d.num_nulls) ||
+        !i32_field(d.num_rows) || !i32_field(d.encoding) ||
+        !i32_field(d.def_len) || !i32_field(d.rep_len))
+      return 0;
+    if (p < end && (*p == 0x11 || *p == 0x12)) d.is_compressed = (*p++ == 0x11);
+    if (p >= end || *p++ != tc::STOP) return 0;
+    h.data_v2 = d;
+  } else {
+    return 0;  // index pages / unknown header kinds → generic path
+  }
+  if (p >= end || *p++ != tc::STOP) return 0;  // trailing fields → generic
+  return size_t(p - base);
+}
+
 // Bit width needed to encode values in [0, max_level] — matches the level
 // bit-width rule of the format (reference: src/reader/column_reader.cpp:270).
 inline uint8_t level_bit_width(int32_t max_level) {

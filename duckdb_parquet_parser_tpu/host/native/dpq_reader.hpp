@@ -609,9 +609,23 @@ class Reader {
       int64_t rows_before = 0;
       while (values_seen < cm.num_values) {
         if (off >= span) break;  // short chunk span: stop like the reference
-        TReader hr(buf + off, size_t(span - off));
-        PageHead ph = read_page_head(hr);
-        int64_t header_size = int64_t(hr.tell());
+        PageHead ph;
+        int64_t header_size =
+            int64_t(fast_page_head(buf + off, buf + span, ph));
+        if (header_size == 0) {  // non-canonical layout: generic parser
+          ph = PageHead{};
+          TReader hr(buf + off, size_t(span - off));
+          ph = read_page_head(hr);
+          header_size = int64_t(hr.tell());
+        }
+        // The walk is a dependent pointer chase (next header offset needs
+        // this header's sizes); issue the next header's cache lines now so
+        // the miss overlaps the PageRec bookkeeping below.
+        int64_t next = off + header_size + ph.compressed_size;
+        if (next + 64 < span) {
+          __builtin_prefetch(buf + next);
+          __builtin_prefetch(buf + next + 64);
+        }
 
         PageRec rec;
         rec.rg = job.rg;
