@@ -34,6 +34,8 @@ def _load() -> ct.CDLL:
     lib.dpq_close.restype = None
     lib.dpq_meta_json.argtypes = [ct.c_void_p]
     lib.dpq_meta_json.restype = ct.c_void_p
+    lib.dpq_test_page_head.argtypes = [ct.c_char_p, ct.c_int64, ct.c_int]
+    lib.dpq_test_page_head.restype = ct.c_void_p
     lib.dpq_num_pages_all.argtypes = [ct.c_void_p]
     lib.dpq_num_pages_all.restype = ct.c_int64
     lib.dpq_num_data_pages.argtypes = [ct.c_void_p]
@@ -159,6 +161,13 @@ def _take_str(ptr: int) -> str:
     s = ct.string_at(ptr).decode("utf-8")
     lib().dpq_free(ptr)
     return s
+
+
+def test_page_head(data: bytes, fast: bool) -> str:
+    """Test-only: parse one PageHeader with the fast (hand-rolled) or generic
+    Thrift parser; returns the JSON description, "" if the fast parser
+    rejected the layout, or "ERR:..." if the generic parser threw."""
+    return _take_str(lib().dpq_test_page_head(data, len(data), int(fast)))
 
 
 def check(ret: int, err: Any) -> None:

@@ -82,6 +82,52 @@ void* dpq_open(const char* path, char* err, size_t errcap) {
 
 void dpq_close(void* h) { delete static_cast<Reader*>(h); }
 
+// Test-only: parse one PageHeader from raw bytes with either the hand-rolled
+// fast parser (use_fast=1; returns "" when it rejects the layout) or the
+// generic Thrift visitor (use_fast=0; returns "ERR:<what>" on throw).  The
+// JSON form lets tests assert the two parsers decode identical values on
+// canonical headers and that the fast parser rejects non-canonical ones.
+char* dpq_test_page_head(const uint8_t* buf, int64_t len, int use_fast) {
+  PageHead h;
+  size_t consumed = 0;
+  if (use_fast) {
+    consumed = fast_page_head(buf, buf + len, h);
+    if (consumed == 0) return dup_str("");
+  } else {
+    try {
+      TReader r(buf, size_t(len));
+      h = read_page_head(r);
+      consumed = r.tell();
+    } catch (const std::exception& e) {
+      return dup_str(std::string("ERR:") + e.what());
+    }
+  }
+  std::string s = "{\"consumed\":" + std::to_string(consumed) +
+                  ",\"kind\":" + std::to_string(h.kind) +
+                  ",\"usize\":" + std::to_string(h.uncompressed_size) +
+                  ",\"csize\":" + std::to_string(h.compressed_size) +
+                  ",\"crc\":" + (h.crc ? std::to_string(*h.crc) : "null");
+  if (h.data)
+    s += ",\"data\":[" + std::to_string(h.data->num_values) + "," +
+         std::to_string(h.data->encoding) + "," +
+         std::to_string(h.data->def_encoding) + "," +
+         std::to_string(h.data->rep_encoding) + "]";
+  if (h.dict)
+    s += ",\"dict\":[" + std::to_string(h.dict->num_values) + "," +
+         std::to_string(h.dict->encoding) + "," +
+         std::to_string(int(h.dict->is_sorted)) + "]";
+  if (h.data_v2)
+    s += ",\"v2\":[" + std::to_string(h.data_v2->num_values) + "," +
+         std::to_string(h.data_v2->num_nulls) + "," +
+         std::to_string(h.data_v2->num_rows) + "," +
+         std::to_string(h.data_v2->encoding) + "," +
+         std::to_string(h.data_v2->def_len) + "," +
+         std::to_string(h.data_v2->rep_len) + "," +
+         std::to_string(int(h.data_v2->is_compressed)) + "]";
+  s += "}";
+  return dup_str(s);
+}
+
 char* dpq_meta_json(void* h) {
   return dup_str(static_cast<Reader*>(h)->meta_json());
 }

@@ -341,6 +341,9 @@ inline PageHead read_page_head(TReader& r) {
 //                          [0x11|0x12,] 0x00
 inline size_t fast_page_head(const uint8_t* base, const uint8_t* end,
                              PageHead& h) {
+  // Parse into a local and assign to `h` only on full success, so a failed
+  // (return 0) attempt never leaves partially-mutated output behind.
+  PageHead o;
   const uint8_t* p = base;
   auto zz32 = [&](int32_t& out) -> bool {  // zigzag varint (i32)
     uint64_t v = 0;
@@ -360,15 +363,15 @@ inline size_t fast_page_head(const uint8_t* base, const uint8_t* end,
   auto i32_field = [&](int32_t& out) -> bool {
     return p < end && *p == 0x15 && (p++, zz32(out));
   };
-  if (!i32_field(h.kind) || !i32_field(h.uncompressed_size) ||
-      !i32_field(h.compressed_size))
+  if (!i32_field(o.kind) || !i32_field(o.uncompressed_size) ||
+      !i32_field(o.compressed_size))
     return 0;
   int last_id = 3;
   if (p < end && *p == 0x15) {  // optional crc (id 4)
     p++;
     int32_t crc;
     if (!zz32(crc)) return 0;
-    h.crc = crc;
+    o.crc = crc;
     last_id = 4;
   }
   if (p >= end) return 0;
@@ -381,13 +384,13 @@ inline size_t fast_page_head(const uint8_t* base, const uint8_t* end,
         !i32_field(d.def_encoding) || !i32_field(d.rep_encoding))
       return 0;
     if (p >= end || *p++ != tc::STOP) return 0;  // page stats → generic path
-    h.data = d;
+    o.data = d;
   } else if (hid == 7) {  // DictPageHead
     DictPageHead d;
     if (!i32_field(d.num_values) || !i32_field(d.encoding)) return 0;
     if (p < end && (*p == 0x11 || *p == 0x12)) d.is_sorted = (*p++ == 0x11);
     if (p >= end || *p++ != tc::STOP) return 0;
-    h.dict = d;
+    o.dict = d;
   } else if (hid == 8) {  // DataPageHeadV2
     DataPageHeadV2 d;
     if (!i32_field(d.num_values) || !i32_field(d.num_nulls) ||
@@ -396,11 +399,12 @@ inline size_t fast_page_head(const uint8_t* base, const uint8_t* end,
       return 0;
     if (p < end && (*p == 0x11 || *p == 0x12)) d.is_compressed = (*p++ == 0x11);
     if (p >= end || *p++ != tc::STOP) return 0;
-    h.data_v2 = d;
+    o.data_v2 = d;
   } else {
     return 0;  // index pages / unknown header kinds → generic path
   }
   if (p >= end || *p++ != tc::STOP) return 0;  // trailing fields → generic
+  h = o;
   return size_t(p - base);
 }
 

@@ -613,7 +613,6 @@ class Reader {
         int64_t header_size =
             int64_t(fast_page_head(buf + off, buf + span, ph));
         if (header_size == 0) {  // non-canonical layout: generic parser
-          ph = PageHead{};
           TReader hr(buf + off, size_t(span - off));
           ph = read_page_head(hr);
           header_size = int64_t(hr.tell());
@@ -621,8 +620,10 @@ class Reader {
         // The walk is a dependent pointer chase (next header offset needs
         // this header's sizes); issue the next header's cache lines now so
         // the miss overlaps the PageRec bookkeeping below.
+        // `next` derives from untrusted compressed_size: also require it to
+        // move forward so a corrupt negative size can't form an OOB pointer.
         int64_t next = off + header_size + ph.compressed_size;
-        if (next + 64 < span) {
+        if (next > off && next + 64 < span) {
           __builtin_prefetch(buf + next);
           __builtin_prefetch(buf + next + 64);
         }
