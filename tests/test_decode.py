@@ -290,3 +290,72 @@ def test_heavy_nulls_gather_fallback(tmp_path, rng):
     assert np.array_equal(np.asarray(nn_j), nn_np)
     for pj, pn in zip(planes_j, planes_np):
         assert np.array_equal(np.asarray(pj), pn)
+
+
+# ── masked-cell contract (VERDICT r3 #9) ─────────────────────────────────────
+#
+# expand.take2d_shift documents that cells past a page's values carry
+# garbage-but-masked values and that decode_fixed zeroes every masked cell
+# before returning.  This pins that contract across adversarial null
+# patterns on BOTH backends and BOTH scatter routes (log-shift and gather),
+# so any refactor that stops zeroing masked cells fails loudly here rather
+# than surfacing as consumer-dependent garbage.
+
+
+def _null_patterns(rng, n):
+    yield np.zeros(n, np.uint8)                        # all null
+    yield np.ones(n, np.uint8)                         # none null
+    alt = np.zeros(n, np.uint8); alt[::2] = 1
+    yield alt                                          # alternating
+    blk = np.ones(n, np.uint8); blk[n // 4:3 * n // 4] = 0
+    yield blk                                          # long null block
+    yield (rng.random(n) > 0.9).astype(np.uint8)       # 90% null (gather path)
+    yield (rng.random(n) > 0.05).astype(np.uint8)      # sparse nulls (shift)
+
+
+@pytest.mark.parametrize("pat_i", range(6))
+def test_masked_cells_decode_to_zero(tmp_path, rng, pat_i):
+    import jax.numpy as jnp
+
+    from duckdb_parquet_parser_tpu.host.schema import ParquetType
+    from duckdb_parquet_parser_tpu.host.writer import ColumnSpec, ParquetWriter
+
+    n = 1500
+    valid = list(_null_patterns(rng, n))[pat_i]
+    path = str(tmp_path / f"masked{pat_i}.parquet")
+    w = ParquetWriter(path, [
+        ColumnSpec("d", ParquetType.DOUBLE, optional=True),
+        ColumnSpec("c", ParquetType.INT32, optional=True),  # dict-encoded
+    ])
+    w.write_row_group({
+        "d": (rng.standard_normal(n), valid),
+        "c": (rng.integers(0, 5, n).astype(np.int32), valid),
+    })
+    w.close()
+    r = ParquetReader(path)
+    for col in ("d", "c"):
+        b = r.prescan(col)
+        kw = dict(max_def=b.max_def, out_len=b.vmax, nn_len=b.nn_cap,
+                  mode=b.mode)
+        for planes, nn in (
+            D.decode_fixed(np, b.arrays, b.plain_planes, b.dict_planes,
+                           b.bool_bits, **kw),
+            D.decode_fixed_jax(b.arrays, b.plain_planes, b.dict_planes,
+                               b.bool_bits, **kw),
+            # force both device scatter routes regardless of null density
+            D.decode_fixed(jnp, {k: jnp.asarray(v) for k, v in b.arrays.items()
+                                 if k in D.DECODE_ARRAYS},
+                           [jnp.asarray(p) for p in b.plain_planes],
+                           [jnp.asarray(p) for p in b.dict_planes],
+                           None, max_null_shift=64, **kw),
+            D.decode_fixed(jnp, {k: jnp.asarray(v) for k, v in b.arrays.items()
+                                 if k in D.DECODE_ARRAYS},
+                           [jnp.asarray(p) for p in b.plain_planes],
+                           [jnp.asarray(p) for p in b.dict_planes],
+                           None, max_null_shift=-1, **kw),
+        ):
+            masked = ~np.asarray(nn)
+            assert masked.any() or valid.all()
+            for p in planes:
+                assert not np.asarray(p)[masked].any(), (
+                    f"{col}: non-zero decoded value at a masked cell")
