@@ -19,6 +19,7 @@
 namespace dpq {
 
 inline std::unique_ptr<ArrayStore> Reader::page_stats(int leaf_idx) const {
+  ensure_page_index();  // aligns OffsetIndex entries with the page table
   if (leaf_idx < 0 || size_t(leaf_idx) >= leaves_.size())
     throw Error("leaf index out of range");
   const Leaf& lf = leaves_[size_t(leaf_idx)];

@@ -44,6 +44,7 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
                                                    int64_t payload_align,
                                                    int64_t row_lo,
                                                    int64_t row_hi) const {
+  ensure_page_index();  // prescan iterates the global page table
   if (leaf_idx < 0 || size_t(leaf_idx) >= leaves_.size())
     throw Error("leaf index out of range");
   const Leaf& lf = leaves_[size_t(leaf_idx)];

@@ -360,6 +360,72 @@ inline void parallel_for(int n_jobs, Fn&& fn, int max_threads = 16) {
     if (!e.empty()) throw Error(e);
 }
 
+// Parse the page header at buf[off] (canonical fast path, generic Thrift
+// fallback) and fill rec's header-derived fields.  Numbered (data) pages get
+// rec.gid = 0 as a "needs numbering" marker — build_page_index's merge and
+// the cold scan's inline walk assign real gids.  Shared by every header walk
+// (full index build, count-only, cold-scan inline) so page numbering and
+// value bookkeeping can never diverge between them.  Returns the header size.
+inline int64_t parse_page_rec(const uint8_t* buf, int64_t off, int64_t span,
+                              int64_t abs_start, int32_t rg, int32_t col,
+                              int64_t& rows_before, int64_t& values_seen,
+                              PageRec& rec) {
+  PageHead ph;
+  int64_t header_size = int64_t(fast_page_head(buf + off, buf + span, ph));
+  if (header_size == 0) {  // non-canonical layout: generic parser
+    TReader hr(buf + off, size_t(span - off));
+    ph = read_page_head(hr);
+    header_size = int64_t(hr.tell());
+  }
+  // The walk is a dependent pointer chase (next header offset needs this
+  // header's sizes); issue the next header's cache lines now so the miss
+  // overlaps the PageRec bookkeeping below.  `next` derives from untrusted
+  // compressed_size: also require it to move forward so a corrupt negative
+  // size can't form an OOB pointer.
+  int64_t next = off + header_size + ph.compressed_size;
+  if (next > off && next + 64 < span) {
+    __builtin_prefetch(buf + next);
+    __builtin_prefetch(buf + next + 64);
+  }
+
+  rec = PageRec{};
+  rec.rg = rg;
+  rec.chunk_col = col;
+  rec.header_off = abs_start + off;
+  rec.data_off = abs_start + off + header_size;
+  rec.size = ph.compressed_size;
+  // uncompressed_size == 0 is legitimate (an EMPTY dictionary page's zstd
+  // frame is 9 compressed bytes for 0 payload bytes); only a negative/absent
+  // field falls back to the compressed size.
+  rec.usize = ph.uncompressed_size >= 0 ? ph.uncompressed_size
+                                        : ph.compressed_size;
+  rec.kind = ph.kind;
+  if (ph.kind == P_DATA && ph.data) {
+    rec.num_values = ph.data->num_values;
+    rec.encoding = ph.data->encoding;
+    rec.gid = 0;  // marks "numbered"
+    rec.row_start = rows_before;
+    rows_before += ph.data->num_values;
+    values_seen += ph.data->num_values;
+  } else if (ph.kind == P_DATA_V2 && ph.data_v2) {
+    rec.num_values = ph.data_v2->num_values;
+    rec.encoding = ph.data_v2->encoding;
+    rec.gid = 0;
+    rec.row_start = rows_before;
+    rec.v2_def_len = ph.data_v2->def_len;
+    rec.v2_rep_len = ph.data_v2->rep_len;
+    rec.v2_compressed = ph.data_v2->is_compressed;
+    rows_before += ph.data_v2->num_values;
+    values_seen += ph.data_v2->num_values;
+  } else if (ph.kind == P_DATA_V2) {
+    rec.gid = 0;  // numbered but contributes no values (parity)
+  } else if (ph.kind == P_DICTIONARY && ph.dict) {
+    rec.num_values = ph.dict->num_values;
+    rec.encoding = ph.dict->encoding;
+  }
+  return header_size;
+}
+
 // ── Reader ──────────────────────────────────────────────────────────────────
 
 struct ColdPattern;  // defined in dpq_scan.hpp (cold-path regex scan)
@@ -409,23 +475,92 @@ class Reader {
     meta_ = read_file_meta(tr);
 
     build_leaves();
+
+    // absolute row offset of each row group (page-index independent)
+    rg_row_base_.assign(meta_.row_groups.size() + 1, 0);
+    for (size_t i = 0; i < meta_.row_groups.size(); i++)
+      rg_row_base_[i + 1] = rg_row_base_[i] + meta_.row_groups[i].num_rows;
+
+    // The global page index (one PageHeader parse per page) is built LAZILY:
+    // a cold one-shot scan never needs it (it walks its own chunk's headers
+    // inline and takes gid bases from chunk_page_counts()), and on a ~100 MB
+    // file the walk is most of open().  Every consumer reaches the table via
+    // pages()/data_page_gids()/ensure_page_index(), which build on demand.
+    if (std::getenv("DPQ_EAGER_INDEX")) ensure_page_index();
+  }
+
+  void ensure_page_index() const {
+    if (index_built_) return;
+    Reader* self = const_cast<Reader*>(this);
     if (std::getenv("DPQ_OPEN_TIMING")) {
       auto t0 = std::chrono::steady_clock::now();
-      build_page_index();
+      self->build_page_index();
       auto t1 = std::chrono::steady_clock::now();
       std::fprintf(stderr, "[open] page index: %.1f ms (%zu pages)\n",
                    std::chrono::duration<double, std::milli>(t1 - t0).count(),
                    pages_.size());
     } else {
-      build_page_index();
+      self->build_page_index();
     }
   }
 
   const FileMeta& meta() const { return meta_; }
   const uint8_t* file_map() const { return map_; }
   const std::vector<Leaf>& leaves() const { return leaves_; }
-  const std::vector<PageRec>& pages() const { return pages_; }
-  const std::vector<int64_t>& data_page_gids() const { return data_gids_; }
+  const std::vector<PageRec>& pages() const {
+    ensure_page_index();
+    return pages_;
+  }
+  const std::vector<int64_t>& data_page_gids() const {
+    ensure_page_index();
+    return data_gids_;
+  }
+
+  // Per-chunk NUMBERED (data) page counts in (rg, col) order — the gid bases
+  // for any single chunk's inline walk — WITHOUT building the page index:
+  // the Thrift compact LIST HEADER of OffsetIndex.page_locations encodes the
+  // page count directly, so chunks that carry an OffsetIndex cost one ~16 B
+  // read each; chunks without one get a count-only header walk (identical
+  // stopping rule to build_page_index via the shared parse_page_rec).  The
+  // cold scan cross-checks its target chunks' counts against its own walk.
+  const std::vector<int64_t>& chunk_page_counts() const {
+    if (counts_built_) return chunk_counts_;
+    Reader* self = const_cast<Reader*>(this);
+    const size_t n_rg = meta_.row_groups.size();
+    size_t ncols = 0;
+    for (const auto& g : meta_.row_groups) ncols = std::max(ncols, g.columns.size());
+    self->chunk_counts_.assign(n_rg * ncols, 0);
+    self->chunk_ncols_ = int64_t(ncols);
+    if (index_built_) {
+      for (const PageRec& pr : pages_)
+        if (pr.gid >= 0)
+          self->chunk_counts_[size_t(pr.rg) * ncols + size_t(pr.chunk_col)]++;
+      self->counts_built_ = true;
+      return chunk_counts_;
+    }
+    struct Need { int32_t rg, col; const ColumnMeta* cm; };
+    std::vector<Need> walks;
+    for (size_t rg = 0; rg < n_rg; rg++) {
+      const RowGroup& g = meta_.row_groups[rg];
+      for (size_t c = 0; c < g.columns.size(); c++) {
+        if (!g.columns[c].meta) continue;
+        const ColumnMeta& cm = *g.columns[c].meta;
+        int64_t n = offset_index_count(g.columns[c]);
+        if (n >= 0)
+          self->chunk_counts_[rg * ncols + c] = n;
+        else
+          walks.push_back({int32_t(rg), int32_t(c), &cm});
+      }
+    }
+    parallel_for(int(walks.size()), [&](int j) {
+      const Need& w = walks[size_t(j)];
+      self->chunk_counts_[size_t(w.rg) * ncols + size_t(w.col)] =
+          count_data_pages_walk(*w.cm);
+    });
+    self->counts_built_ = true;
+    return chunk_counts_;
+  }
+  int64_t chunk_ncols() const { return chunk_ncols_; }
   size_t file_size() const { return file_size_; }
 
   int find_leaf(const std::string& name) const {
@@ -566,14 +701,65 @@ class Reader {
   // mmap'd file; a sequential merge then assigns gids/row_starts in the
   // reference's (row group, column, file order) — identical numbering, ~2x
   // faster open on this box.
+  // Number of data pages in a chunk from its OffsetIndex LIST HEADER alone
+  // (no page_locations are parsed); -1 when absent or non-canonical.
+  int64_t offset_index_count(const ColumnChunk& cc) const {
+    if (!cc.offset_index_offset) return -1;
+    int64_t off = *cc.offset_index_offset;
+    uint8_t tmp[16];
+    int64_t len = std::min<int64_t>(16, int64_t(file_size_) - off);
+    if (off < 0 || len < 2) return -1;
+    const uint8_t* p = span_ptr(off, len);
+    if (!p) {
+      pread_full(off, size_t(len), tmp);
+      p = tmp;
+    }
+    if (p[0] != 0x19) return -1;  // field 1, LIST (short form)
+    uint8_t lh = p[1];
+    if ((lh & 0x0F) != tc::STRUCT) return -1;
+    int64_t n = lh >> 4;
+    if (n < 15) return n;
+    n = 0;  // long form: varint element count follows
+    int sh = 0;
+    for (const uint8_t* q = p + 2; q < p + len; q++) {
+      n |= int64_t(*q & 0x7F) << sh;
+      if (!(*q & 0x80)) return n;
+      sh += 7;
+      if (sh > 35) return -1;
+    }
+    return -1;
+  }
+
+  // Count-only header walk of one chunk (no PageRec vector): same stopping
+  // rule and numbering predicate as build_page_index via parse_page_rec.
+  int64_t count_data_pages_walk(const ColumnMeta& cm) const {
+    int64_t start = cm.data_page_offset;
+    if (cm.dictionary_page_offset)
+      start = std::min(start, *cm.dictionary_page_offset);
+    int64_t span = std::max<int64_t>(cm.total_compressed_size, 16);
+    std::vector<uint8_t> fallback;
+    const uint8_t* buf = span_ptr(start, span);
+    if (!buf) {
+      fallback.resize(size_t(span));
+      read_range(start, span, fallback.data());
+      buf = fallback.data();
+    }
+    int64_t off = 0, values_seen = 0, rows_before = 0, n = 0;
+    PageRec rec;
+    while (values_seen < cm.num_values) {
+      if (off >= span) break;
+      int64_t hsz = parse_page_rec(buf, off, span, start, 0, 0, rows_before,
+                                   values_seen, rec);
+      n += (rec.gid == 0);
+      off += hsz + rec.size;
+    }
+    return n;
+  }
+
   void build_page_index() {
     pages_.clear();
     data_gids_.clear();
-
-    // absolute row offset of each row group
-    rg_row_base_.assign(meta_.row_groups.size() + 1, 0);
-    for (size_t i = 0; i < meta_.row_groups.size(); i++)
-      rg_row_base_[i + 1] = rg_row_base_[i] + meta_.row_groups[i].num_rows;
+    index_built_ = true;
 
     struct ChunkJob {
       int32_t rg, col;
@@ -609,62 +795,12 @@ class Reader {
       int64_t rows_before = 0;
       while (values_seen < cm.num_values) {
         if (off >= span) break;  // short chunk span: stop like the reference
-        PageHead ph;
-        int64_t header_size =
-            int64_t(fast_page_head(buf + off, buf + span, ph));
-        if (header_size == 0) {  // non-canonical layout: generic parser
-          TReader hr(buf + off, size_t(span - off));
-          ph = read_page_head(hr);
-          header_size = int64_t(hr.tell());
-        }
-        // The walk is a dependent pointer chase (next header offset needs
-        // this header's sizes); issue the next header's cache lines now so
-        // the miss overlaps the PageRec bookkeeping below.
-        // `next` derives from untrusted compressed_size: also require it to
-        // move forward so a corrupt negative size can't form an OOB pointer.
-        int64_t next = off + header_size + ph.compressed_size;
-        if (next > off && next + 64 < span) {
-          __builtin_prefetch(buf + next);
-          __builtin_prefetch(buf + next + 64);
-        }
-
         PageRec rec;
-        rec.rg = job.rg;
-        rec.chunk_col = job.col;
-        rec.header_off = start + off;
-        rec.data_off = start + off + header_size;
-        rec.size = ph.compressed_size;
-        // uncompressed_size == 0 is legitimate (an EMPTY dictionary page's
-        // zstd frame is 9 compressed bytes for 0 payload bytes); only a
-        // negative/absent field falls back to the compressed size.
-        rec.usize = ph.uncompressed_size >= 0 ? ph.uncompressed_size
-                                              : ph.compressed_size;
-        rec.kind = ph.kind;
-        if (ph.kind == P_DATA && ph.data) {
-          rec.num_values = ph.data->num_values;
-          rec.encoding = ph.data->encoding;
-          rec.gid = 0;  // marks "numbered"; real gid assigned in the merge
-          rec.row_start = rows_before;
-          rows_before += ph.data->num_values;
-          values_seen += ph.data->num_values;
-        } else if (ph.kind == P_DATA_V2 && ph.data_v2) {
-          rec.num_values = ph.data_v2->num_values;
-          rec.encoding = ph.data_v2->encoding;
-          rec.gid = 0;
-          rec.row_start = rows_before;
-          rec.v2_def_len = ph.data_v2->def_len;
-          rec.v2_rep_len = ph.data_v2->rep_len;
-          rec.v2_compressed = ph.data_v2->is_compressed;
-          rows_before += ph.data_v2->num_values;
-          values_seen += ph.data_v2->num_values;
-        } else if (ph.kind == P_DATA_V2) {
-          rec.gid = 0;  // numbered but contributes no values (parity)
-        } else if (ph.kind == P_DICTIONARY && ph.dict) {
-          rec.num_values = ph.dict->num_values;
-          rec.encoding = ph.dict->encoding;
-        }
+        int64_t header_size = parse_page_rec(buf, off, span, start, job.rg,
+                                             job.col, rows_before,
+                                             values_seen, rec);
         job.pages.push_back(rec);
-        off += header_size + ph.compressed_size;
+        off += header_size + rec.size;
       }
     });
 
@@ -697,6 +833,10 @@ class Reader {
   std::vector<PageRec> pages_;       // all pages (incl. dictionary pages)
   std::vector<int64_t> data_gids_;   // indices into pages_ of numbered pages
   std::vector<int64_t> rg_row_base_;
+  bool index_built_ = false;         // pages_/data_gids_ valid (lazy build)
+  bool counts_built_ = false;        // chunk_counts_ valid (lazy)
+  std::vector<int64_t> chunk_counts_;  // numbered pages per (rg, col)
+  int64_t chunk_ncols_ = 0;            // row stride of chunk_counts_
 };
 
 // ── JSON helpers ────────────────────────────────────────────────────────────

@@ -123,17 +123,22 @@ inline bool have_avx512bw() {
 // unprocessed byte index (a multiple of 64).
 __attribute__((target("avx512bw"))) inline size_t bigram_mask_avx512(
     const uint8_t* s, size_t len, uint8_t c0, uint8_t c1, bool pair,
-    uint64_t* out) {
-  if (len < 66) return 0;
+    uint8_t cl, size_t lo, uint64_t* out) {
+  if (len < 66 + lo) return 0;
   const __m512i f0 = _mm512_set1_epi8(char(c0));
   const __m512i f1 = _mm512_set1_epi8(char(c1));
+  const __m512i fl = _mm512_set1_epi8(char(cl));
   size_t i = 0;
-  for (; i + 65 <= len; i += 64) {
+  for (; i + 65 + lo <= len; i += 64) {
     const __m512i b0 = _mm512_loadu_si512(s + i);
     uint64_t m = _mm512_cmpeq_epi8_mask(b0, f0);
     if (pair && m) {
       const __m512i b1 = _mm512_loadu_si512(s + i + 1);
       m &= _mm512_cmpeq_epi8_mask(b1, f1);
+    }
+    if (lo && m) {  // last-byte filter: kills most false bigram candidates
+      const __m512i bl = _mm512_loadu_si512(s + i + lo);
+      m &= _mm512_cmpeq_epi8_mask(bl, fl);
     }
     out[i >> 6] = m;
   }
@@ -149,10 +154,12 @@ inline void bigram_masks(const uint8_t* s, size_t len, const std::string& nd,
   const uint8_t c0 = uint8_t(nd[0]);
   const bool pair = nd.size() > 1;
   const uint8_t c1 = pair ? uint8_t(nd[1]) : c0;
+  const size_t lo = nd.size() > 2 ? nd.size() - 1 : 0;  // last-byte offset
+  const uint8_t cl = uint8_t(nd.back());
   size_t tail = 0;
 #if defined(__SSE2__)
   if (have_avx512bw()) {
-    tail = bigram_mask_avx512(s, len, c0, c1, pair, out.data());
+    tail = bigram_mask_avx512(s, len, c0, c1, pair, cl, lo, out.data());
   } else if (len >= 18) {
     const __m128i g0 = _mm_set1_epi8(char(c0));
     const __m128i g1 = _mm_set1_epi8(char(c1));
@@ -173,8 +180,99 @@ inline void bigram_masks(const uint8_t* s, size_t len, const std::string& nd,
   }
 #endif
   for (size_t i = tail; i < len; i++)
-    if (s[i] == c0 && (!pair || (i + 1 < len && s[i + 1] == c1)))
+    if (s[i] == c0 && (!pair || (i + 1 < len && s[i + 1] == c1)) &&
+        (!lo || (i + lo < len && s[i + lo] == cl)))
       out[i >> 6] |= 1ull << (i & 63);
+}
+
+#if defined(__SSE2__)
+// Fused K-needle sweep: ONE read of the span fills every needle's bigram
+// mask (the per-needle sweep re-reads the span K times and is memory-bound
+// on ~100 MB chunks — measured ~40% of the cold scan with K=2).
+__attribute__((target("avx512bw"))) inline size_t bigram_masks_multi_avx512(
+    const uint8_t* s, size_t len, const uint8_t* c0s, const uint8_t* c1s,
+    const uint8_t* pairs, const uint8_t* cls, const size_t* los, size_t K,
+    uint64_t* const* outs) {
+  __m512i f0[8], f1[8], fl[8];
+  if (K > 8) return 0;  // fall back to per-needle sweeps
+  size_t max_lo = 0;
+  for (size_t k = 0; k < K; k++) {
+    f0[k] = _mm512_set1_epi8(char(c0s[k]));
+    f1[k] = _mm512_set1_epi8(char(c1s[k]));
+    fl[k] = _mm512_set1_epi8(char(cls[k]));
+    max_lo = std::max(max_lo, los[k]);
+  }
+  if (len < 66 + max_lo) return 0;
+  size_t i = 0;
+  for (; i + 65 + max_lo <= len; i += 64) {
+    const __m512i b0 = _mm512_loadu_si512(s + i);
+    __m512i b1;
+    bool have_b1 = false;
+    for (size_t k = 0; k < K; k++) {
+      uint64_t m = _mm512_cmpeq_epi8_mask(b0, f0[k]);
+      if (pairs[k] && m) {
+        if (!have_b1) {
+          b1 = _mm512_loadu_si512(s + i + 1);
+          have_b1 = true;
+        }
+        m &= _mm512_cmpeq_epi8_mask(b1, f1[k]);
+      }
+      if (los[k] && m) {
+        const __m512i bl = _mm512_loadu_si512(s + i + los[k]);
+        m &= _mm512_cmpeq_epi8_mask(bl, fl[k]);
+      }
+      outs[k][i >> 6] = m;
+    }
+  }
+  return i;
+}
+#endif
+
+// One pass over [s, len) filling all K needle masks (falls back to K
+// per-needle sweeps off AVX512 or for K > 8).
+inline void bigram_masks_multi(const uint8_t* s, size_t len,
+                               const std::vector<std::string>& needles,
+                               std::vector<std::vector<uint64_t>>& outs) {
+  const size_t K = needles.size();
+  const size_t nblocks = (len + 63) >> 6;
+  size_t tail = size_t(-1);
+#if defined(__SSE2__)
+  if (have_avx512bw() && K >= 2 && K <= 8) {
+    uint8_t c0s[8], c1s[8], pairs[8], cls[8];
+    size_t los[8];
+    uint64_t* ptrs[8];
+    bool ok = true;
+    for (size_t k = 0; k < K; k++) {
+      const std::string& nd = needles[k];
+      if (nd.empty() || nd.size() > len) ok = false;
+      outs[k].assign(nblocks, 0);
+      c0s[k] = nd.empty() ? 0 : uint8_t(nd[0]);
+      pairs[k] = nd.size() > 1;
+      c1s[k] = pairs[k] ? uint8_t(nd[1]) : c0s[k];
+      los[k] = nd.size() > 2 ? nd.size() - 1 : 0;
+      cls[k] = nd.empty() ? 0 : uint8_t(nd.back());
+      ptrs[k] = outs[k].data();
+    }
+    if (ok)
+      tail = bigram_masks_multi_avx512(s, len, c0s, c1s, pairs, cls, los, K,
+                                       ptrs);
+  }
+#endif
+  if (tail == size_t(-1)) {
+    for (size_t k = 0; k < K; k++) bigram_masks(s, len, needles[k], outs[k]);
+    return;
+  }
+  for (size_t i = tail; i < len; i++)
+    for (size_t k = 0; k < K; k++) {
+      const std::string& nd = needles[k];
+      const uint8_t c0 = uint8_t(nd[0]);
+      const bool pair = nd.size() > 1;
+      const size_t lo = nd.size() > 2 ? nd.size() - 1 : 0;
+      if (s[i] == c0 &&
+          (!pair || (i + 1 < len && s[i + 1] == uint8_t(nd[1]))) &&
+          (!lo || (i + lo < len && s[i + lo] == uint8_t(nd.back()))))
+        outs[k][i >> 6] |= 1ull << (i & 63);
+    }
 }
 
 // Value-boundary payload split plan: big PLAIN pages re-chunk into ~target-
@@ -297,8 +395,32 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
   };
   std::vector<RgOut> rg_out(size_t(std::max(rg1 - rg0, 0)));
 
+  // gid bases for the target column's chunks: data pages are numbered in
+  // (rg, col, file order), so each base is the count of numbered pages in
+  // every preceding chunk — available from chunk_page_counts() (OffsetIndex
+  // list headers / count-only walks) WITHOUT building the global page index.
+  // The inline walk below cross-checks its own count against `expect`.
+  const std::vector<int64_t>& chunk_counts = chunk_page_counts();
+  const int64_t ncols = chunk_ncols();
+  std::vector<int64_t> gid_base(size_t(std::max(rg1 - rg0, 0)), 0);
+  std::vector<int64_t> expect(size_t(std::max(rg1 - rg0, 0)), 0);
+  {
+    int64_t acc = 0;
+    int at = 0;
+    for (int rg = 0; rg < rg1; rg++)
+      for (int64_t c = 0; c < ncols; c++) {
+        if (rg >= rg0 && c == int64_t(lf.chunk_idx)) {
+          gid_base[size_t(at)] = acc;
+          expect[size_t(at)] = chunk_counts[size_t(rg * ncols + c)];
+          at++;
+        }
+        acc += chunk_counts[size_t(rg * ncols + c)];
+      }
+  }
+
   const bool timing = std::getenv("DPQ_SCAN_TIMING") != nullptr;
   std::atomic<int64_t> ns_def{0}, ns_sweep{0}, ns_walk{0};
+  std::atomic<int64_t> n_screened{0}, n_walked{0}, n_vals{0};
   auto tick = [] { return std::chrono::steady_clock::now(); };
   auto lap = [&](std::atomic<int64_t>& acc, auto t0) {
     acc += std::chrono::duration_cast<std::chrono::nanoseconds>(tick() - t0)
@@ -349,23 +471,63 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
     // visits, and memoized failed confirms persist across pages (same byte
     // -> same failure).  Compressed chunks keep the per-page sweep (their
     // value sections live in per-page scratch buffers).
-    const bool chunk_sweep = !compressed && pat.use_chain();
+    // DPQ_COLD_DIRECT=1 forces the mask-free per-value chain (measurement
+    // mode; ~45 ns/value on 40 B values — the mask-filtered walk below beats
+    // it by ~2x, see ops/pallas/README.md round 4).
+    bool direct_chain = false;
+    if (const char* e = std::getenv("DPQ_COLD_DIRECT"))
+      direct_chain = pat.use_chain() && e[0] == '1';
+    const bool chunk_sweep = !compressed && pat.use_chain() && !direct_chain;
+    // FILTER-NEEDLE sweep (uncompressed chains): sample-sweep every needle
+    // over the chunk's first 1 MB, pick the one with the fewest candidates
+    // (first-two + last byte masks), then run ONE full SIMD sweep for that
+    // needle only.  The walk uses its mask as a per-value EXISTENCE filter —
+    // a value without the rarest needle cannot match — and runs the direct
+    // memchr chain only on surviving values.  One mask pass over the span
+    // (vs one per needle) and ~45 ns of chain work only where the filter
+    // fires; candidates inside page headers / level sections are dead bits
+    // the walk never visits.  Compressed chunks keep the per-page sweep
+    // (their value sections live in per-page scratch buffers).
     std::vector<std::vector<uint64_t>> cmasks(K);
     bool chunk_possible = true;
+    size_t screen_k = 0;  // filter needle (rarest by sampled candidates)
     if (chunk_sweep) {
       auto t0 = tick();
-      for (size_t k = 0; k < K && chunk_possible; k++) {
-        bigram_masks(chunk_ptr, size_t(span), pat.needles[k], cmasks[k]);
-        uint64_t any = 0;
-        for (uint64_t w : cmasks[k]) any |= w;
-        chunk_possible = any != 0;
+      if (K > 1) {
+        const size_t sample = std::min<size_t>(size_t(span), 1 << 20);
+        std::vector<std::vector<uint64_t>> smasks(K);
+        bigram_masks_multi(chunk_ptr, sample, pat.needles, smasks);
+        int64_t best_pop = INT64_MAX;
+        for (size_t k = 0; k < K; k++) {
+          int64_t pop = 0;
+          for (uint64_t w : smasks[k]) pop += __builtin_popcountll(w);
+          if (pop < best_pop) {
+            best_pop = pop;
+            screen_k = k;
+          }
+        }
       }
+      bigram_masks(chunk_ptr, size_t(span), pat.needles[screen_k],
+                   cmasks[screen_k]);
+      uint64_t any = 0;
+      for (uint64_t w : cmasks[screen_k]) any |= w;
+      chunk_possible = any != 0;
       if (timing) lap(ns_sweep, t0);
     }
 
-    for (size_t pi = 0; pi < pages_.size(); pi++) {
-      const PageRec& pr = pages_[pi];
-      if (pr.rg != rg || pr.chunk_col != lf.chunk_idx) continue;
+    // Inline page-header walk FUSED into the scan: the chunk's headers are
+    // parsed on the fly (they share cache lines with the payloads the sweep
+    // touches), so the cold path never builds the global page index —
+    // header parse + gid numbering + match walk happen in one pass.
+    int64_t gid_next = gid_base[size_t(j)];
+    int64_t hoff = 0, walk_values = 0, walk_rows = 0;
+    while (walk_values < cm.num_values) {
+      if (hoff >= span) break;  // short chunk span: stop like the reference
+      PageRec pr;
+      int64_t hsz = parse_page_rec(chunk_ptr, hoff, span, chunk_start, rg,
+                                   lf.chunk_idx, walk_rows, walk_values, pr);
+      hoff += hsz + pr.size;
+      if (pr.gid == 0) pr.gid = gid_next++;
       int64_t off = pr.data_off - chunk_start;
       if (off < 0 || off + pr.size > span) throw Error("page outside chunk span");
       const uint8_t* d = chunk_ptr + off;
@@ -482,6 +644,33 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
       int64_t vlen = int64_t(cur.left());
       const uint8_t* vp = cur.bytes(size_t(vlen));
 
+      if (direct_chain && nn > 0) {
+        auto t0 = tick();
+        int64_t vlen2 = vlen;
+        const uint8_t* vp2 = vp;
+        int64_t pos = 0;
+        if (timing) n_vals += nn;
+        for (int64_t v = 0; v < nn; v++) {
+          if (pos + 4 > vlen2) break;  // prefix never finalizes
+          uint32_t len;
+          std::memcpy(&len, vp2 + pos, 4);
+          if (pos + 4 + int64_t(len) > vlen2) break;  // bytes never finalize
+          if (chain_match(pat.needles, vp2 + pos + 4, len)) {
+            accepted++;
+            if (!pat.exact && !pat.neg) break;
+          } else if (!pat.exact && pat.neg) {
+            accepted = 0;
+            break;
+          }
+          pos += 4 + int64_t(len);
+        }
+        if (timing) lap(ns_walk, t0);
+        int64_t counts = pat.neg ? nn - accepted : accepted;
+        if (!pat.exact) counts = counts > 0 ? 1 : 0;
+        out.pages.push_back({pr.gid, counts, nn});
+        continue;
+      }
+
       if (pat.use_chain() && nn > 0) {
         // One SIMD bigram-mask sweep per needle over the whole section (pure
         // compare+store), with early-out when some needle has no candidate
@@ -495,6 +684,18 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
         if (chunk_sweep) {
           possible = chunk_possible;
           mbase = int64_t(vp - chunk_ptr);
+          if (possible) {
+            // page screen: no candidate of the rarest needle anywhere in
+            // this value section → no value can match; skip the whole
+            // boundary walk (the dominant cold-scan cost on pruned pages)
+            const auto& mk = cmasks[screen_k];
+            uint64_t any = 0;
+            const int64_t w1 = std::min<int64_t>(int64_t(mk.size()) - 1,
+                                                 (mbase + vlen) >> 6);
+            for (int64_t w = mbase >> 6; w <= w1; w++) any |= mk[size_t(w)];
+            possible = any != 0;
+            if (timing) (possible ? n_walked : n_screened)++;
+          }
         } else {
           possible = true;
           mbase = 0;
@@ -504,6 +705,62 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
             for (uint64_t w : masks[k]) any |= w;
             possible = any != 0;
           }
+        }
+        if (chunk_sweep && possible && !(pat.neg && !pat.exact)) {
+          // BIT-DRIVEN walk: iterate the filter needle's candidate bits in
+          // this value section (ascending) and chase value boundaries
+          // lazily up to each candidate — values without the rarest needle
+          // (the common case) are chased past at ~5 ns each with no mask or
+          // match work at all.  A value accepts at most once: after its
+          // chain_match (hit or miss) the cursor skips every further bit it
+          // contains.  (The neg+indicator mode needs "some value fails",
+          // which non-candidate values decide implicitly — it keeps the
+          // per-value path below.)
+          const auto& mk = cmasks[screen_k];
+          const int64_t nb = int64_t(mk.size());
+          const int64_t lk = int64_t(pat.needles[screen_k].size());
+          if (timing) n_vals += nn;
+          int64_t pos = 0, v = 0;        // prefix-chase cursor
+          int64_t cur_a = -1, cur_b = -1;  // current value byte range
+          bool chased_out = false;        // prefix/bytes never finalize
+          const int64_t w0 = mbase >> 6;
+          const int64_t wend = std::min<int64_t>(nb - 1, (mbase + vlen) >> 6);
+          bool decided = false;
+          for (int64_t blk = w0; blk <= wend && !decided; blk++) {
+            uint64_t w = mk[size_t(blk)];
+            if (blk == w0) w &= ~0ull << (mbase & 63);
+            while (w && !decided) {
+              const int64_t p = (blk << 6 | __builtin_ctzll(w)) - mbase;
+              w &= w - 1;
+              if (p >= vlen) break;
+              if (p < cur_b) continue;  // same value as the last chain run
+              // chase forward to the value containing p
+              while (v < nn) {
+                if (pos + 4 > vlen) { chased_out = true; break; }
+                uint32_t len;
+                std::memcpy(&len, vp + pos, 4);
+                cur_a = pos + 4;
+                cur_b = cur_a + int64_t(len);
+                if (cur_b > vlen) { chased_out = true; break; }
+                pos = cur_b;
+                v++;
+                if (p < cur_b) break;
+              }
+              if (chased_out || v > nn) { decided = true; break; }
+              if (p < cur_a || p > cur_b - lk) continue;  // dead bit
+              if (chain_match(pat.needles, vp + cur_a,
+                              size_t(cur_b - cur_a))) {
+                accepted++;
+                if (!pat.exact) { decided = true; break; }  // survivor known
+              }
+              // hit or miss, this value is done — skip its remaining bits
+            }
+          }
+          if (timing) lap(ns_walk, t0);
+          int64_t counts = pat.neg ? nn - accepted : accepted;
+          if (!pat.exact) counts = counts > 0 ? 1 : 0;
+          out.pages.push_back({pr.gid, counts, nn});
+          continue;
         }
         auto& msel = chunk_sweep ? cmasks : masks;
         if (timing) {
@@ -542,6 +799,7 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
             }
           };
           int64_t pos = 0;
+          if (timing) n_vals += nn;
           for (int64_t v = 0; v < nn; v++) {
             if (pos + 4 > vlen) break;  // prefix never finalizes
             uint32_t len;
@@ -600,14 +858,21 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
       if (!pat.exact) counts = counts > 0 ? 1 : 0;
       out.pages.push_back({pr.gid, counts, nn});
     }
+    // gid soundness: the walk's own data-page count must match the base
+    // source (OffsetIndex / count-only walk), or every later gid is shifted.
+    if (gid_next - gid_base[size_t(j)] != expect[size_t(j)])
+      throw Error("cold scan: chunk data-page count mismatch vs offset index"
+                  " (corrupt page index?)");
   });
 
   if (timing)
     std::fprintf(stderr,
                  "[cold_scan] def: %.1f ms  sweep: %.1f ms  walk: %.1f ms "
-                 "(thread-summed)\n",
+                 "(thread-summed)  screened %lld walked %lld vals %lld\n",
                  double(ns_def.load()) / 1e6, double(ns_sweep.load()) / 1e6,
-                 double(ns_walk.load()) / 1e6);
+                 double(ns_walk.load()) / 1e6,
+                 (long long)n_screened.load(), (long long)n_walked.load(),
+                 (long long)n_vals.load());
 
   int64_t n_pages = 0;
   for (const auto& r : rg_out) n_pages += int64_t(r.pages.size());

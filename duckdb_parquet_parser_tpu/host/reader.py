@@ -340,8 +340,8 @@ class ParquetReader:
         self._meta = None
         self._columns: list[ColumnInfo] = []
         self._by_name: dict[str, int] = {}
-        self._pages: dict[str, np.ndarray] = {}
-        self._data_page_rows: np.ndarray | None = None  # page-table row per gid
+        self._pages_cache: dict[str, np.ndarray] | None = None
+        self._data_page_rows_cache: np.ndarray | None = None
         if path is not None:
             if not self.open(path):
                 raise IOError(f"cannot open parquet file: {path}")
@@ -375,11 +375,25 @@ class ParquetReader:
                 )
             )
         self._by_name = {c.name: i for i, c in enumerate(self._columns)}
-        self._pages = bindings.native_page_table(self._h)
-        gids = self._pages["gid"]
-        order = np.argsort(gids[gids >= 0])
-        self._data_page_rows = np.nonzero(gids >= 0)[0][order]
+        # page table stays LAZY (native side walks headers on first demand):
+        # a cold one-shot scan never touches it — see the _pages property
         return True
+
+    @property
+    def _pages(self) -> dict[str, np.ndarray]:
+        """Global page table (lazy: first access triggers the native header
+        walk; the cold one-shot scan path never needs it)."""
+        if self._pages_cache is None:
+            self._pages_cache = bindings.native_page_table(self._h)
+        return self._pages_cache
+
+    @property
+    def _data_page_rows(self) -> np.ndarray:
+        if self._data_page_rows_cache is None:
+            gids = self._pages["gid"]
+            order = np.argsort(gids[gids >= 0])
+            self._data_page_rows_cache = np.nonzero(gids >= 0)[0][order]
+        return self._data_page_rows_cache
 
     def _file_view(self) -> np.ndarray | None:
         """Read-only numpy view over the whole mmap'd file (zero copy);
