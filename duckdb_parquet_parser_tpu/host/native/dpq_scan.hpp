@@ -477,41 +477,33 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
     bool direct_chain = false;
     if (const char* e = std::getenv("DPQ_COLD_DIRECT"))
       direct_chain = pat.use_chain() && e[0] == '1';
-    const bool chunk_sweep = !compressed && pat.use_chain() && !direct_chain;
-    // FILTER-NEEDLE sweep (uncompressed chains): sample-sweep every needle
-    // over the chunk's first 1 MB, pick the one with the fewest candidates
-    // (first-two + last byte masks), then run ONE full SIMD sweep for that
-    // needle only.  The walk uses its mask as a per-value EXISTENCE filter —
-    // a value without the rarest needle cannot match — and runs the direct
-    // memchr chain only on surviving values.  One mask pass over the span
-    // (vs one per needle) and ~45 ns of chain work only where the filter
-    // fires; candidates inside page headers / level sections are dead bits
-    // the walk never visits.  Compressed chunks keep the per-page sweep
-    // (their value sections live in per-page scratch buffers).
-    std::vector<std::vector<uint64_t>> cmasks(K);
-    bool chunk_possible = true;
+    // FILTER-NEEDLE page sweeps (chains): sample-sweep every needle over the
+    // chunk's first 1 MB once, pick the rarest (fewest candidates under the
+    // first-two + last byte masks), then sweep each PAGE's value section for
+    // that needle only, right before walking it — the ~1 KB payload is still
+    // in L1 when the boundary walk re-reads it, so the chunk streams through
+    // DRAM ONCE (a chunk-wide sweep pass costs a second full-span read, and
+    // the walk's length-prefix chase touches every cache line again cold).
+    // The mask is a per-value EXISTENCE filter: a value without the rarest
+    // needle cannot match, and a page with no candidate at all skips its
+    // boundary walk entirely.  neg+indicator pages need "some value FAILS",
+    // which a missing-candidate value decides immediately — they fill every
+    // needle's masks and take the per-value confirm walk below.
     size_t screen_k = 0;  // filter needle (rarest by sampled candidates)
-    if (chunk_sweep) {
+    if (pat.use_chain() && !direct_chain && K > 1 && !compressed) {
       auto t0 = tick();
-      if (K > 1) {
-        const size_t sample = std::min<size_t>(size_t(span), 1 << 20);
-        std::vector<std::vector<uint64_t>> smasks(K);
-        bigram_masks_multi(chunk_ptr, sample, pat.needles, smasks);
-        int64_t best_pop = INT64_MAX;
-        for (size_t k = 0; k < K; k++) {
-          int64_t pop = 0;
-          for (uint64_t w : smasks[k]) pop += __builtin_popcountll(w);
-          if (pop < best_pop) {
-            best_pop = pop;
-            screen_k = k;
-          }
+      const size_t sample = std::min<size_t>(size_t(span), 1 << 20);
+      std::vector<std::vector<uint64_t>> smasks(K);
+      bigram_masks_multi(chunk_ptr, sample, pat.needles, smasks);
+      int64_t best_pop = INT64_MAX;
+      for (size_t k = 0; k < K; k++) {
+        int64_t pop = 0;
+        for (uint64_t w : smasks[k]) pop += __builtin_popcountll(w);
+        if (pop < best_pop) {
+          best_pop = pop;
+          screen_k = k;
         }
       }
-      bigram_masks(chunk_ptr, size_t(span), pat.needles[screen_k],
-                   cmasks[screen_k]);
-      uint64_t any = 0;
-      for (uint64_t w : cmasks[screen_k]) any |= w;
-      chunk_possible = any != 0;
       if (timing) lap(ns_sweep, t0);
     }
 
@@ -672,41 +664,26 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
       }
 
       if (pat.use_chain() && nn > 0) {
-        // One SIMD bigram-mask sweep per needle over the whole section (pure
-        // compare+store), with early-out when some needle has no candidate
-        // anywhere (the page then cannot contain a matching value); the
-        // value-boundary walk consumes mask bits lazily — greedy earliest
-        // CONFIRMED occurrence == the bitap register semantics — memoizing
-        // failed confirms by clearing their bits.
+        // Page-local SIMD bigram-mask sweep (pure compare+store) right
+        // before the boundary walk — the payload is hot in cache for both.
+        // Rarest needle first: no candidate anywhere → the page cannot
+        // contain a matching value and skips its walk entirely.  The walk
+        // consumes mask bits lazily — greedy earliest CONFIRMED occurrence
+        // == the bitap register semantics — memoizing failed confirms by
+        // clearing their bits.
         auto t0 = tick();
-        bool possible;
-        int64_t mbase;  // mask-bit offset of vp[0] (absolute in chunk mode)
-        if (chunk_sweep) {
-          possible = chunk_possible;
-          mbase = int64_t(vp - chunk_ptr);
-          if (possible) {
-            // page screen: no candidate of the rarest needle anywhere in
-            // this value section → no value can match; skip the whole
-            // boundary walk (the dominant cold-scan cost on pruned pages)
-            const auto& mk = cmasks[screen_k];
-            uint64_t any = 0;
-            const int64_t w1 = std::min<int64_t>(int64_t(mk.size()) - 1,
-                                                 (mbase + vlen) >> 6);
-            for (int64_t w = mbase >> 6; w <= w1; w++) any |= mk[size_t(w)];
-            possible = any != 0;
-            if (timing) (possible ? n_walked : n_screened)++;
-          }
-        } else {
-          possible = true;
-          mbase = 0;
-          for (size_t k = 0; k < K && possible; k++) {
-            bigram_masks(vp, size_t(vlen), pat.needles[k], masks[k]);
-            uint64_t any = 0;
-            for (uint64_t w : masks[k]) any |= w;
-            possible = any != 0;
-          }
+        const bool neg_ind = pat.neg && !pat.exact;
+        constexpr int64_t mbase = 0;  // masks are page-local (vp-relative)
+        bool possible = true;
+        bigram_masks(vp, size_t(vlen), pat.needles[screen_k],
+                     masks[screen_k]);
+        {
+          uint64_t any = 0;
+          for (uint64_t w : masks[screen_k]) any |= w;
+          possible = any != 0;
+          if (timing) (possible ? n_walked : n_screened)++;
         }
-        if (chunk_sweep && possible && !(pat.neg && !pat.exact)) {
+        if (possible && !neg_ind) {
           // BIT-DRIVEN walk: iterate the filter needle's candidate bits in
           // this value section (ascending) and chase value boundaries
           // lazily up to each candidate — values without the rarest needle
@@ -716,7 +693,8 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
           // contains.  (The neg+indicator mode needs "some value fails",
           // which non-candidate values decide implicitly — it keeps the
           // per-value path below.)
-          const auto& mk = cmasks[screen_k];
+          if (timing) { lap(ns_sweep, t0); t0 = tick(); }
+          const auto& mk = masks[screen_k];
           const int64_t nb = int64_t(mk.size());
           const int64_t lk = int64_t(pat.needles[screen_k].size());
           if (timing) n_vals += nn;
@@ -762,7 +740,17 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
           out.pages.push_back({pr.gid, counts, nn});
           continue;
         }
-        auto& msel = chunk_sweep ? cmasks : masks;
+        // per-value confirm walk (neg+indicator, or screened-out pages):
+        // needs every needle's masks — a needle with no candidate anywhere
+        // decides the page immediately (every value fails the chain).
+        for (size_t k = 0; k < K && possible; k++) {
+          if (k == screen_k) continue;  // already swept
+          bigram_masks(vp, size_t(vlen), pat.needles[k], masks[k]);
+          uint64_t any = 0;
+          for (uint64_t w : masks[k]) any |= w;
+          possible = any != 0;
+        }
+        auto& msel = masks;
         if (timing) {
           lap(ns_sweep, t0);
           t0 = tick();

@@ -109,6 +109,39 @@ def test_cold_scan_empty_and_full_match(plain_file):
     assert (rn.match_counts == 0).all()
 
 
+def test_cold_scan_neg_indicator_dense_candidates(tmp_path):
+    """neg+indicator on a PLAIN column where every value contains every
+    needle candidate (regression: the per-value confirm walk read the
+    non-filter needles' masks, which the rarest-needle screen no longer
+    fills chunk-wide — crashed when pages weren't screened out first)."""
+    from duckdb_parquet_parser_tpu.host.writer import ParquetWriter, ColumnSpec
+    from duckdb_parquet_parser_tpu.host.schema import ParquetType
+
+    rng = np.random.default_rng(21)
+    path = str(tmp_path / "dense.parquet")
+    # all values contain "alpha" and "bravo" candidates; a random minority
+    # break the chain order so some values FAIL (neg indicator must fire
+    # only on pages that have a failing value)
+    vals = []
+    for i in range(4000):
+        if rng.random() < 0.03:
+            vals.append(f"bravo pad{i} alpha")          # wrong order: fails
+        else:
+            vals.append(f"alpha pad{i} bravo tail")      # matches
+    w = ParquetWriter(path, [ColumnSpec("s", ParquetType.BYTE_ARRAY)])
+    w.write_row_group({"s": vals})
+    w.close()
+    eng = ScanEngine(path)
+    for neg in (False, True):
+        golden = eng.scan("s", "alpha.*bravo", negate=neg, engine="numpy")
+        exact = eng.cold_scan("s", "alpha.*bravo", negate=neg, exact_counts=True)
+        ind = eng.cold_scan("s", "alpha.*bravo", negate=neg)
+        np.testing.assert_array_equal(exact.match_counts, golden.match_counts)
+        np.testing.assert_array_equal(
+            np.sort(ind.surviving_pages()), np.sort(golden.surviving_pages())
+        )
+
+
 @pytest.mark.parametrize("pattern,neg", [("alpha.*bravo", False), ("charlie", True)])
 def test_scan_streaming_parity(dict_file, plain_file, pattern, neg):
     """The pipelined cold device scan produces the same page sets/counts as
