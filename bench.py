@@ -112,6 +112,51 @@ def gen_fixture(rows: int) -> Path:
     return path
 
 
+def gen_sorted_fixture(rows: int) -> Path:
+    """Key-ordered strings column (write-time clustering): 'user_NNNNNNN tail'
+    keys in ascending order, 2% null — the layout where ColumnIndex min/max
+    pruning pays (tight per-page ranges)."""
+    from duckdb_parquet_parser_tpu.host.schema import ParquetType
+    from duckdb_parquet_parser_tpu.host.writer import ColumnSpec, ParquetWriter
+
+    path = CACHE / f"sortedkeys_{rows}.parquet"
+    if path.exists():
+        return path
+    CACHE.mkdir(parents=True, exist_ok=True)
+    t0 = time.time()
+    rng = np.random.default_rng(77)
+    w = ParquetWriter(
+        str(path),
+        [ColumnSpec("s_key", ParquetType.BYTE_ARRAY, optional=True)],
+    )
+    rg_rows = 500_000
+    done = 0
+    while done < rows:
+        n = min(rg_rows, rows - done)
+        ids = np.arange(done, done + n)
+        # vectorized "user_%07d extra" build (zero-padded => lexicographic
+        # order == numeric order)
+        digits = np.zeros((n, 7), np.uint8)
+        v = ids.copy()
+        for d in range(6, -1, -1):
+            digits[:, d] = (v % 10) + ord("0")
+            v //= 10
+        pre = np.frombuffer(b"user_", np.uint8)
+        post = np.frombuffer(b" extra", np.uint8)
+        row = np.concatenate([
+            np.tile(pre, (n, 1)), digits, np.tile(post, (n, 1))
+        ], axis=1)
+        ln = row.shape[1]
+        offs = np.arange(n + 1, dtype=np.int64) * ln
+        valid = (rng.random(n) > 0.02).astype(np.uint8)
+        w.write_row_group({"s_key": ((offs, row.ravel(), valid))})
+        done += n
+    w.close()
+    log(f"sorted fixture {path} ({path.stat().st_size/1e6:.1f} MB) "
+        f"in {time.time()-t0:.1f}s")
+    return path
+
+
 def gen_dict_fixture(rows: int) -> Path:
     """Dictionary-heavy INT64 column (100 distinct values, 5% nulls)."""
     from duckdb_parquet_parser_tpu.host.schema import ParquetType
@@ -611,13 +656,24 @@ def bench_engine(path: Path, reps: int) -> dict:
     # ── cold one-shot paths (fresh engine each run, min-of-3) ───────────────
     from duckdb_parquet_parser_tpu.models.scan import ScanEngine
 
+    def cold_once_path(p, fn, env_off=False):
+        import os as _os
+
+        if env_off:
+            _os.environ["DPQ_NO_PRUNE"] = "1"
+        try:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                fn(ScanEngine(str(p)))
+                best = min(best, time.time() - t0)
+            return best
+        finally:
+            if env_off:
+                _os.environ.pop("DPQ_NO_PRUNE", None)
+
     def cold_once(fn):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            fn(ScanEngine(str(path)))
-            best = min(best, time.time() - t0)
-        return best
+        return cold_once_path(path, fn)
 
     t_cold = cold_once(lambda e: e.cold_scan("l_comment", PATTERN))
     out["scan_cold_e2e_rows_per_s"] = total / t_cold
@@ -667,6 +723,29 @@ def bench_engine(path: Path, reps: int) -> dict:
                                              exact_counts=True)
     out["pruned_pages"] = int(len(res_ck.pruned_pages()))
     out["n_pages"] = batch.n_pages
+
+    # ── ColumnIndex stats pruning (anchored-prefix scan on sorted keys) ─────
+    # Real-world shape: a key-ordered column (write-time clustering) queried
+    # with an anchored prefix; the ColumnIndex lets the cold scan skip pages
+    # whose [min,max] cannot hold the prefix — before any decode.
+    spath = gen_sorted_fixture(out["rows"])
+    t_np = cold_once_path(spath, lambda e: e.cold_scan(
+        "s_key", "^user_0009", exact_counts=True), env_off=True)
+    t_pr = cold_once_path(spath, lambda e: e.cold_scan(
+        "s_key", "^user_0009", exact_counts=True))
+    rp = ScanEngine(str(spath)).cold_scan("s_key", "^user_0009",
+                                          exact_counts=True)
+    out["scan_stats_prune_rows_per_s"] = total / t_pr
+    out["scan_stats_prune_decomp"] = {
+        "pages_skipped": int(rp.stats_pruned_pages),
+        "n_pages": int(len(rp.page_gid)),
+        "unpruned_ms": round(t_np * 1000, 1),
+        "pruned_ms": round(t_pr * 1000, 1),
+        "speedup": round(t_np / max(t_pr, 1e-9), 2),
+    }
+    log(f"stats-pruned anchored scan: {total/t_pr:.3g} rows/s "
+        f"({t_pr*1000:.0f} ms vs {t_np*1000:.0f} ms unpruned; "
+        f"{rp.stats_pruned_pages}/{len(rp.page_gid)} pages skipped)")
 
     # ── read_column (decoded column API, host path) ─────────────────────────
     # min-of-9 with a breather: this VM has BURSTY CPU STEAL (a host pass

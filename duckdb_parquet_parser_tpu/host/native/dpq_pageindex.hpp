@@ -58,46 +58,12 @@ inline std::unique_ptr<ArrayStore> Reader::page_stats(int leaf_idx) const {
     std::vector<uint8_t> null_pages;
     std::vector<std::string> mins, maxs;
     std::vector<int64_t> null_counts;
-    bool has_ci = false;
-    if (cc.column_index_offset && cc.column_index_length &&
-        *cc.column_index_length > 0) {
-      std::vector<uint8_t> buf(size_t(*cc.column_index_length));
-      read_range(*cc.column_index_offset, *cc.column_index_length, buf.data());
-      TReader r(buf.data(), buf.size());
-      r.read_struct([&](const TReader::Field& f) {
-        switch (f.id) {
-          case 1: {
-            auto lh = r.list();
-            for (int32_t i = 0; i < lh.count; i++)
-              null_pages.push_back(r.vbool_elem() ? 1 : 0);
-            return true;
-          }
-          case 2: {
-            auto lh = r.list();
-            for (int32_t i = 0; i < lh.count; i++) mins.push_back(r.vstring());
-            return true;
-          }
-          case 3: {
-            auto lh = r.list();
-            for (int32_t i = 0; i < lh.count; i++) maxs.push_back(r.vstring());
-            return true;
-          }
-          case 5: {
-            auto lh = r.list();
-            for (int32_t i = 0; i < lh.count; i++)
-              null_counts.push_back(r.vi64());
-            return true;
-          }
-          default:
-            return false;
-        }
-      });
-      has_ci = !mins.empty() || !null_pages.empty();
-      if (has_ci && (mins.size() != dps.size() || maxs.size() != dps.size()))
-        throw Error("ColumnIndex entry count does not match the chunk's "
-                    "data pages");
-      if (has_ci) n_with_ci++;
-    }
+    const bool has_ci =
+        read_chunk_column_index(cc, null_pages, mins, maxs, null_counts);
+    if (has_ci && (mins.size() != dps.size() || maxs.size() != dps.size()))
+      throw Error("ColumnIndex entry count does not match the chunk's "
+                  "data pages");
+    if (has_ci) n_with_ci++;
 
     // OffsetIndex: 1 page_locations (list<struct{1 offset i64,
     // 2 compressed_page_size i32, 3 first_row_index i64}>)

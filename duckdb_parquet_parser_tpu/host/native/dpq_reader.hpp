@@ -593,6 +593,52 @@ class Reader {
 
   std::string meta_json() const;
 
+  // Parse one chunk's ColumnIndex (1 null_pages list<bool>, 2 min_values
+  // list<binary>, 3 max_values, 5 null_counts list<i64>) if present.
+  // Returns false when the chunk carries none.  Shared by page_stats and
+  // the cold scan's stats pruning so entry alignment can never diverge.
+  bool read_chunk_column_index(const ColumnChunk& cc,
+                               std::vector<uint8_t>& null_pages,
+                               std::vector<std::string>& mins,
+                               std::vector<std::string>& maxs,
+                               std::vector<int64_t>& null_counts) const {
+    if (!cc.column_index_offset || !cc.column_index_length ||
+        *cc.column_index_length <= 0)
+      return false;
+    std::vector<uint8_t> buf(size_t(*cc.column_index_length));
+    read_range(*cc.column_index_offset, *cc.column_index_length, buf.data());
+    TReader r(buf.data(), buf.size());
+    r.read_struct([&](const TReader::Field& f) {
+      switch (f.id) {
+        case 1: {
+          auto lh = r.list();
+          for (int32_t i = 0; i < lh.count; i++)
+            null_pages.push_back(r.vbool_elem() ? 1 : 0);
+          return true;
+        }
+        case 2: {
+          auto lh = r.list();
+          for (int32_t i = 0; i < lh.count; i++) mins.push_back(r.vstring());
+          return true;
+        }
+        case 3: {
+          auto lh = r.list();
+          for (int32_t i = 0; i < lh.count; i++) maxs.push_back(r.vstring());
+          return true;
+        }
+        case 5: {
+          auto lh = r.list();
+          for (int32_t i = 0; i < lh.count; i++)
+            null_counts.push_back(r.vi64());
+          return true;
+        }
+        default:
+          return false;
+      }
+    });
+    return !mins.empty() || !null_pages.empty();
+  }
+
   // The structural pre-scan: pack one column across row groups [rg0, rg1)
   // into a device-ready SoA batch.  `align` pads trailing dims; when
   // `pad_strings` > 0, BYTE_ARRAY values/dictionaries are additionally packed

@@ -53,6 +53,14 @@ struct ColdPattern {
   // at the first deciding value (same surviving/pruned sets, ~2x faster on
   // match-heavy data); exact=true reproduces the device engine's counts.
   bool exact = true;
+  // Mandatory anchored literal prefix of the pattern (empty = none): every
+  // matching value must START with these bytes, so a page whose ColumnIndex
+  // [min, max] range cannot intersect [prefix, next_prefix) is skipped
+  // before any def/payload work (engine extension — the reference never
+  // reads the page-index region: src/reader/metadata.cpp:68-86).  The
+  // caller must leave this empty under negation (a no-match page SURVIVES
+  // a negated scan).
+  std::string prune_prefix;
 
   bool use_chain() const { return !needles.empty(); }
   bool accept_empty() const {
@@ -421,6 +429,7 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
   const bool timing = std::getenv("DPQ_SCAN_TIMING") != nullptr;
   std::atomic<int64_t> ns_def{0}, ns_sweep{0}, ns_walk{0};
   std::atomic<int64_t> n_screened{0}, n_walked{0}, n_vals{0};
+  std::atomic<int64_t> n_stats_pruned{0};  // pages skipped via ColumnIndex
   auto tick = [] { return std::chrono::steady_clock::now(); };
   auto lap = [&](std::atomic<int64_t>& acc, auto t0) {
     acc += std::chrono::duration_cast<std::chrono::nanoseconds>(tick() - t0)
@@ -458,6 +467,44 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
     // per-row-group dictionary accepts (pre-negation) — one match per entry
     std::vector<uint8_t> dict_acc;
     int32_t dict_n = 0;
+
+    // ── Page-Index stats pruning (anchored-prefix patterns) ──────────────
+    // prune[k] (k = data-page ordinal in this chunk — ColumnIndex entry k IS
+    // data page k in file order) marks pages whose [min, max] range cannot
+    // intersect [prefix, next_prefix): no value there can start with the
+    // prefix, so the page cannot match.  Sound under the format's
+    // truncation semantics (stored min is a LOWER bound, stored max an
+    // UPPER bound of the true extremes).  ci_null_counts additionally lets
+    // a pruned flat page report its participating-value count without
+    // decoding definition levels.
+    std::vector<uint8_t> prune;
+    std::vector<int64_t> ci_null_counts;
+    if (!pat.prune_prefix.empty() && !pat.neg) {
+      std::vector<uint8_t> ci_null_pages;
+      std::vector<std::string> ci_mins, ci_maxs;
+      if (read_chunk_column_index(g.columns[size_t(lf.chunk_idx)],
+                                  ci_null_pages, ci_mins, ci_maxs,
+                                  ci_null_counts)) {
+        const size_t nk = size_t(expect[size_t(j)]);
+        if (ci_mins.size() != nk || ci_maxs.size() != nk)
+          throw Error("ColumnIndex entry count does not match the chunk's "
+                      "data pages");
+        const std::string& P = pat.prune_prefix;
+        // Q = successor bound: values starting with P are exactly [P, Q).
+        // All-0xFF prefixes have no finite successor (Q empty: only the
+        // max < P test applies).
+        std::string Q = P;
+        while (!Q.empty() && uint8_t(Q.back()) == 0xFF) Q.pop_back();
+        if (!Q.empty()) Q.back() = char(uint8_t(Q.back()) + 1);
+        prune.assign(nk, 0);
+        for (size_t k = 0; k < nk; k++) {
+          if (k < ci_null_pages.size() && ci_null_pages[k])
+            continue;  // all-null pages already skip matching (nn == 0)
+          if (ci_maxs[k] < P || (!Q.empty() && ci_mins[k] >= Q)) prune[k] = 1;
+        }
+        if (ci_null_counts.size() != nk) ci_null_counts.clear();
+      }
+    }
 
     std::vector<Run> runs;  // reused per page
     const size_t K = pat.needles.size();
@@ -520,6 +567,29 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
                                    lf.chunk_idx, walk_rows, walk_values, pr);
       hoff += hsz + pr.size;
       if (pr.gid == 0) pr.gid = gid_next++;
+      // stats-pruned PLAIN page: the ColumnIndex proves no value here can
+      // start with the pattern's mandatory prefix — skip decompression, the
+      // def decode (when null_counts give the participating total) and the
+      // match walk.  Dict-encoded pages are never pruned: their per-entry
+      // accepts already short-circuit payload walks, and their value totals
+      // exclude out-of-range indices, which stats cannot see.
+      bool stats_pruned = false;
+      if (!prune.empty() && pr.gid >= gid_base[size_t(j)] &&
+          pr.encoding == E_PLAIN &&
+          prune[size_t(pr.gid - gid_base[size_t(j)])]) {
+        stats_pruned = true;
+        const size_t ord = size_t(pr.gid - gid_base[size_t(j)]);
+        if (lf.max_rep == 0 && ord < ci_null_counts.size() &&
+            ci_null_counts[ord] >= 0) {
+          n_stats_pruned++;
+          out.pages.push_back(
+              {pr.gid, 0, int64_t(pr.num_values) - ci_null_counts[ord]});
+          continue;
+        }
+        // null_counts absent (or nested leaf slots): fall through to the
+        // def-level decode for the participating-value total, then skip
+        // the match walk below.
+      }
       int64_t off = pr.data_off - chunk_start;
       if (off < 0 || off + pr.size > span) throw Error("page outside chunk span");
       const uint8_t* d = chunk_ptr + off;
@@ -588,6 +658,12 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
           nn = count_matching(runs, dp, def_len, def_bw, lf.max_def);
           if (timing) lap(ns_def, t0);
         }
+      }
+
+      if (stats_pruned) {  // def levels decoded above for the value total
+        n_stats_pruned++;
+        out.pages.push_back({pr.gid, 0, nn});
+        continue;
       }
 
       const bool enc_dict =
@@ -867,6 +943,7 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
 
   auto store = std::make_unique<ArrayStore>();
   store->dims["n_pages"] = n_pages;
+  store->dims["stats_pruned_pages"] = n_stats_pruned.load();
   auto* a_gid = store->alloc<int64_t>("page_gid", {n_pages});
   auto* a_cnt = store->alloc<int64_t>("match_counts", {n_pages});
   auto* a_val = store->alloc<int64_t>("value_counts", {n_pages});

@@ -77,9 +77,25 @@ class PageStats:
         """Global page ids that CANNOT contain a value satisfying the
         predicate — the stats analog of the regex scan's "pages with no
         matching values" report.  `op` is one of '==', '<', '<=', '>',
-        '>=', 'between' (inclusive; pass `hi`).  Pages without stats are
-        never pruned; all-null pages always are."""
-        if op == "between":
+        '>=', 'between' (inclusive; pass `hi`), or 'prefix' (BYTE_ARRAY:
+        value starts with the given bytes — the op the cold scan's
+        anchored-pattern pruning uses, see ColdPattern.prune_prefix).
+        Pages without stats are never pruned; all-null pages always are."""
+        if op == "prefix":
+            # values with prefix P are exactly [P, next_prefix(P)); an
+            # all-0xFF prefix has no finite successor (upper test disabled)
+            if not isinstance(value, (bytes, bytearray)):
+                raise TypeError("prefix pruning requires a bytes prefix")
+            lo_v = bytes(value)
+            q = bytearray(lo_v)
+            while q and q[-1] == 0xFF:
+                q.pop()
+            if q:
+                q[-1] += 1
+                hi_v = bytes(q)
+            else:
+                hi_v = None
+        elif op == "between":
             if hi is None:
                 raise ValueError("between requires hi")
             lo_v, hi_v = value, hi
@@ -97,7 +113,9 @@ class PageStats:
             mn, mx = self.mins[i], self.maxs[i]
             if mn is None or mx is None:
                 continue
-            if op == "==" or op == "between":
+            if op == "prefix":
+                dead = mx < lo_v or (hi_v is not None and mn >= hi_v)
+            elif op == "==" or op == "between":
                 dead = mx < lo_v or mn > hi_v
             elif op == ">":
                 dead = mx <= lo_v

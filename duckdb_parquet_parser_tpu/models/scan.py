@@ -450,9 +450,15 @@ def cold_scan(
 ) -> PageMatchResult:
     """Free-function form of ScanEngine.cold_scan over an open reader (the
     CLI's default one-shot path)."""
+    import os
+
     from ..host import bindings
     from ..host.schema import ParquetType
-    from ..ops.regex import like_to_regex, substring_chain
+    from ..ops.regex import (
+        anchored_literal_prefix,
+        like_to_regex,
+        substring_chain,
+    )
 
     info = reader.column(column)
     if info.type != ParquetType.BYTE_ARRAY:
@@ -462,11 +468,19 @@ def cold_scan(
         )
     pat = like_to_regex(pattern) if like else pattern
     chain = substring_chain(pat)
+    # Page Index stats pruning: an anchored pattern's mandatory literal
+    # prefix lets the native walk skip pages whose ColumnIndex [min, max]
+    # range cannot hold a prefix-P value — before any decode.  Never sound
+    # under negation (a no-match page SURVIVES a negated scan).
+    prefix = None
+    if not negate and not os.environ.get("DPQ_NO_PRUNE"):
+        prefix = anchored_literal_prefix(pat)
     try:
         if chain:
             _dims, arrays = bindings.native_cold_scan(
                 reader._h, reader.find_column(column), 0, -1,
                 negate=negate, exact=exact_counts, needles=chain,
+                prune_prefix=prefix,
             )
         else:
             try:
@@ -477,7 +491,7 @@ def cold_scan(
             _dims, arrays = bindings.native_cold_scan(
                 reader._h, reader.find_column(column), 0, -1,
                 negate=negate, exact=exact_counts, table=dfa.table,
-                accept=dfa.accept.astype(np.uint8),
+                accept=dfa.accept.astype(np.uint8), prune_prefix=prefix,
             )
     except bindings.NativeError as e:
         if "unsupported value encoding" not in str(e):
@@ -485,11 +499,13 @@ def cold_scan(
         # delta-coded string pages: the prescan path re-serializes them
         batch = reader.prescan(column, pad_strings=8)
         return scan_batch(batch, pat, negate=negate)
-    return PageMatchResult(
+    res = PageMatchResult(
         page_gid=arrays["page_gid"].copy(),
         match_counts=arrays["match_counts"].copy(),
         value_counts=arrays["value_counts"].copy(),
     )
+    res.stats_pruned_pages = int(_dims.get("stats_pruned_pages", 0))
+    return res
 
 
 class ResidentColumn:

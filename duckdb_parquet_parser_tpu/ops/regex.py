@@ -403,6 +403,72 @@ def _literal_bytes(seg: str) -> bytes | None:
     return bytes(out)
 
 
+def anchored_literal_prefix(pattern: str) -> bytes | None:
+    """Longest MANDATORY literal prefix of an anchored pattern: every
+    matching value must start with these bytes.  This is the stats-pruning
+    hook — a page whose ColumnIndex [min, max] range cannot contain a value
+    in [prefix, next_prefix) cannot match (see ColdPattern.prune_prefix in
+    host/native/dpq_scan.hpp).
+
+    None unless the pattern starts with '^' (unanchored search can match
+    anywhere regardless of page min/max).  Collection stops BEFORE the first
+    non-literal atom, before any quantified char that may repeat or vanish
+    ('x*', 'x?', 'x{..}'), and AFTER a '+'-quantified char (mandatory at
+    least once, but what follows is variable).  Any top-level alternation
+    bails entirely: this engine anchors the whole alternation, so a sound
+    common prefix would need per-branch analysis we don't attempt.
+    """
+    if not pattern.startswith("^"):
+        return None
+    # top-level '|' scan (outside classes; any paren depth counts as
+    # non-top-level only if the '|' sits inside the group)
+    depth = 0
+    in_class = False
+    i = 1
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(depth - 1, 0)
+        elif ch == "|" and depth == 0:
+            return None
+        i += 1
+
+    out = bytearray()
+    i = 1
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch in ".[](){}|*+?^$":
+            break
+        if ch == "\\":
+            if i + 1 >= n or pattern[i + 1].isalnum():
+                break  # escape classes (\d, \w, ...) are not literal
+            lit = pattern[i + 1]
+            nxt = i + 2
+        else:
+            lit = ch
+            nxt = i + 1
+        # peek the quantifier following this literal
+        q = pattern[nxt] if nxt < n else ""
+        if q and q in "*?{":
+            break  # optional / variable repeat: char not mandatory
+        out.append(ord(lit))
+        if q == "+":
+            break  # mandatory at least once; what follows is variable
+        i = nxt
+    return bytes(out) if out else None
+
+
 def like_to_regex(pattern: str) -> str:
     """SQL LIKE -> regex ('%' any run, '_' any byte), anchored both ends."""
     out = ["^"]

@@ -109,6 +109,9 @@ class PageMatchResult:
     page_gid: np.ndarray        # [N] global data-page ids
     match_counts: np.ndarray    # [N] number of accepted (non-null) values
     value_counts: np.ndarray    # [N] number of participating values
+    # pages skipped via ColumnIndex min/max before any decode (cold path
+    # only; 0 when stats pruning did not apply)
+    stats_pruned_pages: int = 0
 
     def pruned_pages(self) -> np.ndarray:
         """Global ids of pages with NO accepted values (the reported set)."""
