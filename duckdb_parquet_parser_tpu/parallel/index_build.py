@@ -42,8 +42,13 @@ class DistributedIndexResult:
     received: list[np.ndarray]        # per device: [k, 3] (row, len, chunk)
     shuffle_bytes: int                # payload bytes moved by the exchange
     skew_factor: float                # max/mean device load (bytes)
-    exchange_capacity: int            # padded bucket capacity per block
+    exchange_capacity: int            # rows per (src,dst) bucket (padded) or
+                                      # per destination (ragged), per block
     n_exchange_blocks: int
+    exchange_mode: str = "padded"     # "ragged" | "padded"
+    exchange_planned_slots: int = 0   # total receive slots the compiled
+                                      # shapes reserve (capacity-ratio
+                                      # numerator vs true entry count)
 
 
 @functools.lru_cache(maxsize=16)
@@ -228,32 +233,60 @@ def distributed_index_build(mesh, reader, column: str,
     payload = np.stack([pos, lens, index.chunk_of_entry], axis=1).astype(np.int64)
 
     # 4. block-pipelined exchange at ONE compiled capacity: the collective for
-    # block i is in flight while the host packs block i+1
+    # block i is in flight while the host packs block i+1.  Default mode is
+    # the exact-size ragged exchange (planned slots ~= max/mean over
+    # DESTINATIONS); "padded" keeps the dense [D, D, cap] buckets.
     from ..utils.config import get_config
 
-    slack = get_config().exchange_capacity_slack
+    cfg = get_config()
+    slack = cfg.exchange_capacity_slack
+    ragged = cfg.exchange_mode != "padded"
     m = len(dst)
     blocks = [(lo, min(lo + entry_block, m)) for lo in range(0, m, entry_block)]
-    plans = [
-        ExchangePlan.plan(dst[lo:hi], src[lo:hi], n_devices,
-                          capacity_slack=slack)
-        for lo, hi in blocks
-    ]
-    cap = max((p.capacity for p in plans), default=1)
     in_flight = []
     shuffle_bytes = 0
-    for (lo, hi), plan in zip(blocks, plans):
-        plan.capacity = cap
-        send = plan.build_send_buffer(payload[lo:hi], src[lo:hi], fill=-1)
-        shuffle_bytes += send.nbytes
-        in_flight.append(exchange_entries(mesh, send, block=False))
+    if ragged:
+        from .pipeline import ragged_exchange_entries
+        from .shuffle import RaggedExchangePlan
 
-    received = [[] for _ in range(n_devices)]
-    for recv in in_flight:
-        rows = np.asarray(recv).reshape(n_devices, -1, 3)
-        for d in range(n_devices):
-            got = rows[d]
-            received[d].append(got[got[:, 0] >= 0])
+        plans = [
+            RaggedExchangePlan.plan(dst[lo:hi], src[lo:hi], n_devices)
+            for lo, hi in blocks
+        ]
+        send_cap = max((p.send_cap for p in plans), default=1)
+        cap = max((p.recv_cap for p in plans), default=1)
+        for (lo, hi), plan in zip(blocks, plans):
+            plan.send_cap, plan.recv_cap = send_cap, cap
+            shuffle_bytes += n_devices * send_cap * payload.shape[1] * 8
+            in_flight.append(
+                ragged_exchange_entries(mesh, plan, payload[lo:hi],
+                                        fill=-1, block=False))
+        received = [[] for _ in range(n_devices)]
+        for recv, plan in zip(in_flight, plans):
+            rows = np.asarray(recv)
+            for d in range(n_devices):
+                received[d].append(rows[d, : int(plan.recv_total[d])])
+        planned_slots = n_devices * cap * len(blocks)
+    else:
+        plans = [
+            ExchangePlan.plan(dst[lo:hi], src[lo:hi], n_devices,
+                              capacity_slack=slack)
+            for lo, hi in blocks
+        ]
+        cap = max((p.capacity for p in plans), default=1)
+        for (lo, hi), plan in zip(blocks, plans):
+            plan.capacity = cap
+            send = plan.build_send_buffer(payload[lo:hi], src[lo:hi], fill=-1)
+            shuffle_bytes += send.nbytes
+            in_flight.append(exchange_entries(mesh, send, block=False))
+
+        received = [[] for _ in range(n_devices)]
+        for recv in in_flight:
+            rows = np.asarray(recv).reshape(n_devices, -1, 3)
+            for d in range(n_devices):
+                got = rows[d]
+                received[d].append(got[got[:, 0] >= 0])
+        planned_slots = n_devices * n_devices * cap * len(blocks)
     received = [
         np.concatenate(parts) if parts else np.zeros((0, 3), np.int64)
         for parts in received
@@ -272,6 +305,8 @@ def distributed_index_build(mesh, reader, column: str,
         skew_factor=float(loads.max() / mean) if mean else 1.0,
         exchange_capacity=cap,
         n_exchange_blocks=len(blocks),
+        exchange_mode="ragged" if ragged else "padded",
+        exchange_planned_slots=int(planned_slots),
     )
 
 

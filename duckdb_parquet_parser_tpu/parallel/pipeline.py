@@ -225,3 +225,53 @@ def exchange_entries(mesh, send_buffer: np.ndarray, block: bool = True):
     the caller overlaps the collective with packing the next block."""
     out = _exchange_step(mesh, jnp.asarray(send_buffer))
     return np.asarray(out) if block else out
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "emulate"))
+def _ragged_exchange_step(mesh, send, out0, io, ss, oo, rs, emulate):
+    from .shuffle import ragged_exchange, ragged_exchange_emulated
+
+    if emulate:
+        fn = shard_map(
+            ragged_exchange_emulated, mesh=mesh,
+            in_specs=(P(PAGES_AXIS), P(PAGES_AXIS), P(), P(), P()),
+            out_specs=P(PAGES_AXIS), check_vma=False,
+        )
+        return fn(send, out0, io, ss, oo)
+    fn = shard_map(
+        ragged_exchange, mesh=mesh,
+        in_specs=(P(PAGES_AXIS),) * 6,
+        out_specs=P(PAGES_AXIS), check_vma=False,
+    )
+    return fn(send, out0, io, ss, oo, rs)
+
+
+def ragged_use_hlo() -> bool:
+    """True when the backend implements the ragged-all-to-all HLO (TPU);
+    DPQ_RAGGED_EMULATE=1 forces the portable emulation for A/B testing."""
+    import os
+
+    if os.environ.get("DPQ_RAGGED_EMULATE") == "1":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def ragged_exchange_entries(mesh, plan, payload: np.ndarray, fill=-1,
+                            block: bool = True):
+    """Runs one exact-size exchange block per RaggedExchangePlan: packs
+    `payload` rows into the destination-major send layout, moves them with
+    jax.lax.ragged_all_to_all (or the portable emulation — same layout),
+    and returns [D, recv_cap, ...]; rows [0, plan.recv_total[d]) of shard d
+    are the valid receives, source-major."""
+    send = plan.build_send_buffer(payload, fill=fill)
+    out0 = np.full((plan.n_devices, plan.recv_cap) + payload.shape[1:], fill,
+                   payload.dtype)
+    out = _ragged_exchange_step(
+        mesh, jnp.asarray(send), jnp.asarray(out0),
+        jnp.asarray(plan.input_offsets, jnp.int32),
+        jnp.asarray(plan.send_sizes, jnp.int32),
+        jnp.asarray(plan.output_offsets, jnp.int32),
+        jnp.asarray(plan.send_sizes.T.copy(), jnp.int32),
+        emulate=not ragged_use_hlo(),
+    )
+    return np.asarray(out) if block else out

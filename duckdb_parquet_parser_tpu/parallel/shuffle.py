@@ -63,6 +63,74 @@ class ExchangePlan:
         return out
 
 
+@dataclass
+class RaggedExchangePlan:
+    """Host-side plan for one EXACT-SIZE exchange (jax.lax.ragged_all_to_all).
+
+    Send layout (per SOURCE device s): entries contiguous, destination-major
+    — the slice bound for destination d starts at input_offsets[s, d] and is
+    send_sizes[s, d] rows long.  Receive layout (per DESTINATION device d):
+    source-major contiguous — source s's rows land at output_offsets[s, d],
+    so the valid rows are exactly [0, recv_total[d]) with no interior
+    padding.  Planned slots are D x recv_cap (max destination total) per
+    block, vs the dense plan's D x D x max-bucket: the padding ratio drops
+    from max/mean over (src, dst) BUCKETS to max/mean over DESTINATIONS."""
+
+    n_devices: int
+    send_cap: int               # send rows per source shard (>= max total)
+    recv_cap: int               # output rows per destination (>= max total)
+    input_offsets: np.ndarray   # [D, D] i64: send slice starts (src-local)
+    send_sizes: np.ndarray      # [D, D] i64: counts[src, dst]
+    output_offsets: np.ndarray  # [D, D] i64: where src s lands on receiver d
+    recv_total: np.ndarray      # [D] i64: valid received rows per dest
+    send_slot: np.ndarray       # [L] position of each entry in its src shard
+    send_src: np.ndarray        # [L] source device of each entry
+
+    @classmethod
+    def plan(cls, dst: np.ndarray, src_device: np.ndarray,
+             n_devices: int) -> "RaggedExchangePlan":
+        dst = np.asarray(dst, np.int64)
+        src_device = np.asarray(src_device, np.int64)
+        d = n_devices
+        counts = np.zeros((d, d), np.int64)
+        np.add.at(counts, (src_device, dst), 1)
+        input_offsets = np.zeros((d, d), np.int64)
+        input_offsets[:, 1:] = np.cumsum(counts, axis=1)[:, :-1]
+        output_offsets = np.zeros((d, d), np.int64)
+        output_offsets[1:, :] = np.cumsum(counts, axis=0)[:-1, :]
+        send_tot = counts.sum(axis=1)
+        recv_tot = counts.sum(axis=0)
+        # entry position within its source shard: dest-major slice base +
+        # rank within the (src, dst) pair (stream order)
+        key = src_device * d + dst
+        rank = _running_rank(key)
+        slot = input_offsets[src_device, dst] + rank
+        return cls(
+            n_devices=d,
+            send_cap=max(int(send_tot.max(initial=0)), 1),
+            recv_cap=max(int(recv_tot.max(initial=0)), 1),
+            input_offsets=input_offsets,
+            send_sizes=counts,
+            output_offsets=output_offsets,
+            recv_total=recv_tot,
+            send_slot=slot,
+            send_src=src_device,
+        )
+
+    def build_send_buffer(self, payload: np.ndarray, fill=0) -> np.ndarray:
+        """Packs per-entry payload rows into [D, send_cap, ...] ready to
+        shard along axis 0 (destination-major within each source shard)."""
+        shape = (self.n_devices, self.send_cap) + payload.shape[1:]
+        out = np.full(shape, fill, payload.dtype)
+        out[self.send_src, self.send_slot] = payload
+        return out
+
+    def planned_slots(self) -> int:
+        """Total receive slots the compiled shape reserves (the capacity-
+        ratio numerator; the dense plan's analog is D * D * capacity)."""
+        return self.n_devices * self.recv_cap
+
+
 def _running_rank(key: np.ndarray) -> np.ndarray:
     """Rank of each element among equal keys seen so far (stream order)."""
     order = np.argsort(key, kind="stable")
@@ -81,6 +149,42 @@ def all_to_all_exchange(send: jnp.ndarray) -> jnp.ndarray:
     recv = jax.lax.all_to_all(send, PAGES_AXIS, split_axis=1, concat_axis=0,
                               tiled=False)
     return recv.reshape((-1,) + recv.shape[3:])
+
+
+def ragged_exchange(send, out0, in_off, send_sz, out_off, recv_sz):
+    """Inside shard_map, on a backend with the ragged-all-to-all HLO (TPU):
+    exact-size exchange per RaggedExchangePlan.  All args are the plan's
+    row-sharded views: send [1, send_cap, ...], out0 [1, recv_cap, ...],
+    offset/size rows [1, D] (recv_sz is counts.T so row d = sizes received
+    from each source)."""
+    r = jax.lax.ragged_all_to_all(
+        send[0], out0[0], in_off[0], send_sz[0], out_off[0], recv_sz[0],
+        axis_name=PAGES_AXIS,
+    )
+    return r[None]
+
+
+def ragged_exchange_emulated(send, out0, in_off, send_sz, out_off):
+    """Backend-portable emulation of ragged_exchange with the IDENTICAL
+    receive layout: all_gather every source shard, then each device
+    re-slices its own incoming rows from the (replicated) plan matrices.
+    Moves D x the bytes — used where the ragged HLO is unimplemented
+    (XLA:CPU as of jax 0.9) so tests and dryruns exercise the same plan the
+    TPU path runs."""
+    d = jax.lax.axis_index(PAGES_AXIS)
+    allv = jax.lax.all_gather(send[0], PAGES_AXIS)      # [D, send_cap, ...]
+    sz = send_sz[:, d]                                  # [D] from each src
+    starts = out_off[:, d]                              # [D] excl. cumsum
+    bounds = starts + sz                                # [D] monotone
+    r = jnp.arange(out0.shape[1])
+    s_of = jnp.clip(jnp.searchsorted(bounds, r, side="right"), 0,
+                    allv.shape[0] - 1)
+    pos = jnp.clip(in_off[s_of, d] + (r - starts[s_of]), 0,
+                   allv.shape[1] - 1)
+    rows = allv[s_of, pos]
+    valid = r < bounds[-1]
+    keep = valid.reshape((-1,) + (1,) * (rows.ndim - 1))
+    return jnp.where(keep, rows, out0[0])[None]
 
 
 def balanced_chunk_owners(chunk_bytes: np.ndarray, n_devices: int) -> np.ndarray:

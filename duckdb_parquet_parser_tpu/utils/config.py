@@ -35,6 +35,11 @@ class EngineConfig:
     # parallel
     pages_per_shard_multiple: int = 8
     exchange_capacity_slack: float = 1.0
+    exchange_mode: str = "ragged"      # "ragged": exact-size
+                                       # jax.lax.ragged_all_to_all (emulated
+                                       # on backends without the HLO — CPU);
+                                       # "padded": dense [D, D, cap] buckets
+                                       # (DPQ_EXCHANGE_MODE overrides)
 
     # observability
     emit_metrics: bool = True

@@ -64,13 +64,23 @@ def test_exchange_capacity_slack_consumed(path):
 
     mesh = make_mesh(8)
     reader = ParquetReader(path)
-    # a slack below 1 must surface as an overflow error, not silent drops
-    set_config(EngineConfig(exchange_capacity_slack=0.3))
+    # padded mode: a slack below 1 must surface as an overflow error, not
+    # silent drops
+    set_config(EngineConfig(exchange_capacity_slack=0.3,
+                            exchange_mode="padded"))
     with pytest.raises(ValueError, match="overflow"):
         distributed_index_build(mesh, reader, "s", chunk_size=512)
-    set_config(EngineConfig(exchange_capacity_slack=1.0))
+    set_config(EngineConfig(exchange_capacity_slack=1.0,
+                            exchange_mode="padded"))
     res = distributed_index_build(mesh, reader, "s", chunk_size=512)
     assert sum(len(r) for r in res.received) > 0
+    # ragged mode sizes buckets exactly: slack is irrelevant, nothing drops
+    set_config(EngineConfig(exchange_capacity_slack=0.3))
+    res2 = distributed_index_build(mesh, reader, "s", chunk_size=512)
+    assert res2.exchange_mode == "ragged"
+    assert sum(len(r) for r in res2.received) == sum(
+        len(r) for r in res.received
+    )
 
 
 def test_profile_dir_produces_trace(path, tmp_path):

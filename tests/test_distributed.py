@@ -110,6 +110,80 @@ def test_exchange_roundtrip(mesh, batch_and_path):
         assert np.array_equal(np.sort(rows[:, 0]), expect)
 
 
+def test_ragged_exchange_roundtrip(mesh, batch_and_path):
+    """Exact-size ragged exchange: every entry arrives exactly once at its
+    owner, source-major contiguous, with zero interior padding (valid rows
+    are exactly [0, recv_total[d]))."""
+    from duckdb_parquet_parser_tpu.parallel.pipeline import (
+        ragged_exchange_entries,
+    )
+    from duckdb_parquet_parser_tpu.parallel.shuffle import RaggedExchangePlan
+
+    reader, batch = batch_and_path
+    pos, lens, _offs, _chars = _string_stream(batch)
+    index = build_index(pos, lens, reader.num_rows(), 1024)
+    sizes = np.diff(np.concatenate([index.chunk_starts, [len(lens)]]))
+    owners = balanced_chunk_owners(sizes, 8)
+    dst = owners[index.chunk_of_entry]
+    src = (np.arange(len(dst)) * 8) // max(len(dst), 1)
+    plan = RaggedExchangePlan.plan(dst, src, 8)
+    payload = np.stack([pos, lens], axis=1).astype(np.int64)
+    recv = ragged_exchange_entries(mesh, plan, payload, fill=-1)
+
+    got_all = []
+    for d in range(8):
+        rows = recv[d]
+        n = int(plan.recv_total[d])
+        # no interior padding; everything past recv_total is fill
+        assert (rows[:n, 0] >= 0).all()
+        assert (rows[n:] == -1).all()
+        np.testing.assert_array_equal(
+            np.sort(rows[:n, 0]), np.sort(pos[dst == d])
+        )
+        # source-major order within the destination shard
+        expect = np.concatenate(
+            [pos[(dst == d) & (src == s)] for s in range(8)]
+        )
+        np.testing.assert_array_equal(rows[:n, 0], expect)
+        got_all.append(rows[:n])
+    assert sum(len(g) for g in got_all) == len(pos)
+
+    # planned slots: exact-size plan never exceeds the padded plan's
+    padded = ExchangePlan.plan(dst, src, 8)
+    assert plan.planned_slots() <= 8 * 8 * padded.capacity
+
+
+def test_index_build_ragged_vs_padded_parity(mesh, batch_and_path):
+    """distributed_index_build produces identical received entry sets and
+    chunk maps through the ragged and padded exchanges."""
+    from duckdb_parquet_parser_tpu.parallel.index_build import (
+        distributed_index_build,
+    )
+    from duckdb_parquet_parser_tpu.utils.config import (
+        EngineConfig,
+        set_config,
+    )
+
+    reader, _ = batch_and_path
+    try:
+        set_config(EngineConfig(exchange_mode="ragged"))
+        r1 = distributed_index_build(mesh, reader, "s", chunk_size=512)
+        set_config(EngineConfig(exchange_mode="padded"))
+        r2 = distributed_index_build(mesh, reader, "s", chunk_size=512)
+    finally:
+        set_config(None)
+    assert r1.exchange_mode == "ragged" and r2.exchange_mode == "padded"
+    np.testing.assert_array_equal(r1.index.chunk_starts, r2.index.chunk_starts)
+    for d in range(len(r1.received)):
+        a = r1.received[d][np.lexsort(r1.received[d].T)]
+        b = r2.received[d][np.lexsort(r2.received[d].T)]
+        np.testing.assert_array_equal(a, b)
+    # exact-size planning: ragged reserves no more slots than padded
+    assert r1.exchange_planned_slots <= r2.exchange_planned_slots
+    n_entries = sum(len(r) for r in r1.received)
+    assert r1.exchange_planned_slots / max(n_entries, 1) <= 1.1
+
+
 def test_balanced_assignment_skew():
     weights = np.array([1000, 1, 1, 1, 1, 1, 1, 1000])
     a = assign_balanced(weights, 4)
