@@ -31,6 +31,7 @@ import numpy as np
 
 from ..ops.index import ChunkedIndex, build_index
 from .mesh import PAGES_AXIS
+from .mesh import to_global_numpy
 from .shuffle import ExchangePlan, SaltedOwnership, salted_chunk_owners
 
 
@@ -161,8 +162,8 @@ def sharded_emissions(mesh, batch, block_pages: int = 0,
     pos_parts, len_parts = [], []
     row_start = arrays["page_row_start"]
     for blk, (lo, (lens_d, emit_d)) in enumerate(pending):
-        lens = np.asarray(lens_d)
-        emit = np.asarray(emit_d)
+        lens = to_global_numpy(lens_d)
+        emit = to_global_numpy(emit_d)
         if fault_hook is not None:
             failed = set(map(int, fault_hook(blk, lens, emit)))
             if failed and fleet is not None:
@@ -181,8 +182,8 @@ def sharded_emissions(mesh, batch, block_pages: int = 0,
                 core, payload = block_inputs(
                     lo, min(lo + block_pages, padded.n_pages), sub_bp)
                 lens_d2, emit_d2 = sub_step(core, payload, dict_lens)
-                lens = np.asarray(lens_d2)[:block_pages]
-                emit = np.asarray(emit_d2)[:block_pages]
+                lens = to_global_numpy(lens_d2)[:block_pages]
+                emit = to_global_numpy(emit_d2)[:block_pages]
         pages, rows = np.nonzero(emit[:len(row_start) - lo])
         pos_parts.append(row_start[lo + pages] + rows)
         len_parts.append(lens[pages, rows].astype(np.int64))
@@ -263,7 +264,7 @@ def distributed_index_build(mesh, reader, column: str,
                                         fill=-1, block=False))
         received = [[] for _ in range(n_devices)]
         for recv, plan in zip(in_flight, plans):
-            rows = np.asarray(recv)
+            rows = to_global_numpy(recv)
             for d in range(n_devices):
                 received[d].append(rows[d, : int(plan.recv_total[d])])
         planned_slots = n_devices * cap * len(blocks)
@@ -282,7 +283,7 @@ def distributed_index_build(mesh, reader, column: str,
 
         received = [[] for _ in range(n_devices)]
         for recv in in_flight:
-            rows = np.asarray(recv).reshape(n_devices, -1, 3)
+            rows = to_global_numpy(recv).reshape(n_devices, -1, 3)
             for d in range(n_devices):
                 got = rows[d]
                 received[d].append(got[got[:, 0] >= 0])

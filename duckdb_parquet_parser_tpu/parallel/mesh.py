@@ -34,8 +34,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 
 
-def distributed_init_from_env() -> None:
-    """Multi-host process-group init (no-op when single-process)."""
+def distributed_init_from_env() -> bool:
+    """Multi-host process-group init; returns True when a group formed.
+
+    Detection order (see the README "Multi-host launch" runbook):
+      1. DPQ_COORDINATOR (+ DPQ_NUM_PROCESSES / DPQ_PROCESS_ID): explicit
+         rendezvous — works on any backend incl. CPU (the two-process
+         localhost smoke test in tests/test_multihost.py runs this way);
+      2. a Cloud TPU pod environment: argless jax.distributed.initialize()
+         auto-detects coordinator/process ids from the TPU metadata;
+      3. neither: single-process, no-op.
+    """
     import os
 
     if os.environ.get("DPQ_COORDINATOR"):
@@ -44,6 +53,24 @@ def distributed_init_from_env() -> None:
             num_processes=int(os.environ.get("DPQ_NUM_PROCESSES", "1")),
             process_id=int(os.environ.get("DPQ_PROCESS_ID", "0")),
         )
+        return True
+    if any(os.environ.get(k) for k in (
+            "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+            "CLOUD_TPU_TASK_ID")):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
+def to_global_numpy(x) -> np.ndarray:
+    """Materializes a (possibly cross-process sharded) jax.Array as a full
+    numpy array on EVERY host — the result boundary for distributed ops.
+    Single-process: a plain device_get."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 
 
 def survivor_mesh(mesh: Mesh, live: list[int]) -> Mesh:

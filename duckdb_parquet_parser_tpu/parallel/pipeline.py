@@ -139,11 +139,13 @@ def distributed_scan(mesh, batch, dfa, *, negate: bool = False) -> DistributedSc
         core, jnp.asarray(arrays["payload"]),
         jnp.asarray(arrays["page_payload_len"]), jnp.asarray(dict_match),
     )
+    from .mesh import to_global_numpy
+
     return DistributedScanResult(
         page_gid=arrays["page_gid"].copy(),
-        match_counts=np.asarray(counts, np.int64),
-        value_counts=np.asarray(values, np.int64),
-        totals=np.asarray(totals, np.int64),
+        match_counts=to_global_numpy(counts).astype(np.int64),
+        value_counts=to_global_numpy(values).astype(np.int64),
+        totals=to_global_numpy(totals).astype(np.int64),
     )
 
 
@@ -198,8 +200,10 @@ def distributed_decode(mesh, batch):
         _decode.max_nulls_per_page(arrays) if batch.max_def > 0 else -1,
     )
     planes, nonnull, total = step(core, plain, dct, bits)
-    return ([np.asarray(p) for p in planes], np.asarray(nonnull),
-            int(np.asarray(total)))
+    from .mesh import to_global_numpy
+
+    return ([to_global_numpy(p) for p in planes], to_global_numpy(nonnull),
+            int(to_global_numpy(total)))
 
 
 # ── index entry exchange ─────────────────────────────────────────────────────
@@ -223,8 +227,10 @@ def exchange_entries(mesh, send_buffer: np.ndarray, block: bool = True):
 
     block=False returns the in-flight device array without synchronizing —
     the caller overlaps the collective with packing the next block."""
+    from .mesh import to_global_numpy
+
     out = _exchange_step(mesh, jnp.asarray(send_buffer))
-    return np.asarray(out) if block else out
+    return to_global_numpy(out) if block else out
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "emulate"))

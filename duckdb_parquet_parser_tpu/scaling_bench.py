@@ -28,6 +28,10 @@ def main() -> int:
     ap.add_argument("--rows", type=int, default=60_000)
     ap.add_argument("--pattern", default="alpha.*bravo")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--sizes", default="",
+                    help="comma-separated mesh sizes (default 1,2,4,8 "
+                         "clipped to the device count; multi-controller "
+                         "launches must pass the full global count)")
     args = ap.parse_args()
 
     import os
@@ -47,7 +51,10 @@ def main() -> int:
     from .parallel.mesh import Mesh, PAGES_AXIS
 
     devs = jax.devices()
-    sizes = [n for n in (1, 2, 4, 8) if n <= len(devs)]
+    if args.sizes:
+        sizes = [int(x) for x in args.sizes.split(",") if x]
+    else:
+        sizes = [n for n in (1, 2, 4, 8) if n <= len(devs)]
 
     import tempfile
 

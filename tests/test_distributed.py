@@ -282,19 +282,33 @@ def test_distributed_init_from_env(monkeypatch):
 
     calls = {}
 
-    def fake_init(coordinator_address, num_processes, process_id):
-        calls.update(addr=coordinator_address, n=num_processes, pid=process_id)
+    def fake_init(coordinator_address=None, num_processes=None,
+                  process_id=None):
+        calls.update(addr=coordinator_address, n=num_processes,
+                     pid=process_id)
 
     monkeypatch.setattr(jax.distributed, "initialize", fake_init)
-    # no coordinator -> no-op
+    pod_vars = ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                "CLOUD_TPU_TASK_ID")
+    # no coordinator and no pod env -> no-op
     monkeypatch.delenv("DPQ_COORDINATOR", raising=False)
-    M.distributed_init_from_env()
+    for v in pod_vars:
+        monkeypatch.delenv(v, raising=False)
+    assert M.distributed_init_from_env() is False
     assert not calls
 
+    # Cloud TPU pod env -> argless auto-detect init
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "w0,w1")
+    assert M.distributed_init_from_env() is True
+    assert calls == {"addr": None, "n": None, "pid": None}
+    calls.clear()
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+
+    # explicit rendezvous env wins
     monkeypatch.setenv("DPQ_COORDINATOR", "10.0.0.1:1234")
     monkeypatch.setenv("DPQ_NUM_PROCESSES", "4")
     monkeypatch.setenv("DPQ_PROCESS_ID", "2")
-    M.distributed_init_from_env()
+    assert M.distributed_init_from_env() is True
     assert calls == {"addr": "10.0.0.1:1234", "n": 4, "pid": 2}
 
 
