@@ -748,20 +748,26 @@ def bench_engine(path: Path, reps: int) -> dict:
         f"{rp.stats_pruned_pages}/{len(rp.page_gid)} pages skipped)")
 
     # ── read_column (decoded column API, host path) ─────────────────────────
-    # min-of-9 with a breather: this VM has BURSTY CPU STEAL (a host pass
-    # can take 3x for seconds at a time) — more samples + a yield between
-    # them give min() a chance to land outside a burst
-    for col, key in (("l_quantity", "read_column_i64_rows_per_s"),
-                     ("l_tax", "read_column_f64opt_rows_per_s"),
-                     ("l_comment", "read_column_strings_rows_per_s")):
-        best = float("inf")
-        for _ in range(9):
-            time.sleep(0.05)
+    # This VM has BURSTY CPU STEAL (a host pass can take 3x for seconds at a
+    # time), and a burst can span a whole min-of-9 block: interleave the
+    # columns in ROUNDS with breathers so every metric gets samples spread
+    # over ~6 s of wall time, then take the per-column min across rounds.
+    rc_cols = (("l_quantity", "read_column_i64_rows_per_s"),
+               ("l_tax", "read_column_f64opt_rows_per_s"),
+               ("l_comment", "read_column_strings_rows_per_s"))
+    rc_best = {key: float("inf") for _, key in rc_cols}
+    rc_len = {}
+    for rnd in range(6):
+        for col, key in rc_cols:
+            time.sleep(0.08)
             t0 = time.time()
             c = reader.read_column(col)
-            best = min(best, time.time() - t0)
-        out[key] = len(c) / best
-        log(f"read_column {col}: {out[key]:.3g} rows/s ({best*1000:.0f} ms)")
+            rc_best[key] = min(rc_best[key], time.time() - t0)
+            rc_len[key] = len(c)
+    for col, key in rc_cols:
+        out[key] = rc_len[key] / rc_best[key]
+        log(f"read_column {col}: {out[key]:.3g} rows/s "
+            f"({rc_best[key]*1000:.0f} ms)")
 
     # ── chunked inverted index build (the reference main.cpp workload) ──────
     from duckdb_parquet_parser_tpu.ops.index import build_index_for_column

@@ -134,6 +134,7 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     std::vector<int32_t> slens;   // PS_HOST_STRINGS / PS_STR_VIEWS
     std::vector<int64_t> soffs;   // PS_STR_VIEWS: absolute file offsets
     int64_t schar_start = 0;      // local to rg; fixed in merge
+    bool fused = false;           // col arrays written during the walk
   };
   struct RgResult {
     std::vector<PageTmp> pages;
@@ -151,6 +152,40 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     int32_t dict_n = 0;
   };
   std::vector<RgResult> rg_results(size_t(std::max(rg1 - rg0, 0)));
+
+  auto store = std::make_unique<ArrayStore>();
+
+  // ── FUSED lean col read (single pass over the value bytes) ────────────────
+  // col_direct on uncompressed flat chunks: the walk writes col_offs/
+  // col_lens/col_valid/col_src straight off the value sections it is
+  // already positioned on, so the ~payload-sized value stream moves through
+  // DRAM ONCE (the separate pack pass re-read every value cache line cold —
+  // it was the dominant read_column cost).  Output slots come from page
+  // row_starts bounded by each row group's METADATA row slice (no OOB
+  // write is possible); a post-walk consistency check (page accounting ==
+  // metadata) keeps the generic pack as the overwrite-fallback on
+  // malformed files.
+  bool fused_col = col_direct && lf.max_rep == 0 && row_lo < 0 && row_hi < 0;
+  for (int rg = rg0; fused_col && rg < rg1; rg++) {
+    const RowGroup& g = meta_.row_groups[size_t(rg)];
+    if (size_t(lf.chunk_idx) >= g.columns.size() ||
+        !g.columns[size_t(lf.chunk_idx)].meta ||
+        g.columns[size_t(lf.chunk_idx)].meta->codec != C_UNCOMPRESSED)
+      fused_col = false;
+  }
+  const int64_t fused_base0 = rg_row_base_[size_t(rg0)];
+  const int64_t fused_rows = rg_row_base_[size_t(rg1)] - fused_base0;
+  int64_t* f_offs = nullptr;
+  int32_t* f_lens = nullptr;
+  uint8_t* f_valid = nullptr;
+  uint8_t* f_src = nullptr;
+  if (fused_col) {
+    const int64_t tr = std::max<int64_t>(fused_rows, 1);
+    f_valid = store->alloc<uint8_t>("col_valid", {tr});
+    f_offs = store->alloc<int64_t>("col_offs", {tr});
+    f_lens = store->alloc<int32_t>("col_lens", {tr});
+    f_src = store->alloc<uint8_t>("col_src", {tr});
+  }
 
   auto process_rg = [&](int rg, RgResult& out) {
     const RowGroup& g = meta_.row_groups[size_t(rg)];
@@ -198,6 +233,21 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     for (size_t pi = 0; pi < pages_.size(); pi++) {
       const PageRec& pr = pages_[pi];
       if (pr.rg != rg || pr.chunk_col != lf.chunk_idx) continue;
+
+      // The walk is a latency chase over a couple of cold cache lines per
+      // page (level sections); unlike a header walk, the page table already
+      // knows every future offset — issue the miss several pages early so
+      // it overlaps this page's parse.
+      if (pi + 6 < pages_.size()) {
+        const PageRec& pf = pages_[pi + 6];
+        if (pf.rg == rg && pf.chunk_col == lf.chunk_idx) {
+          const int64_t poff = pf.data_off - chunk_start;
+          if (poff >= 0 && poff + 128 <= span) {
+            __builtin_prefetch(chunk_ptr + poff);
+            __builtin_prefetch(chunk_ptr + poff + 64);
+          }
+        }
+      }
 
       if (pr.kind == P_DICTIONARY) {
         // Dictionary values are PLAIN-encoded; BOOLEAN dictionaries use one
@@ -395,10 +445,74 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
         } else if (want_views) {
           if (col_direct) {
             // plain page in lean views mode (null-free OR sparse): the
-            // pack pass parses the prefixes straight into
-            // col_offs/col_lens (def runs drive the slot mapping for
-            // pages with nulls) — skip the intermediate vectors entirely
-            // (bounds still checked there via the same Cursor)
+            // prefixes parse straight into col_offs/col_lens — during THIS
+            // walk when the fused single-pass preconditions hold (the
+            // value bytes are hot right here), else in the pack pass (def
+            // runs drive the slot mapping for pages with nulls either
+            // way); the intermediate vectors are skipped entirely (bounds
+            // still checked via the same Cursor)
+            const int64_t fb = pr.row_start - fused_base0;
+            const int64_t rg_lo = rg_row_base_[size_t(rg)] - fused_base0;
+            const int64_t rg_hi = rg_row_base_[size_t(rg) + 1] - fused_base0;
+            if (fused_col && pr.encoding == E_PLAIN && map_ &&
+                t.val_ptr >= map_ &&
+                t.val_ptr + t.val_len <= map_ + file_size_ && fb >= rg_lo &&
+                fb + t.num_values <= rg_hi) {
+              if (t.nn == t.num_values) {
+                Cursor vc(t.val_ptr, size_t(t.val_len));
+                for (int32_t v = 0; v < t.nn; v++) {
+                  uint32_t len = vc.le<uint32_t>();
+                  const uint8_t* p = vc.bytes(len);
+                  f_offs[fb + v] = int64_t(p - map_);
+                  f_lens[fb + v] = int32_t(len);
+                }
+                std::memset(f_valid + fb, 1, size_t(t.nn));
+                // f_src stays 0 (mmap source); calloc'd
+              } else {
+                // specialized run walk (same consumption order as
+                // expand_runs_to + lambda): RLE max_def runs parse
+                // prefixes in an unbranched tight loop, RLE null runs
+                // bulk-fill sentinels, literal runs (rare at low null
+                // rates) take the per-value bit extract.
+                Cursor vc(t.val_ptr, size_t(t.val_len));
+                const Run* rr = out.run_arena.data() + t.def_run_at;
+                for (int32_t ri = 0; ri < t.def_nruns; ri++) {
+                  const Run& rn = rr[ri];
+                  const int32_t v0 = rn.vstart;
+                  if (v0 >= t.num_values) continue;
+                  const int32_t cnt =
+                      std::min(rn.count, t.num_values - v0);
+                  if (rn.kind == 0 && rn.value == lf.max_def) {
+                    for (int32_t i = 0; i < cnt; i++) {
+                      uint32_t len = vc.le<uint32_t>();
+                      const uint8_t* p = vc.bytes(len);
+                      f_offs[fb + v0 + i] = int64_t(p - map_);
+                      f_lens[fb + v0 + i] = int32_t(len);
+                    }
+                    std::memset(f_valid + fb + v0, 1, size_t(cnt));
+                  } else if (rn.kind == 0) {
+                    std::fill(f_lens + fb + v0, f_lens + fb + v0 + cnt,
+                              -1);
+                  } else {
+                    for (int32_t i = 0; i < cnt; i++) {
+                      const int32_t lvl = int32_t(bits_at(
+                          t.def_ptr, size_t(t.def_len),
+                          rn.bitoff + int64_t(i) * def_bw, def_bw));
+                      if (lvl != lf.max_def) {
+                        f_lens[fb + v0 + i] = -1;
+                        continue;
+                      }
+                      uint32_t len = vc.le<uint32_t>();
+                      const uint8_t* p = vc.bytes(len);
+                      f_offs[fb + v0 + i] = int64_t(p - map_);
+                      f_lens[fb + v0 + i] = int32_t(len);
+                      f_valid[fb + v0 + i] = 1;
+                    }
+                  }
+                }
+              }
+              t.fused = true;
+            }
           } else {
             Cursor vc(t.val_ptr, size_t(t.val_len));
             t.slens.reserve(size_t(t.nn));
@@ -517,7 +631,6 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
           ? round_up(payload_max + 260, payload_align > 0 ? payload_align : align)
           : 0;
 
-  auto store = std::make_unique<ArrayStore>();
   auto& dims = store->dims;
   dims["n_pages"] = N;
   dims["vmax"] = vmax;
@@ -651,6 +764,17 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     row0[i] = total_rows;
     total_rows += tmp[i]->num_values;
   }
+  // fused-walk consistency: the metadata row accounting the walk's direct
+  // writes assumed must match the actual page accounting — else the
+  // direct writes are DISCARDED (the generic pack below overwrites them;
+  // the col arrays realloc at the actual size).  Malformed-file path only.
+  bool fused_ok = fused_col;
+  if (fused_col) {
+    if (total_rows != fused_rows) fused_ok = false;
+    for (size_t i = 0; fused_ok && i < tmp.size(); i++)
+      if (tmp[i]->fused && tmp[i]->row_start - fused_base0 != row0[i])
+        fused_ok = false;
+  }
   std::vector<int64_t> rg_char_base(rg_results.size() + 1, 0);
   for (size_t r = 0; r < rg_results.size(); r++)
     rg_char_base[r + 1] = rg_char_base[r] + int64_t(rg_results[r].dict_chars.size());
@@ -666,16 +790,29 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     dims["col_chars_owned"] = (is_ba && !want_views) ? 1 : 0;
     dims["total_rows"] = total_rows;
     const int64_t tr = std::max<int64_t>(total_rows, 1);
-    col_valid = store->alloc<uint8_t>("col_valid", {tr});
-    if (is_ba) {
-      col_offs = store->alloc<int64_t>("col_offs", {tr});
-      // -1 = NULL sentinel in col_lens: filled PER PAGE inside the parallel
-      // pack pass (generic pages only — the direct branches write every
-      // slot), not as an eager single-threaded memset here
-      col_lens = store->alloc<int32_t>("col_lens", {tr});
-      col_src = store->alloc<uint8_t>("col_src", {tr});
+    if (fused_col && fused_ok) {
+      // the walk already owns correctly-sized arrays (fused_rows ==
+      // total_rows here) with fused pages written
+      col_valid = f_valid;
+      col_offs = f_offs;
+      col_lens = f_lens;
+      col_src = f_src;
     } else {
-      col_values = store->alloc<uint8_t>("col_values", {tr, col_w});
+      if (fused_col)  // inconsistent accounting: drop the walk's arrays
+        for (const char* nm : {"col_valid", "col_offs", "col_lens",
+                               "col_src"})
+          store->arrays.erase(nm);
+      col_valid = store->alloc<uint8_t>("col_valid", {tr});
+      if (is_ba) {
+        col_offs = store->alloc<int64_t>("col_offs", {tr});
+        // -1 = NULL sentinel in col_lens: filled PER PAGE inside the
+        // parallel pack pass (generic pages only — the direct branches
+        // write every slot), not as an eager single-threaded memset here
+        col_lens = store->alloc<int32_t>("col_lens", {tr});
+        col_src = store->alloc<uint8_t>("col_src", {tr});
+      } else {
+        col_values = store->alloc<uint8_t>("col_values", {tr, col_w});
+      }
     }
   }
 
@@ -809,6 +946,9 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
       const RgResult& rgres = rg_results[rg_local];
       const int64_t base = row0[size_t(i)];
       const int64_t ebase = want_index ? emit_base[size_t(i)] : 0;
+      // fused pages: the walk already wrote this page's col slots (and
+      // fused mode excludes index emission) — nothing left to pack
+      if (fused_ok && t.fused) continue;
       // BULK fast path: a null-free PLAIN string page is contiguous copies
       // instead of a per-value lambda walk (the slens/soffs vectors already
       // hold the final values).  Column emission needs views mode (copy
