@@ -245,3 +245,125 @@ def test_random_nested_trees(tmp_path, seed):
     tab = ParquetReader(str(path)).read_table()
     for f in table.column_names:
         assert tab[f].to_pylist() == table.column(f).to_pylist(), (seed, f)
+
+
+# ── BIG-PAGE lane: pyarrow-DEFAULT page sizes, end to end ────────────────────
+# Everything above uses tiny pages (256-4096 B) to maximize page-boundary
+# coverage; real pyarrow files default to ~1 MB pages, which exercise the
+# value-boundary SPLIT layout on device scans (ops/scan.split_payload_pages)
+# and the big-value shapes of every host path.  This lane runs the cross
+# product (codec x page version x dict) on default-page files and checks
+# read_column, the scan paths (incl. the split-rerouted batched scan),
+# read_rows spans, and the index build, against pyarrow / re / host goldens.
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_pyarrow_bigpage_end_to_end(tmp_path, seed):
+    import re
+
+    from duckdb_parquet_parser_tpu.models.scan import ScanEngine
+    from duckdb_parquet_parser_tpu.ops.index import build_index_for_column
+    from duckdb_parquet_parser_tpu.ops.scan import SPLIT_TRIGGER
+
+    rng = np.random.default_rng(9100 + seed)
+    n = 40_000
+    words = [b"alpha", b"bravo", b"charlie", b"delta", b"needle", b"quartz"]
+    vals = []
+    for i in range(n):
+        if rng.random() < 0.03:
+            vals.append(None)
+        else:
+            k = int(rng.integers(2, 6))
+            vals.append(b" ".join(words[int(rng.integers(len(words)))]
+                                  for _ in range(k)))
+    table = pa.table({
+        "s": pa.array(vals, type=pa.binary()),
+        "v": pa.array(rng.integers(0, 1 << 40, n).tolist(), type=pa.int64()),
+    })
+    codec = CODECS[seed % len(CODECS)]
+    version = ["1.0", "2.0"][seed % 2]
+    use_dict = seed % 3 == 0  # low-cardinality strings dict-encode well
+    path = tmp_path / f"big_{seed}.parquet"
+    pq.write_table(
+        table, path,
+        compression=codec if codec != "NONE" else "NONE",
+        use_dictionary=use_dict,
+        data_page_version=version,
+        row_group_size=n,  # default ~1 MB pages, one big row group
+    )
+
+    r = ParquetReader(str(path))
+    # the lane only means something if pages really are big
+    if not use_dict:
+        plens = r.prescan("s", pad_strings=0).arrays["page_payload_len"]
+        assert int(np.max(plens)) > SPLIT_TRIGGER, "fixture pages too small"
+
+    got = r.read_column("s")
+    want = table.column("s").to_pylist()
+    _check_column(got, want, "binary")
+
+    rx = re.compile(b"needle.*quartz")
+    want_hits = sum(1 for v in want if v is not None and rx.search(v))
+    eng = ScanEngine(str(path))
+    res_np = eng.scan("s", "needle.*quartz", engine="numpy")
+    assert int(res_np.match_counts.sum()) == want_hits
+    cold = eng.cold_scan("s", "needle.*quartz", exact_counts=True)
+    np.testing.assert_array_equal(cold.match_counts, res_np.match_counts)
+    np.testing.assert_array_equal(cold.value_counts, res_np.value_counts)
+    # batched device scan reroutes big-page files through the split layout
+    batched = eng.scan_batched("s", "needle.*quartz")
+    np.testing.assert_array_equal(
+        np.sort(batched.surviving_pages()), np.sort(res_np.surviving_pages())
+    )
+
+    # read_rows: page-granular row spans inside a big page
+    lo, hi = 17_500, 17_650
+    span = r.read_rows("s", lo, hi)
+    want_span = want[lo:hi]
+    assert len(span.values) == hi - lo
+    for i, w in enumerate(want_span):
+        g = span.values[i]
+        assert (g is None) == (w is None) and (w is None or bytes(g) == w)
+
+    # index build (host emission path) matches the numpy golden model
+    idx_native = build_index_for_column(r, "s", chunk_size=2048,
+                                        engine="native")
+    idx_numpy = build_index_for_column(r, "s", chunk_size=2048,
+                                       engine="numpy")
+    np.testing.assert_array_equal(idx_native.chunk_starts,
+                                  idx_numpy.chunk_starts)
+    np.testing.assert_array_equal(idx_native.positions, idx_numpy.positions)
+
+
+def test_bigpage_distributed_index_build(tmp_path):
+    """Device-emission index build on a pyarrow-default big-page file (the
+    [N, vmax] decode planes get ~page-sized trailing dims): received entry
+    sets must match the host-native build."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from duckdb_parquet_parser_tpu.ops.index import build_index_for_column
+    from duckdb_parquet_parser_tpu.parallel.index_build import (
+        distributed_index_build,
+    )
+    from duckdb_parquet_parser_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(9200)
+    n = 12_000
+    vals = [None if rng.random() < 0.05 else
+            bytes(rng.integers(97, 123, 24).astype(np.uint8))
+            for _ in range(n)]
+    path = tmp_path / "bigidx.parquet"
+    pq.write_table(
+        pa.table({"s": pa.array(vals, type=pa.binary())}), path,
+        compression="NONE", use_dictionary=False, row_group_size=n,
+    )
+    reader = ParquetReader(str(path))
+    golden = build_index_for_column(reader, "s", chunk_size=1024)
+    res = distributed_index_build(make_mesh(8), reader, "s", chunk_size=1024)
+    got = np.concatenate([r for r in res.received if len(r)])
+    np.testing.assert_array_equal(np.sort(got[:, 0]),
+                                  np.sort(golden.positions))
+    np.testing.assert_array_equal(res.index.chunk_starts,
+                                  golden.chunk_starts)
