@@ -1112,7 +1112,7 @@ def make_bitprog_transition(xp, prog: BitProgram):
             # bytes (value-boundary resets zero it like any register)
             cnt = state[reg_at]
             reg_at += 1
-            inc = xp.minimum(cnt + 1, ent.mand)
+            inc = cnt + (cnt < ent.mand).astype(xp.int32)
             new_cnt = (inc if ent.run_cid is None
                        else xp.where(tests[ent.run_cid], inc, 0))
             new_state.append(new_cnt)
