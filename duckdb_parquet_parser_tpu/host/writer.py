@@ -107,7 +107,22 @@ class ParquetWriter:
         check(lib().dpq_writer_rg_end(self._h, err, 4096), err)
 
     def _add_column(self, spec: ColumnSpec, data, valid, err) -> None:
+        def check_required(mask):
+            # Nulls on a REQUIRED column would silently produce a file whose
+            # page value counts disagree with its payload (readers hit a
+            # cursor overrun mid-page) — reject at the API boundary instead.
+            if (
+                not spec.optional
+                and mask is not None
+                and not np.all(np.asarray(mask, bool))
+            ):
+                raise ValueError(
+                    f"column '{spec.name}' is REQUIRED but the row group "
+                    f"contains nulls (declare ColumnSpec(..., optional=True))"
+                )
+
         def vptr(mask):
+            check_required(mask)
             if mask is None:
                 return None
             m = np.ascontiguousarray(np.asarray(mask, dtype=np.uint8))

@@ -174,14 +174,26 @@ def dict_lookup_pallas(dict_planes, gidx, dn: int):
     return [o.reshape(-1)[:m].reshape(n, v) for o in outs]
 
 
-def dict_lookup_select(xp, dict_planes, gidx, dn: int):
-    """Select-accumulation lookup for small tables (exact, pure VPU)."""
+def dict_lookup_select(xp, dict_planes, gidx, dn: int, ways: int = 8):
+    """Select-accumulation lookup for small tables (exact, pure VPU).
+
+    The accumulation runs in `ways` INDEPENDENT partial sums (d strided)
+    combined by a short tree at the end: a single `acc = acc + where(...)`
+    chain serializes DN adds back-to-back, and the VPU's multiple ALUs can
+    only overlap work that is not on that carried chain (round-4 A/B on
+    the DN=100 fixture: 8-way split ~2x the single chain)."""
     outs = []
     for plane in dict_planes:
-        acc = xp.zeros_like(gidx)
+        accs = [xp.zeros_like(gidx) for _ in range(min(ways, max(dn, 1)))]
         for d in range(dn):
-            acc = acc + xp.where(gidx == d, plane[d], 0)
-        outs.append(acc)
+            w = d % len(accs)
+            accs[w] = accs[w] + xp.where(gidx == d, plane[d], 0)
+        while len(accs) > 1:  # pairwise combine tree
+            nxt = [a + b for a, b in zip(accs[0::2], accs[1::2])]
+            if len(accs) % 2:
+                nxt.append(accs[-1])
+            accs = nxt
+        outs.append(accs[0])
     return outs
 
 

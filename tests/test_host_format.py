@@ -129,3 +129,31 @@ def test_multi_rg_row_positions(tmp_path, rng):
     pos = [p for p, _, _ in emitted]
     assert all(b > a for a, b in zip(pos, pos[1:]))
     assert 0 <= pos[0] and pos[-1] < r.num_rows()
+
+
+def test_writer_rejects_nulls_on_required_column(tmp_path):
+    """Nulls fed to a REQUIRED column must raise, not write a file whose
+    page value counts disagree with the payload (found via a round-4
+    verify drive: the silent file made every reader — ours, the oracle,
+    pyarrow — fail mid-page)."""
+    import numpy as np
+    import pytest
+
+    from duckdb_parquet_parser_tpu.host.schema import ParquetType
+    from duckdb_parquet_parser_tpu.host.writer import ColumnSpec, ParquetWriter
+
+    path = str(tmp_path / "req.parquet")
+    w = ParquetWriter(path, [ColumnSpec("s", ParquetType.BYTE_ARRAY),
+                             ColumnSpec("i", ParquetType.INT64)])
+    with pytest.raises(ValueError, match="REQUIRED"):
+        w.write_row_group({"s": ["a", None, "c"], "i": np.arange(3)})
+    w2 = ParquetWriter(str(tmp_path / "req2.parquet"),
+                       [ColumnSpec("i", ParquetType.INT64)])
+    with pytest.raises(ValueError, match="REQUIRED"):
+        w2.write_row_group({
+            "i": (np.arange(4), np.array([1, 0, 1, 1], np.uint8))})
+    # all-valid explicit masks on REQUIRED columns stay allowed
+    w3 = ParquetWriter(str(tmp_path / "req3.parquet"),
+                       [ColumnSpec("i", ParquetType.INT64)])
+    w3.write_row_group({"i": (np.arange(4), np.ones(4, np.uint8))})
+    w3.close()
