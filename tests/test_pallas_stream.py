@@ -46,10 +46,11 @@ def test_tiled_layout_roundtrip():
 
     rng = np.random.default_rng(5)
     pt = rng.integers(0, 256, (64, 300), dtype=np.uint8)
+    # lane pad rounds to a MAX_STREAMS*lane_tile quantum: 300 -> 8 tiles
     tiled = np.asarray(tile_stream(jnp.asarray(pt), 64, lane_tile=128))
-    assert tiled.shape == (3, 64, 128)
+    assert tiled.shape == (8, 64, 128)
     # tile t, column k == original column t*128 + k (zero-padded past N)
-    for t in range(3):
+    for t in range(8):
         for k in (0, 5, 127):
             col = t * 128 + k
             want = pt[:, col] if col < 300 else np.zeros(64, np.uint8)
