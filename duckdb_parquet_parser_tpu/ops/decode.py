@@ -162,6 +162,29 @@ def decode_fixed(
 
     Returns (planes: list of [N, V] i32, nonnull: [N, V] bool).
     """
+    if mode == "dict" and "idx_vals" in arrays:
+        # Level-free dict fast path (round 4): the value-space idx plane is
+        # -1-filled at nulls AND padding (dpq_prescan.hpp:738 memsets 0xFF;
+        # only rank-mapped non-null rows < num_values are overwritten), so
+        # validity == (idx >= 0) & (idx < dict_size) EQUALS nonnull & ok —
+        # the def-level expansion and the null-rank prefix sum drop out of
+        # the dict decode entirely.
+        from .pallas.dict_lookup import dict_lookup
+
+        iv = arrays["idx_vals"]
+        dict_idx = iv[:, :out_len] if iv.shape[1] >= out_len else xp.concatenate(
+            [iv, xp.full((iv.shape[0], out_len - iv.shape[1]), -1, iv.dtype)],
+            axis=1,
+        )
+        dict_idx = (dict_idx.astype(xp.int32)
+                    if dict_idx.dtype != xp.int32 else dict_idx)
+        ok = (dict_idx >= 0) & (dict_idx < arrays["page_dict_size"][:, None])
+        dn = dict_planes[0].shape[0] if dict_planes else 1
+        base = arrays["page_dict_base"][:, None]
+        gidx = xp.clip(base + xp.clip(dict_idx, 0, None), 0, dn - 1)
+        vals = dict_lookup(xp, list(dict_planes), gidx) if dict_planes else []
+        return [xp.where(ok, p, 0) for p in vals], ok
+
     nonnull, nn_idx = decode_levels(xp, arrays, max_def, out_len, def_literal)
     gather_idx = xp.clip(nn_idx, 0, max(nn_len - 1, 0))
 
