@@ -819,24 +819,27 @@ def bench_engine(path: Path, reps: int) -> dict:
     core_d = {k: jax.device_put(v) for k, v in bd.arrays.items()
               if k in D.DECODE_ARRAYS}
     dplanes = tuple(jax.device_put(p) for p in bd.dict_planes)
+    dpp = tuple(jax.device_put(p) for p in bd.dict_planes_pp)
     kwd = dict(max_def=bd.max_def, out_len=bd.vmax, nn_len=bd.nn_cap,
                mode="dict", def_literal=D.batch_has_literal(bd.arrays, "def"),
                idx_literal=D.batch_has_literal(bd.arrays, "idx"),
                max_null_shift=D.max_nulls_per_page(bd.arrays))
 
     def make_dict(reps_n):
-        def f(c, dp):
+        def f(c, dp, pp):
             def body(i, acc):
                 c2 = dict(c)
                 c2["idx_vals"] = c["idx_vals"] ^ (i % 2)  # live perturbation
                 planes, nonnull = D.decode_fixed(jnp, c2, [], list(dp), None,
+                                                 dict_planes_pp=list(pp),
                                                  **kwd)
                 return acc + jnp.sum(nonnull.astype(jnp.int32)) + jnp.sum(
                     planes[0] & 1) + jnp.sum(planes[1] & 1)
             return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
         return jax.jit(f)
 
-    _, marg_dict = _marginal(make_dict, (core_d, dplanes), reps_hi=1 + reps)
+    _, marg_dict = _marginal(make_dict, (core_d, dplanes, dpp),
+                             reps_hi=1 + reps)
     out["decode_dict_rows_per_s"] = total_d / marg_dict
     log(f"decode dict-heavy (DN=100): {out['decode_dict_rows_per_s']:.3g} "
         f"rows/s (marginal {marg_dict*1000:.1f} ms)")

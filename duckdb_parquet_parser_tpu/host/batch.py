@@ -90,6 +90,28 @@ class DecodeBatch:
         w = self.arrays["dict_fixed"].shape[1]
         return _decode.dict_planes_from_bytes(self.arrays["dict_fixed"], int(w))
 
+    @cached_property
+    def dict_planes_pp(self) -> list[np.ndarray]:
+        """Per-page LOCAL dictionary tables: [N, dn_max] i32 per plane
+        (plane[base[p] + d] for d < dict_size[p], zero beyond).  Built once
+        on host — lets the device select on the in-page index (dn_max ops)
+        instead of the concatenated global table (sum of chunk sizes);
+        see ops/pallas/dict_lookup.dict_lookup_local."""
+        planes = self.dict_planes
+        if not planes:
+            return []
+        base = np.asarray(self.arrays["page_dict_base"], np.int64)
+        size = np.asarray(self.arrays["page_dict_size"], np.int64)
+        dn_max = int(size.max()) if size.size else 0
+        dn = planes[0].shape[0]
+        out = []
+        idx = base[:, None] + np.arange(max(dn_max, 1))[None, :]
+        valid = np.arange(max(dn_max, 1))[None, :] < size[:, None]
+        idx = np.clip(idx, 0, max(dn - 1, 0))
+        for p in planes:
+            out.append(np.where(valid, np.asarray(p)[idx], 0).astype(np.int32))
+        return out
+
     @property
     def bool_bits(self) -> np.ndarray | None:
         return self.arrays.get("bool_bits")

@@ -1164,6 +1164,7 @@ def _materialize_fixed(batch: DecodeBatch, engine: str = "auto") -> DecodedColum
             batch.arrays, batch.plain_planes, batch.dict_planes,
             batch.bool_bits, max_def=batch.max_def, out_len=batch.vmax,
             nn_len=batch.nn_cap, mode=batch.mode,
+            dict_planes_pp=batch.dict_planes_pp,
         )
         planes = [np.asarray(p) for p in planes]
         nonnull = np.asarray(nonnull)

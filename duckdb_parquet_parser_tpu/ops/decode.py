@@ -142,6 +142,26 @@ def decode_dict_indices(xp, arrays, nn_idx, nn_len: int,
     return dict_idx, ok
 
 
+def _lookup_values(xp, arrays, dict_planes, dict_planes_pp, dict_idx):
+    """Dictionary value lookup from the LOCAL in-page index.
+
+    Prefers the per-page local-table select (dict_lookup_local — dn_max ops
+    per value instead of the concatenated global table's DN) when the
+    caller supplied `dict_planes_pp` and the local table is select-sized;
+    else the global-table dispatcher (select / Pallas MXU / gather)."""
+    from .pallas.dict_lookup import SELECT_DICT_MAX, dict_lookup, dict_lookup_local
+
+    if not dict_planes:
+        return []
+    dn_max = dict_planes_pp[0].shape[1] if dict_planes_pp else 0
+    if dict_planes_pp and xp is not np and dn_max <= SELECT_DICT_MAX:
+        return dict_lookup_local(xp, list(dict_planes_pp), dict_idx, dn_max)
+    dn = dict_planes[0].shape[0]
+    base = arrays["page_dict_base"][:, None]
+    gidx = xp.clip(base + xp.clip(dict_idx, 0, None), 0, dn - 1)
+    return dict_lookup(xp, list(dict_planes), gidx)
+
+
 def decode_fixed(
     xp,
     arrays: dict[str, Any],
@@ -157,6 +177,8 @@ def decode_fixed(
     idx_literal: bool = True,
     max_null_shift: int = -1,  # host-known max nulls/page; >=0 enables the
                                # shift-based (gather-free) null scatter
+    dict_planes_pp=None,  # per-page local tables [N, dn_max] (batch.
+                          # dict_planes_pp) — select on the LOCAL index
 ):
     """Decode a batch of fixed-width (or boolean) pages.
 
@@ -169,8 +191,6 @@ def decode_fixed(
         # validity == (idx >= 0) & (idx < dict_size) EQUALS nonnull & ok —
         # the def-level expansion and the null-rank prefix sum drop out of
         # the dict decode entirely.
-        from .pallas.dict_lookup import dict_lookup
-
         iv = arrays["idx_vals"]
         dict_idx = iv[:, :out_len] if iv.shape[1] >= out_len else xp.concatenate(
             [iv, xp.full((iv.shape[0], out_len - iv.shape[1]), -1, iv.dtype)],
@@ -179,10 +199,8 @@ def decode_fixed(
         dict_idx = (dict_idx.astype(xp.int32)
                     if dict_idx.dtype != xp.int32 else dict_idx)
         ok = (dict_idx >= 0) & (dict_idx < arrays["page_dict_size"][:, None])
-        dn = dict_planes[0].shape[0] if dict_planes else 1
-        base = arrays["page_dict_base"][:, None]
-        gidx = xp.clip(base + xp.clip(dict_idx, 0, None), 0, dn - 1)
-        vals = dict_lookup(xp, list(dict_planes), gidx) if dict_planes else []
+        vals = _lookup_values(xp, arrays, dict_planes, dict_planes_pp,
+                              dict_idx)
         return [xp.where(ok, p, 0) for p in vals], ok
 
     nonnull, nn_idx = decode_levels(xp, arrays, max_def, out_len, def_literal)
@@ -209,18 +227,14 @@ def decode_fixed(
     dict_vals = None
     dict_ok = None
     if mode in ("dict", "mixed"):
-        from .pallas.dict_lookup import dict_lookup
-
         dict_idx, dict_ok = decode_dict_indices(xp, arrays, nn_idx, nn_len,
                                                 idx_literal,
                                                 max_null_shift=max_null_shift,
                                                 nonnull=nonnull)
-        dn = dict_planes[0].shape[0] if dict_planes else 1
-        base = arrays["page_dict_base"][:, None]
-        gidx = xp.clip(base + xp.clip(dict_idx, 0, None), 0, dn - 1)
-        # gather-free value lookup: select-accumulation for small tables,
-        # the Pallas chunked one-hot MXU kernel beyond (dict_lookup.py)
-        dict_vals = dict_lookup(xp, list(dict_planes), gidx) if dict_planes else None
+        # gather-free value lookup: local/global select-accumulation for
+        # small tables, the Pallas chunked one-hot MXU kernel beyond
+        dict_vals = _lookup_values(xp, arrays, dict_planes, dict_planes_pp,
+                                   dict_idx) or None
 
     # masked cells are zeroed so every decode method (gather / shift / select)
     # produces bit-identical outputs
@@ -252,6 +266,7 @@ def decode_fixed(
                      "def_literal", "idx_literal", "max_null_shift"),
 )
 def _decode_fixed_jit(arrays, plain_planes, dict_planes, bool_bits,
+                      dict_planes_pp,
                       max_def, out_len, nn_len, mode, has_bool,
                       def_literal, idx_literal, max_null_shift):
     import jax.numpy as jnp
@@ -262,6 +277,7 @@ def _decode_fixed_jit(arrays, plain_planes, dict_planes, bool_bits,
         max_def=max_def, out_len=out_len, nn_len=nn_len, mode=mode,
         def_literal=def_literal, idx_literal=idx_literal,
         max_null_shift=max_null_shift,
+        dict_planes_pp=dict_planes_pp or None,
     )
     return planes, nonnull
 
@@ -274,12 +290,13 @@ def batch_has_literal(arrays, prefix: str) -> bool:
 
 
 def decode_fixed_jax(arrays, plain_planes, dict_planes, bool_bits, *,
-                     max_def, out_len, nn_len, mode):
+                     max_def, out_len, nn_len, mode, dict_planes_pp=None):
     """jit-compiled device decode; accepts numpy or device arrays."""
     core = {k: arrays[k] for k in DECODE_ARRAYS if k in arrays}
     return _decode_fixed_jit(
         core, tuple(plain_planes), tuple(dict_planes),
         bool_bits if bool_bits is not None else np.zeros((1, 1), np.uint8),
+        tuple(dict_planes_pp) if dict_planes_pp else (),
         max_def, out_len, nn_len, mode, bool_bits is not None,
         batch_has_literal(arrays, "def") if max_def > 0 else False,
         batch_has_literal(arrays, "idx") if mode != "plain" else False,

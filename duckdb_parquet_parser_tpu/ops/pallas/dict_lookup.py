@@ -197,6 +197,33 @@ def dict_lookup_select(xp, dict_planes, gidx, dn: int, ways: int = 8):
     return outs
 
 
+def dict_lookup_local(xp, planes_pp, idx, dn_max: int, ways: int = 8):
+    """Select-accumulation over PER-PAGE local tables (round 4).
+
+    `planes_pp`: list of [N, dn_max] i32 — plane values of each page's OWN
+    dictionary chunk (built once on host from page_dict_base/size; zero
+    past dict_size).  `idx` is the LOCAL in-page index [N, V].  A multi-
+    row-group file concatenates its chunk dictionaries into one global
+    table, so the global select scans sum(chunk sizes) entries per value
+    while each page can only ever hit its own chunk — selecting on the
+    local index costs dn_max ops instead (4x fewer on a 4-row-group file).
+    The value operand is a broadcast [N, 1] column; same vreg cost as the
+    global select's scalar."""
+    outs = []
+    for pp in planes_pp:
+        accs = [xp.zeros_like(idx) for _ in range(min(ways, max(dn_max, 1)))]
+        for d in range(dn_max):
+            w = d % len(accs)
+            accs[w] = accs[w] + xp.where(idx == d, pp[:, d][:, None], 0)
+        while len(accs) > 1:
+            nxt = [a + b for a, b in zip(accs[0::2], accs[1::2])]
+            if len(accs) % 2:
+                nxt.append(accs[-1])
+            accs = nxt
+        outs.append(accs[0])
+    return outs
+
+
 def dict_lookup(xp, dict_planes, gidx):
     """Dispatcher: numpy golden -> take; DN <= SELECT_DICT_MAX -> select;
     DN <= PALLAS_DICT_MAX -> Pallas MXU kernel; else the XLA gather."""

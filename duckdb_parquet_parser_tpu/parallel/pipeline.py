@@ -153,14 +153,15 @@ def distributed_scan(mesh, batch, dfa, *, negate: bool = False) -> DistributedSc
 
 
 @functools.lru_cache(maxsize=32)
-def _make_decode_step(mesh, core_keys, n_plain, n_dict, has_bool, vmax,
+def _make_decode_step(mesh, core_keys, n_plain, n_dict, n_pp, has_bool, vmax,
                       nn_cap, max_def, mode, def_lit, idx_lit, max_shift):
-    def local(core, plain, dct, bits):
+    def local(core, plain, dct, bits, pp):
         planes, nonnull = _decode.decode_fixed(
             jnp, core, list(plain), list(dct), bits if has_bool else None,
             max_def=max_def, out_len=vmax, nn_len=nn_cap, mode=mode,
             def_literal=def_lit, idx_literal=idx_lit,
             max_null_shift=max_shift,
+            dict_planes_pp=list(pp) or None,
         )
         total = jax.lax.psum(
             jnp.sum(jnp.where(nonnull, planes[0], 0)), PAGES_AXIS)
@@ -170,7 +171,7 @@ def _make_decode_step(mesh, core_keys, n_plain, n_dict, has_bool, vmax,
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(spec_pages, (P(PAGES_AXIS),) * n_plain, (P(),) * n_dict,
-                  P(PAGES_AXIS)),
+                  P(PAGES_AXIS), (P(PAGES_AXIS),) * n_pp),
         out_specs=((P(PAGES_AXIS),) * n_plain if n_plain else
                    (P(PAGES_AXIS),), P(PAGES_AXIS), P()),
         check_vma=False,
@@ -192,14 +193,15 @@ def distributed_decode(mesh, batch):
     has_bool = bool_bits is not None
     bits = jnp.asarray(bool_bits if has_bool else np.zeros((batch.n_pages, 1),
                                                            np.uint8))
+    pp = tuple(jnp.asarray(p) for p in batch.dict_planes_pp)
     step = _make_decode_step(
-        mesh, tuple(sorted(core)), len(plain), len(dct), has_bool,
+        mesh, tuple(sorted(core)), len(plain), len(dct), len(pp), has_bool,
         batch.vmax, batch.nn_cap, batch.max_def, batch.mode,
         _decode.batch_has_literal(arrays, "def") if batch.max_def > 0 else False,
         _decode.batch_has_literal(arrays, "idx") if batch.mode != "plain" else False,
         _decode.max_nulls_per_page(arrays) if batch.max_def > 0 else -1,
     )
-    planes, nonnull, total = step(core, plain, dct, bits)
+    planes, nonnull, total = step(core, plain, dct, bits, pp)
     from .mesh import to_global_numpy
 
     return ([to_global_numpy(p) for p in planes], to_global_numpy(nonnull),

@@ -359,3 +359,41 @@ def test_masked_cells_decode_to_zero(tmp_path, rng, pat_i):
             for p in planes:
                 assert not np.asarray(p)[masked].any(), (
                     f"{col}: non-zero decoded value at a masked cell")
+
+
+def test_local_table_dict_lookup_parity(tmp_path):
+    """Per-page LOCAL dictionary select (dict_planes_pp) must equal the
+    global-table lookup on a multi-row-group dict file whose chunk
+    dictionaries DIFFER in entry order (page_dict_base offsets exercise
+    the base+idx mapping)."""
+    from duckdb_parquet_parser_tpu.host.schema import ParquetType
+    from duckdb_parquet_parser_tpu.host.writer import ColumnSpec, ParquetWriter
+
+    rng = np.random.default_rng(41)
+    path = str(tmp_path / "multi_rg_dict.parquet")
+    w = ParquetWriter(path, [ColumnSpec("k", ParquetType.INT64, optional=True)])
+    expect = []
+    for rg in range(3):
+        n = 3000
+        vals = (rng.permutation(40)[rng.integers(0, 40, n)] + rg * 1000) * 7
+        mask = (rng.random(n) > 0.1).astype(np.uint8)
+        w.write_row_group({"k": (vals, mask)})
+        expect.extend(int(v) if m else None for v, m in zip(vals, mask))
+    w.close()
+
+    r = ParquetReader(path)
+    b = r.prescan("k")
+    assert b.mode == "dict" and len(b.dict_planes_pp) == 2
+    # base offsets really differ across row groups
+    assert len(set(np.asarray(b.arrays["page_dict_base"]).tolist())) > 1
+    kw = dict(max_def=b.max_def, out_len=b.vmax, nn_len=b.nn_cap, mode="dict")
+    planes_np, nn_np = D.decode_fixed(
+        np, b.arrays, [], b.dict_planes, None, **kw)
+    planes_j, nn_j = D.decode_fixed_jax(
+        b.arrays, [], b.dict_planes, None,
+        dict_planes_pp=b.dict_planes_pp, **kw)
+    assert np.array_equal(np.asarray(nn_j), nn_np)
+    for pj, pn in zip(planes_j, planes_np):
+        assert np.array_equal(np.asarray(pj), pn)
+    # end-to-end read parity too
+    assert r.read_column("k").to_pylist() == expect
