@@ -283,26 +283,32 @@ def bench_reference(path: Path, reps: int) -> dict:
     return out
 
 
-def _marginal(make_fn, args, reps_hi=6, tries=3, min_signal=0.03):
-    """Marginal seconds per repetition (anti-hoisting handled by make_fn).
+def _marginal(fn, args, reps_hi=6, tries=3, min_signal=0.03):
+    """Marginal seconds per repetition (anti-hoisting handled by fn's body
+    perturbation).  `fn(reps, *args)` takes the repetition count as a
+    TRACED device scalar driving a dynamic fori_loop, so ONE compile
+    serves every rep count (round 4 — the earlier static-unroll contract
+    recompiled per count, which costs minutes per Mosaic kernel through
+    the relay).
 
     The relay adds ~40 ms jitter per round trip, so a fast body (~1 ms/rep)
     produces no measurable signal at small rep counts — reps grow (4x steps,
-    capped at 513) until the total marginal signal clears `min_signal`.
-    Extra rep counts cost one jit compile each, amortized by the persistent
-    compile cache."""
-    f1 = make_fn(1)
-    float(np.asarray(f1(*args)))
+    capped at 513) until the total marginal signal clears `min_signal`;
+    escalation is now compile-free."""
+    import jax.numpy as jnp
+
+    def call(r):
+        return float(np.asarray(fn(jnp.int32(r), *args)))
+
+    call(1)
     t1s = []
     for _ in range(tries):
-        t0 = time.time(); float(np.asarray(f1(*args))); t1s.append(time.time() - t0)
+        t0 = time.time(); call(1); t1s.append(time.time() - t0)
     t1 = min(t1s)
     while True:
-        fr = make_fn(reps_hi)
-        float(np.asarray(fr(*args)))
         trs = []
         for _ in range(tries):
-            t0 = time.time(); float(np.asarray(fr(*args))); trs.append(time.time() - t0)
+            t0 = time.time(); call(reps_hi); trs.append(time.time() - t0)
         signal = min(trs) - t1
         if signal >= min_signal or reps_hi >= 513:
             if signal < min_signal:
@@ -374,18 +380,17 @@ def bench_engine(path: Path, reps: int) -> dict:
             prog = None
             chain = substring_chain(pattern)
 
-        def make(reps_n):
-            def f(p, pl, n):
-                def body(i, acc):
-                    hits, _ = match_payload_stream(
-                        jnp, p, pl, n + (i % 2), d.table, d.accept,
-                        use_mxu=True, chain=chain, prog=prog,
-                        transposed=True,
-                    )
-                    return acc + jnp.sum(hits)
-                return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
-            return jax.jit(f)
-        return make
+        @jax.jit
+        def f(reps_n, p, pl, n):
+            def body(i, acc):
+                hits, _ = match_payload_stream(
+                    jnp, p, pl, n + (i % 2), d.table, d.accept,
+                    use_mxu=True, chain=chain, prog=prog,
+                    transposed=True,
+                )
+                return acc + jnp.sum(hits)
+            return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
+        return f
 
     t_first, marg = _marginal(make_scan_for(PATTERN), (pd, pld, nnd),
                               reps_hi=1 + reps)
@@ -426,18 +431,17 @@ def bench_engine(path: Path, reps: int) -> dict:
     multi_pats = (PATTERN, PATTERN_GENERAL, PATTERN_ALT)
     matchers = tuple((None, compile_bitprog(p)) for p in multi_pats)
 
-    def make_multi(reps_n):
-        def f(p, pl, n):
-            def body(i, acc):
-                hits, _ = match_payload_multi(
-                    jnp, p, pl, n + (i % 2), matchers, transposed=True,
-                )
-                s = acc
-                for h in hits:
-                    s = s + jnp.sum(h)
-                return s
-            return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
-        return jax.jit(f)
+    @jax.jit
+    def make_multi(reps_n, p, pl, n):
+        def body(i, acc):
+            hits, _ = match_payload_multi(
+                jnp, p, pl, n + (i % 2), matchers, transposed=True,
+            )
+            s = acc
+            for h in hits:
+                s = s + jnp.sum(h)
+            return s
+        return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
 
     _, marg_multi = _marginal(make_multi, (pd, pld, nnd), reps_hi=1 + reps)
     out["scan_multi3_pattern_rows_per_s"] = 3 * total / marg_multi
@@ -464,15 +468,14 @@ def bench_engine(path: Path, reps: int) -> dict:
         jax.block_until_ready(tiled_m)
         n_pages_all = pd.shape[1]
 
-        def make_multi_pallas(reps_n):
-            def f(tp, pl, n):
-                def body(i, acc):
-                    hits, _ = _mspt(tp, pl, n + (i % 2), multi_pats,
-                                    n_pages_all)
-                    return acc + jnp.sum(hits)
-                return jax.lax.fori_loop(0, reps_n, body,
-                                         jnp.zeros((), jnp.int32))
-            return jax.jit(f)
+        @jax.jit
+        def make_multi_pallas(reps_n, tp, pl, n):
+            def body(i, acc):
+                hits, _ = _mspt(tp, pl, n + (i % 2), multi_pats,
+                                n_pages_all)
+                return acc + jnp.sum(hits)
+            return jax.lax.fori_loop(0, reps_n, body,
+                                     jnp.zeros((), jnp.int32))
 
         _, marg_mp = _marginal(make_multi_pallas, (tiled_m, pld, nnd),
                                reps_hi=1 + reps)
@@ -505,18 +508,17 @@ def bench_engine(path: Path, reps: int) -> dict:
         from duckdb_parquet_parser_tpu.ops.bitprog import compile_bitprog
         prog_b = compile_bitprog(PATTERN)
 
-        def make_bucketed(reps_n):
-            def f(b1, b2):
-                def body(i, acc):
-                    for p, pl, n in (b1, b2):
-                        hits, _ = match_payload_stream(
-                            jnp, p, pl, n + (i % 2), dfa_b.table, dfa_b.accept,
-                            prog=prog_b, transposed=True,
-                        )
-                        acc = acc + jnp.sum(hits)
-                    return acc
-                return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
-            return jax.jit(f)
+        @jax.jit
+        def make_bucketed(reps_n, b1, b2):
+            def body(i, acc):
+                for p, pl, n in (b1, b2):
+                    hits, _ = match_payload_stream(
+                        jnp, p, pl, n + (i % 2), dfa_b.table, dfa_b.accept,
+                        prog=prog_b, transposed=True,
+                    )
+                    acc = acc + jnp.sum(hits)
+                return acc
+            return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
 
         _, marg_b = _marginal(
             make_bucketed,
@@ -546,16 +548,15 @@ def bench_engine(path: Path, reps: int) -> dict:
         jax.block_until_ready(tiled)
 
         def make_pallas(pattern):
-            def make(reps_n):
-                def f(tp, pl, n):
-                    def body(i, acc):
-                        h, _ = match_stream_pallas_tiled(
-                            tp, pl, n + (i % 2), pattern, n_pages_all)
-                        return acc + jnp.sum(h)
-                    return jax.lax.fori_loop(0, reps_n, body,
-                                             jnp.zeros((), jnp.int32))
-                return jax.jit(f)
-            return make
+            @jax.jit
+            def f(reps_n, tp, pl, n):
+                def body(i, acc):
+                    h, _ = match_stream_pallas_tiled(
+                        tp, pl, n + (i % 2), pattern, n_pages_all)
+                    return acc + jnp.sum(h)
+                return jax.lax.fori_loop(0, reps_n, body,
+                                         jnp.zeros((), jnp.int32))
+            return f
 
         try:
             _, marg_ps = _marginal(make_pallas(PATTERN), (tiled, pld, nnd),
@@ -607,16 +608,15 @@ def bench_engine(path: Path, reps: int) -> dict:
         prog_bp = compile_bitprog(PATTERN)
         dfa_bp = compile_pattern(PATTERN)
 
-        def make_bp(reps_n):
-            def f(p, pl, n2):
-                def body(i, acc):
-                    hits, _ = match_payload_stream(
-                        jnp, p, pl, n2 + (i % 2), dfa_bp.table, dfa_bp.accept,
-                        prog=prog_bp, transposed=True)
-                    return acc + jnp.sum(hits)
-                return jax.lax.fori_loop(0, reps_n, body,
-                                         jnp.zeros((), jnp.int32))
-            return jax.jit(f)
+        @jax.jit
+        def make_bp(reps_n, p, pl, n2):
+            def body(i, acc):
+                hits, _ = match_payload_stream(
+                    jnp, p, pl, n2 + (i % 2), dfa_bp.table, dfa_bp.accept,
+                    prog=prog_bp, transposed=True)
+                return acc + jnp.sum(hits)
+            return jax.lax.fori_loop(0, reps_n, body,
+                                     jnp.zeros((), jnp.int32))
 
         _, marg_bp = _marginal(make_bp, (bp_payload, bp_len, bp_nn),
                                reps_hi=1 + reps)
@@ -629,15 +629,14 @@ def bench_engine(path: Path, reps: int) -> dict:
             jax.block_until_ready(tiled_bp)
             n_segs_all = bp_payload.shape[1]
 
-            def make_bp_pallas(reps_n):
-                def f(tp, pl, n2):
-                    def body(i, acc):
-                        h, _ = match_stream_pallas_tiled(
-                            tp, pl, n2 + (i % 2), PATTERN, n_segs_all)
-                        return acc + jnp.sum(h)
-                    return jax.lax.fori_loop(0, reps_n, body,
-                                             jnp.zeros((), jnp.int32))
-                return jax.jit(f)
+            @jax.jit
+            def make_bp_pallas(reps_n, tp, pl, n2):
+                def body(i, acc):
+                    h, _ = match_stream_pallas_tiled(
+                        tp, pl, n2 + (i % 2), PATTERN, n_segs_all)
+                    return acc + jnp.sum(h)
+                return jax.lax.fori_loop(0, reps_n, body,
+                                         jnp.zeros((), jnp.int32))
 
             try:
                 _, marg_bpp = _marginal(make_bp_pallas,
@@ -792,18 +791,17 @@ def bench_engine(path: Path, reps: int) -> dict:
               mode="plain", def_literal=D.batch_has_literal(b2.arrays, "def"),
               max_null_shift=D.max_nulls_per_page(b2.arrays))
 
-    def make_dec(reps_n):
-        def f(c, p):
-            def body(i, acc):
-                c2 = dict(c)
-                # live perturbation (defeats loop hoisting): flips def levels
-                # (the materialized plane — the run tables are the fallback)
-                c2["def_levels"] = c["def_levels"] ^ (i % 2)
-                planes, nonnull = D.decode_fixed(jnp, c2, list(p), [], None, **kw)
-                return acc + jnp.sum(nonnull.astype(jnp.int32)) + jnp.sum(
-                    planes[0] & 1) + jnp.sum(planes[1] & 1)
-            return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
-        return jax.jit(f)
+    @jax.jit
+    def make_dec(reps_n, c, p):
+        def body(i, acc):
+            c2 = dict(c)
+            # live perturbation (defeats loop hoisting): flips def levels
+            # (the materialized plane — the run tables are the fallback)
+            c2["def_levels"] = c["def_levels"] ^ (i % 2)
+            planes, nonnull = D.decode_fixed(jnp, c2, list(p), [], None, **kw)
+            return acc + jnp.sum(nonnull.astype(jnp.int32)) + jnp.sum(
+                planes[0] & 1) + jnp.sum(planes[1] & 1)
+        return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
 
     _, marg_dec = _marginal(make_dec, (core2, planes2), reps_hi=1 + reps)
     out["decode_f64opt_rows_per_s"] = total / marg_dec
@@ -825,18 +823,17 @@ def bench_engine(path: Path, reps: int) -> dict:
                idx_literal=D.batch_has_literal(bd.arrays, "idx"),
                max_null_shift=D.max_nulls_per_page(bd.arrays))
 
-    def make_dict(reps_n):
-        def f(c, dp, pp):
-            def body(i, acc):
-                c2 = dict(c)
-                c2["idx_vals"] = c["idx_vals"] ^ (i % 2)  # live perturbation
-                planes, nonnull = D.decode_fixed(jnp, c2, [], list(dp), None,
-                                                 dict_planes_pp=list(pp),
-                                                 **kwd)
-                return acc + jnp.sum(nonnull.astype(jnp.int32)) + jnp.sum(
-                    planes[0] & 1) + jnp.sum(planes[1] & 1)
-            return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
-        return jax.jit(f)
+    @jax.jit
+    def make_dict(reps_n, c, dp, pp):
+        def body(i, acc):
+            c2 = dict(c)
+            c2["idx_vals"] = c["idx_vals"] ^ (i % 2)  # live perturbation
+            planes, nonnull = D.decode_fixed(jnp, c2, [], list(dp), None,
+                                             dict_planes_pp=list(pp),
+                                             **kwd)
+            return acc + jnp.sum(nonnull.astype(jnp.int32)) + jnp.sum(
+                planes[0] & 1) + jnp.sum(planes[1] & 1)
+        return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
 
     _, marg_dict = _marginal(make_dict, (core_d, dplanes, dpp),
                              reps_hi=1 + reps)
@@ -865,22 +862,21 @@ def bench_engine(path: Path, reps: int) -> dict:
     dm_d = jax.device_put(dmatch)
     kws = dict(max_def=bs.max_def, out_len=bs.vmax, nn_len=bs.nn_cap)
 
-    def make_dscan(reps_n):
-        def f(c, dmx):
-            def body(i, acc):
-                c2 = dict(c)
-                c2["idx_vals"] = c["idx_vals"] ^ (i % 2)  # live perturbation
-                nonnull, nn_idx = D.decode_levels(jnp, c2, kws["max_def"],
-                                                  kws["out_len"])
-                dict_idx, ok = D.decode_dict_indices(jnp, c2, nn_idx,
-                                                     kws["nn_len"])
-                g = jnp.clip(
-                    c2["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),
-                    0, dmx.shape[0] - 1)
-                dm = dict_lookup(jnp, [dmx], g)[0] != 0
-                return acc + jnp.sum(dm & ok & nonnull)
-            return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
-        return jax.jit(f)
+    @jax.jit
+    def make_dscan(reps_n, c, dmx):
+        def body(i, acc):
+            c2 = dict(c)
+            c2["idx_vals"] = c["idx_vals"] ^ (i % 2)  # live perturbation
+            nonnull, nn_idx = D.decode_levels(jnp, c2, kws["max_def"],
+                                              kws["out_len"])
+            dict_idx, ok = D.decode_dict_indices(jnp, c2, nn_idx,
+                                                 kws["nn_len"])
+            g = jnp.clip(
+                c2["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),
+                0, dmx.shape[0] - 1)
+            dm = dict_lookup(jnp, [dmx], g)[0] != 0
+            return acc + jnp.sum(dm & ok & nonnull)
+        return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
 
     _, marg_ds = _marginal(make_dscan, (core_s, dm_d), reps_hi=1 + reps)
     out["scan_dict_strings_rows_per_s"] = total_s / marg_ds
