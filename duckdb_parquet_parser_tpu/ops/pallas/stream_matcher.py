@@ -55,7 +55,11 @@ def pick_lane_tile(steps: int) -> int:
     """Widest lane tile whose MAX_STREAMS payload block fits VMEM.
     Mosaic needs the sublane (streams) block dim divisible by 8, so the
     fit must hold at S=MAX_STREAMS — narrower tiles keep the op shapes
-    [8, lt] fully sublane-packed either way."""
+    [8, lt] fully sublane-packed either way.  DPQ_LANE_TILE overrides
+    (sweeps)."""
+    env = os.environ.get("DPQ_LANE_TILE")
+    if env:
+        return int(env)
     lt = LANE_TILE
     while lt > 128 and MAX_STREAMS * steps * lt > STREAM_VMEM_CAP:
         lt //= 2
@@ -63,17 +67,19 @@ def pick_lane_tile(steps: int) -> int:
 
 
 def pick_streams(n_tiles: int, steps: int, lane_tile: int) -> int:
-    """MAX_STREAMS when the tile count divides and the payload block fits
-    VMEM, else 1 (the legacy single-stream layout).  Intermediate counts
-    are not expressible: Mosaic requires the streams block dim be
-    divisible by 8."""
+    """Largest multiple-of-8 stream count <= cap (default MAX_STREAMS;
+    DPQ_STREAMS overrides) that divides the tile count and fits the
+    payload block in VMEM, else 1 (the legacy single-stream layout).
+    Intermediate counts are not expressible: Mosaic requires the streams
+    block dim be divisible by 8."""
     env = os.environ.get("DPQ_STREAMS")
     cap = int(env) if env else MAX_STREAMS
-    s = MAX_STREAMS
-    if (cap < s or n_tiles % s
-            or s * steps * lane_tile > STREAM_VMEM_CAP):
-        s = 1
-    return s
+    s = (cap // 8) * 8
+    while s >= 8:
+        if n_tiles % s == 0 and s * steps * lane_tile <= STREAM_VMEM_CAP:
+            return s
+        s -= 8
+    return 1
 
 
 @functools.lru_cache(maxsize=64)
