@@ -487,3 +487,34 @@ def test_elastic_index_build(mesh, batch_and_path):
             getattr(clean.index, f), getattr(res.index, f), err_msg=f)
     assert sum(len(r) for r in res.received) == \
         sum(len(r) for r in clean.received)
+
+
+def test_distributed_decode_multi_rg_dict(mesh, tmp_path):
+    """Sharded decode with per-page LOCAL dictionary tables: a multi-row-
+    group dict column (distinct chunk dictionaries, nonzero page_dict_base
+    offsets) must decode bit-identically to the numpy golden."""
+    from duckdb_parquet_parser_tpu.host.schema import ParquetType
+    from duckdb_parquet_parser_tpu.host.writer import ColumnSpec, ParquetWriter
+    from duckdb_parquet_parser_tpu.ops import decode as D
+    from duckdb_parquet_parser_tpu.parallel.partition import pad_pages
+    from duckdb_parquet_parser_tpu.parallel.pipeline import distributed_decode
+
+    rng = np.random.default_rng(17)
+    path = str(tmp_path / "mrg.parquet")
+    w = ParquetWriter(path, [ColumnSpec("k", ParquetType.INT64, optional=True)])
+    for rg in range(3):
+        n = 1200
+        vals = (rng.permutation(30)[rng.integers(0, 30, n)] + rg * 100) * 11
+        w.write_row_group({"k": (vals, (rng.random(n) > 0.15).astype(np.uint8))})
+    w.close()
+    b = ParquetReader(path).prescan("k")
+    assert len(set(np.asarray(b.arrays["page_dict_base"]).tolist())) > 1
+    golden_planes, golden_nn = D.decode_fixed(
+        np, b.arrays, [], b.dict_planes, None,
+        max_def=b.max_def, out_len=b.vmax, nn_len=b.nn_cap, mode=b.mode)
+    padded = pad_pages(b, 8)
+    planes, nonnull, _ = distributed_decode(mesh, padded)
+    n_pages = b.n_pages
+    assert np.array_equal(nonnull[:n_pages], golden_nn)
+    for pj, pn in zip(planes, golden_planes):
+        assert np.array_equal(pj[:n_pages], pn)

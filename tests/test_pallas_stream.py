@@ -55,3 +55,39 @@ def test_tiled_layout_roundtrip():
             col = t * 128 + k
             want = pt[:, col] if col < 300 else np.zeros(64, np.uint8)
             np.testing.assert_array_equal(tiled[t, :, k], want)
+
+
+def test_pick_streams_and_lane_tile():
+    from duckdb_parquet_parser_tpu.ops.pallas.stream_matcher import (
+        MAX_STREAMS, STREAM_VMEM_CAP, pick_lane_tile, pick_streams)
+
+    # bench geometry: steps=1152 -> lane_tile shrinks until 8 tiles fit
+    lt = pick_lane_tile(1152)
+    assert MAX_STREAMS * 1152 * lt <= STREAM_VMEM_CAP
+    assert pick_lane_tile(64) == 1024  # short strings keep the wide tile
+    # multi-stream only when the tile count divides and the block fits
+    assert pick_streams(152, 1152, 512) == 8
+    assert pick_streams(150, 1152, 512) == 1   # 150 % 8 != 0
+    assert pick_streams(152, 4096, 1024) == 1  # VMEM cap
+    assert pick_streams(304, 1152, 256) == 8   # default cap stays at 8
+
+
+def test_multi_stream_padding_lanes_inactive():
+    """Lanes added by the lane_tile*MAX_STREAMS pad quantum must never
+    contribute hits or seen counts (plen=0 pads)."""
+    import jax.numpy as jnp
+
+    from duckdb_parquet_parser_tpu.ops.pallas.stream_matcher import (
+        match_stream_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    pm, pl_, nn = _pages(rng, n_pages=37, vals_per_page=3, maxlen=12)
+    prog = compile_bitprog("a.*z")
+    h0, s0 = match_payload_stream(np, pm, pl_, nn, None, None, prog=prog)
+    h1, s1 = match_stream_pallas(jnp.asarray(pm.T), pl_, nn, "a.*z",
+                                 max_steps=pm.shape[1], lane_tile=128,
+                                 inner=8, interpret=True)
+    assert h1.shape[0] == 37 and s1.shape[0] == 37
+    np.testing.assert_array_equal(np.asarray(h1), h0)
+    np.testing.assert_array_equal(np.asarray(s1), s0)
