@@ -10,9 +10,13 @@ per-invocation fixed cost that throttled finer grids disappears, and the
 UNCHANGED bitprog transition + value-boundary control (the production
 matcher ops — elementwise int32, no gathers) run on VMEM-resident data.
 
-Measured on the 2M-row fixture ('special.*requests', marginal
-methodology): 2.34 ms (856M rows/s) vs 3.03 ms (660M) for the lax.scan
-walk — the sweep and the negative results live in ops/pallas/README.md.
+Round 4: each grid invocation walks MAX_STREAMS=8 lane tiles at once with
+[8, lane_tile] carried state — the 1D [lane_tile] layout left 7 of 8 vreg
+sublanes empty and exposed the per-byte carried-dependency recurrence; 8
+independent recurrences hide each other (README round 4/4b).  Measured on
+the 2M-row fixture (marginal methodology): chain 2.01 ms (995M rows/s),
+wide 1.83 ms (1.09B — was 595M single-stream), 3-alt 1.11B; the sweeps
+and negative results live in ops/pallas/README.md.
 
 Semantics are identical to ops/strings._match_stream_multi's
 single-pattern walk; parity is pinned in test_pallas_stream (interpret
