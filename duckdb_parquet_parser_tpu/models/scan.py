@@ -15,6 +15,7 @@ import numpy as np
 from ..host.reader import ParquetReader, _string_stream
 from ..ops.index import ChunkedIndex, build_index
 from ..ops.regex import DFA, UnsupportedPattern, compile_pattern
+from ..ops import scan as _scan_ops
 from ..ops.scan import PageMatchResult, scan_batch, scan_batch_fallback
 from ..parallel.mesh import make_mesh
 from ..parallel.partition import pad_pages
@@ -648,6 +649,7 @@ class ResidentColumn:
                     self._batch.max_def, bool(negate), True,
                     tuple(chain) if chain else None, prog_pattern, steps,
                     True, n_segs if use_pallas else None, split=True,
+                    dn_max=_scan_ops.batch_dn_max(self._batch.arrays),
                 )
                 return step(core,
                             self._split_tiled if use_pallas else payload_t,
@@ -689,6 +691,7 @@ class ResidentColumn:
                     True, tuple(chain) if chain else None,
                     prog_pattern, steps, True,
                     len(idx) if use_pallas else None,
+                    dn_max=_scan_ops.batch_dn_max(self._batch.arrays),
                 )
                 return step(core, tiled if use_pallas else payload, plen,
                             dict_match_d)
@@ -788,6 +791,7 @@ class ResidentColumn:
                     tuple(pats[j] for j in fused), self._batch.vmax,
                     self._batch.nn_cap, self._batch.max_def, bool(negate),
                     steps, True, len(idx) if use_pallas else None,
+                    dn_max=_scan_ops.batch_dn_max(self._batch.arrays),
                 )
                 return step(core, tiled if use_pallas else payload, plen,
                             dm_d)

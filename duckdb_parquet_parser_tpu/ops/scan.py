@@ -225,11 +225,45 @@ def split_payload_pages(arrays, trigger: int = SPLIT_TRIGGER,
             segs["seg_page"])
 
 
+def batch_dn_max(arrays) -> int:
+    """Host-side: max per-page dictionary size (bounds the local-table
+    accept select in _map_dict_accepts)."""
+    size = np.asarray(arrays.get("page_dict_size", ()))
+    return int(size.max()) if size.size else 0
+
+
+def _map_dict_accepts(jnp, core, tables, dict_idx, dn_max):
+    """Per-row accept planes from global dict-entry accept tables.
+
+    Cells outside the caller's ok & nonnull mask are ARBITRARY (callers
+    AND them out).  With `dn_max` (host-known max page_dict_size) below
+    the concatenated table size, the lookup runs in two stages: localize
+    each table to [N, dn_max] per-page accept bits (select over DN on
+    N*dn_max cells) then select on the LOCAL index (dn_max ops over the
+    [N, V] cells) — a multi-row-group file pays sum(chunk sizes) ops per
+    value on the one-stage path (ops/pallas/dict_lookup round 4)."""
+    from .pallas.dict_lookup import (
+        SELECT_DICT_MAX,
+        dict_lookup,
+        dict_lookup_local,
+    )
+
+    dn = tables[0].shape[0]
+    base = core["page_dict_base"][:, None]
+    if 0 < dn_max < dn and dn_max <= SELECT_DICT_MAX:
+        iota = jnp.arange(dn_max, dtype=jnp.int32)[None, :]
+        g2 = jnp.clip(base + iota, 0, dn - 1)
+        local = dict_lookup(jnp, list(tables), g2)
+        return dict_lookup_local(jnp, local, dict_idx, dn_max)
+    g = jnp.clip(base + jnp.clip(dict_idx, 0, None), 0, dn - 1)
+    return dict_lookup(jnp, list(tables), g)
+
+
 @_functools.lru_cache(maxsize=64)
 def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
                       max_def, negate, use_mxu, chain_key, prog_pattern=None,
                       max_steps=None, transposed=False, pallas_n=None,
-                      split=False):
+                      split=False, dn_max=0):
     """jit-compiled single-device scan step, cached per automaton + batch
     shape class (the DFA tables must be compile-time constants for the
     gather-free transition builders).  `prog_pattern` selects the
@@ -285,12 +319,9 @@ def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
             nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)
             dict_idx, ok = _decode.decode_dict_indices(
                 jnp, core, nn_idx, nn_cap, nonnull=nonnull)
-            g = jnp.clip(
-                core["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),
-                0, dict_match_d.shape[0] - 1)
-            from .pallas.dict_lookup import dict_lookup
-
-            dm = dict_lookup(jnp, [dict_match_d.astype(jnp.int32)], g)[0] != 0
+            dm = _map_dict_accepts(
+                jnp, core, [dict_match_d.astype(jnp.int32)], dict_idx,
+                dn_max)[0] != 0
             accept_d = (dm ^ negate) & ok & nonnull
             counts = jnp.where(is_dict, jnp.sum(accept_d, axis=1),
                                plain_counts)
@@ -321,11 +352,9 @@ def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
         nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)
         dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap,
                                                    nonnull=nonnull)
-        g = jnp.clip(core["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),
-                     0, dict_match_d.shape[0] - 1)
-        from .pallas.dict_lookup import dict_lookup
-
-        dm = dict_lookup(jnp, [dict_match_d.astype(jnp.int32)], g)[0] != 0
+        dm = _map_dict_accepts(
+            jnp, core, [dict_match_d.astype(jnp.int32)], dict_idx,
+            dn_max)[0] != 0
         accept_d = (dm ^ negate) & ok & nonnull
         dict_counts = jnp.sum(accept_d, axis=1)
         dict_values = jnp.sum(ok & nonnull, axis=1)
@@ -339,7 +368,7 @@ def _device_scan_step(table_bytes, table_shape, accept_bytes, vmax, nn_cap,
 
 @_functools.lru_cache(maxsize=32)
 def _device_scan_multi_step(patterns_key, vmax, nn_cap, max_def, negate,
-                            max_steps, transposed, pallas_n=None):
+                            max_steps, transposed, pallas_n=None, dn_max=0):
     """jit-compiled MULTI-pattern scan step (cached per pattern tuple +
     batch shape class): K register-machine patterns ride one payload walk
     (ops/strings.match_payload_multi — the byte stream, per-step slices and
@@ -392,12 +421,9 @@ def _device_scan_multi_step(patterns_key, vmax, nn_cap, max_def, negate,
         nonnull, nn_idx = _decode.decode_levels(jnp, core, max_def, vmax)
         dict_idx, ok = _decode.decode_dict_indices(jnp, core, nn_idx, nn_cap,
                                                    nonnull=nonnull)
-        g = jnp.clip(core["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),
-                     0, dict_match_d.shape[1] - 1)
-        from .pallas.dict_lookup import dict_lookup
-
-        dms = dict_lookup(jnp, [dict_match_d[k].astype(jnp.int32)
-                                for k in range(len(matchers))], g)
+        dms = _map_dict_accepts(
+            jnp, core, [dict_match_d[k].astype(jnp.int32)
+                        for k in range(len(matchers))], dict_idx, dn_max)
         dict_values = jnp.sum(ok & nonnull, axis=1)
         counts, values = [], []
         for k in range(len(matchers)):
@@ -461,7 +487,7 @@ def scan_batch_device(batch, pattern: str, *, negate: bool = False,
         batch.vmax, batch.nn_cap, batch.max_def, bool(negate), bool(use_mxu),
         tuple(chain) if chain else None, prog_pattern,
         scan_steps(sp[1] if sp is not None else arrays["page_payload_len"]),
-        split=sp is not None,
+        split=sp is not None, dn_max=batch_dn_max(arrays),
     )
     if sp is not None:
         sub_payload, sub_len, sub_nn, seg = sp

@@ -105,3 +105,31 @@ def test_resident_scan_many_parity(tmp_path):
             s = res.scan(p, negate=negate)
             np.testing.assert_array_equal(m.match_counts, s.match_counts, p)
             np.testing.assert_array_equal(m.value_counts, s.value_counts, p)
+
+
+def test_dict_accept_localization_multi_rg(tmp_path):
+    """Device scan over a multi-row-group dict STRING column (distinct
+    chunk dictionaries -> two-stage local accept mapping) must match the
+    numpy golden for plain and negated patterns."""
+    from duckdb_parquet_parser_tpu.host.schema import ParquetType
+    from duckdb_parquet_parser_tpu.host.writer import ColumnSpec, ParquetWriter
+    from duckdb_parquet_parser_tpu.models.scan import ScanEngine
+
+    rng = np.random.default_rng(23)
+    path = str(tmp_path / "mrg_scan.parquet")
+    w = ParquetWriter(path, [ColumnSpec("s", ParquetType.BYTE_ARRAY,
+                                        optional=True)])
+    for rg in range(3):
+        keys = [f"city_{rg}_{k:02d}".encode() for k in range(20)]
+        vals = [keys[i] for i in rng.integers(0, 20, 2500)]
+        mask = (rng.random(2500) > 0.1).astype(np.uint8)
+        w.write_row_group({"s": (vals, mask)})
+    w.close()
+    eng = ScanEngine(path)
+    for pat, neg in [("city_1_.*", False), ("city_.*_0[0-5]", False),
+                     ("city_1_.*", True)]:
+        a = eng.scan("s", pat, engine="jax", negate=neg)
+        g = eng.scan("s", pat, engine="numpy", negate=neg)
+        np.testing.assert_array_equal(a.match_counts, g.match_counts,
+                                      err_msg=pat)
+        np.testing.assert_array_equal(a.value_counts, g.value_counts)
