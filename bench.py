@@ -844,7 +844,6 @@ def bench_engine(path: Path, reps: int) -> dict:
     # ── dict-encoded STRING scan (low-cardinality column: match each dict
     # entry once on host, map per-row indices through the accept bits on
     # device — O(dict + values), no byte streaming) ──────────────────────────
-    from duckdb_parquet_parser_tpu.ops.pallas.dict_lookup import dict_lookup
     from duckdb_parquet_parser_tpu.ops.scan import dfa_match
 
     spath = gen_dict_strings_fixture(out["rows"])
@@ -862,6 +861,10 @@ def bench_engine(path: Path, reps: int) -> dict:
     dm_d = jax.device_put(dmatch)
     kws = dict(max_def=bs.max_def, out_len=bs.vmax, nn_len=bs.nn_cap)
 
+    from duckdb_parquet_parser_tpu.ops.scan import _map_dict_accepts, batch_dn_max
+
+    dn_max_s = batch_dn_max(bs.arrays)
+
     @jax.jit
     def make_dscan(reps_n, c, dmx):
         def body(i, acc):
@@ -871,10 +874,9 @@ def bench_engine(path: Path, reps: int) -> dict:
                                               kws["out_len"])
             dict_idx, ok = D.decode_dict_indices(jnp, c2, nn_idx,
                                                  kws["nn_len"])
-            g = jnp.clip(
-                c2["page_dict_base"][:, None] + jnp.clip(dict_idx, 0, None),
-                0, dmx.shape[0] - 1)
-            dm = dict_lookup(jnp, [dmx], g)[0] != 0
+            # production mapping (ops/scan._map_dict_accepts): two-stage
+            # local accept select on multi-row-group tables
+            dm = _map_dict_accepts(jnp, c2, [dmx], dict_idx, dn_max_s)[0] != 0
             return acc + jnp.sum(dm & ok & nonnull)
         return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
 
