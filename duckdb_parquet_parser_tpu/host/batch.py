@@ -96,13 +96,22 @@ class DecodeBatch:
         (plane[base[p] + d] for d < dict_size[p], zero beyond).  Built once
         on host — lets the device select on the in-page index (dn_max ops)
         instead of the concatenated global table (sum of chunk sizes);
-        see ops/pallas/dict_lookup.dict_lookup_local."""
+        see ops/pallas/dict_lookup.dict_lookup_local.
+
+        Returns [] when dn_max exceeds SELECT_DICT_MAX — the device gate in
+        ops/decode._lookup_values would ignore the tables anyway, and for a
+        large dictionary the [N, dn_max] planes are pure dead weight (host
+        memory + transfer)."""
         planes = self.dict_planes
         if not planes:
             return []
+        from ..ops.pallas.dict_lookup import SELECT_DICT_MAX
+
         base = np.asarray(self.arrays["page_dict_base"], np.int64)
         size = np.asarray(self.arrays["page_dict_size"], np.int64)
         dn_max = int(size.max()) if size.size else 0
+        if dn_max > SELECT_DICT_MAX:
+            return []
         dn = planes[0].shape[0]
         out = []
         idx = base[:, None] + np.arange(max(dn_max, 1))[None, :]

@@ -639,6 +639,32 @@ class Reader {
     return !mins.empty() || !null_pages.empty();
   }
 
+  // Lean ColumnIndex read: ONLY the null_counts list (field 5).  The
+  // min/max binary lists are length-walked by the generic field skip
+  // without materializing any std::string — the cold scan uses this to
+  // replace per-page def-level RLE parses on flat columns (null_count
+  // gives the participating-value total directly).
+  bool read_chunk_null_counts(const ColumnChunk& cc,
+                              std::vector<int64_t>& null_counts) const {
+    if (!cc.column_index_offset || !cc.column_index_length ||
+        *cc.column_index_length <= 0)
+      return false;
+    std::vector<uint8_t> buf(size_t(*cc.column_index_length));
+    read_range(*cc.column_index_offset, *cc.column_index_length, buf.data());
+    TReader r(buf.data(), buf.size());
+    r.read_struct([&](const TReader::Field& f) {
+      if (f.id == 5) {
+        auto lh = r.list();
+        null_counts.reserve(size_t(lh.count));
+        for (int32_t i = 0; i < lh.count; i++)
+          null_counts.push_back(r.vi64());
+        return true;
+      }
+      return false;
+    });
+    return !null_counts.empty();
+  }
+
   // The structural pre-scan: pack one column across row groups [rg0, rg1)
   // into a device-ready SoA batch.  `align` pads trailing dims; when
   // `pad_strings` > 0, BYTE_ARRAY values/dictionaries are additionally packed

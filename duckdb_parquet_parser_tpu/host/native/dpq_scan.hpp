@@ -127,12 +127,13 @@ inline bool have_avx512bw() {
   return ok;
 }
 
-// Fills whole 64-byte blocks while 65 bytes are readable; returns the first
-// unprocessed byte index (a multiple of 64).
+// Processes ALL of [0, len): full 64-byte blocks while 64+lo+1 bytes are
+// readable, then fault-suppressing masked loads for the tail blocks — so
+// no scalar tail remains (a ~65-130 byte scalar tail on ~1 KB pages was
+// most of the per-page sweep cost).  Returns len.
 __attribute__((target("avx512bw"))) inline size_t bigram_mask_avx512(
     const uint8_t* s, size_t len, uint8_t c0, uint8_t c1, bool pair,
     uint8_t cl, size_t lo, uint64_t* out) {
-  if (len < 66 + lo) return 0;
   const __m512i f0 = _mm512_set1_epi8(char(c0));
   const __m512i f1 = _mm512_set1_epi8(char(c1));
   const __m512i fl = _mm512_set1_epi8(char(cl));
@@ -150,7 +151,26 @@ __attribute__((target("avx512bw"))) inline size_t bigram_mask_avx512(
     }
     out[i >> 6] = m;
   }
-  return i;
+  for (; i < len; i += 64) {  // masked tail: bits whose filter bytes fall
+    const size_t rem = len - i;  // past len are dead (the needle can't fit)
+    const uint64_t k0 = rem >= 64 ? ~0ull : ((1ull << rem) - 1);
+    const __m512i b0 = _mm512_maskz_loadu_epi8(k0, s + i);
+    uint64_t m = _mm512_cmpeq_epi8_mask(b0, f0) & k0;
+    if (pair && m) {
+      const size_t r1 = rem - 1;  // bytes readable at s + i + 1
+      const uint64_t k1 = r1 >= 64 ? ~0ull : (r1 ? ((1ull << r1) - 1) : 0);
+      const __m512i b1 = _mm512_maskz_loadu_epi8(k1, s + i + 1);
+      m &= _mm512_cmpeq_epi8_mask(b1, f1) & k1;
+    }
+    if (lo && m) {
+      const size_t rl = rem > lo ? rem - lo : 0;  // readable at s + i + lo
+      const uint64_t kl = rl >= 64 ? ~0ull : (rl ? ((1ull << rl) - 1) : 0);
+      const __m512i bl = _mm512_maskz_loadu_epi8(kl, s + i + lo);
+      m &= _mm512_cmpeq_epi8_mask(bl, fl) & kl;
+    }
+    out[i >> 6] = m;
+  }
+  return len;
 }
 #endif
 
@@ -193,6 +213,41 @@ inline void bigram_masks(const uint8_t* s, size_t len, const std::string& nd,
       out[i >> 6] |= 1ull << (i & 63);
 }
 
+// Segment fill for the lazy sweep: candidates of `nd` over the window
+// [from, win_hi) of `s`, written at ABSOLUTE bit positions into `words`
+// (`from` must be 64-aligned).  The indicator-mode walk sweeps one segment
+// at a time and stops at the first accepting value, so a decided page
+// never streams its tail bytes through the cache at all.
+inline void bigram_masks_into(const uint8_t* s, int64_t from, int64_t win_hi,
+                              const std::string& nd, uint64_t* words) {
+  const int64_t w_lo = from >> 6;
+  const int64_t w_hi = (win_hi - 1) >> 6;  // inclusive
+  const size_t wlen = size_t(win_hi - from);
+  if (nd.empty() || nd.size() > wlen) {
+    for (int64_t w = w_lo; w <= w_hi; w++) words[w] = 0;
+    return;
+  }
+  const uint8_t c0 = uint8_t(nd[0]);
+  const bool pair = nd.size() > 1;
+  const uint8_t c1 = pair ? uint8_t(nd[1]) : c0;
+  const size_t lo = nd.size() > 2 ? nd.size() - 1 : 0;
+  const uint8_t cl = uint8_t(nd.back());
+  size_t done = 0;
+#if defined(__SSE2__)
+  if (have_avx512bw()) {
+    done = bigram_mask_avx512(s + from, wlen, c0, c1, pair, cl, lo,
+                              words + w_lo);
+    if (done >= wlen) return;  // fully processed (masked-tail kernel)
+  }
+#endif
+  for (int64_t w = int64_t(from + done) >> 6; w <= w_hi; w++) words[w] = 0;
+  for (size_t i = done; i < wlen; i++)
+    if (s[from + int64_t(i)] == c0 &&
+        (!pair || (i + 1 < wlen && s[from + int64_t(i) + 1] == c1)) &&
+        (!lo || (i + lo < wlen && s[from + int64_t(i + lo)] == cl)))
+      words[(from + int64_t(i)) >> 6] |= 1ull << ((from + int64_t(i)) & 63);
+}
+
 #if defined(__SSE2__)
 // Fused K-needle sweep: ONE read of the span fills every needle's bigram
 // mask (the per-needle sweep re-reads the span K times and is memory-bound
@@ -210,7 +265,6 @@ __attribute__((target("avx512bw"))) inline size_t bigram_masks_multi_avx512(
     fl[k] = _mm512_set1_epi8(char(cls[k]));
     max_lo = std::max(max_lo, los[k]);
   }
-  if (len < 66 + max_lo) return 0;
   size_t i = 0;
   for (; i + 65 + max_lo <= len; i += 64) {
     const __m512i b0 = _mm512_loadu_si512(s + i);
@@ -232,7 +286,34 @@ __attribute__((target("avx512bw"))) inline size_t bigram_masks_multi_avx512(
       outs[k][i >> 6] = m;
     }
   }
-  return i;
+  for (; i < len; i += 64) {  // masked tail (fault-suppressing loads) —
+    const size_t rem = len - i;  // no scalar tail remains (see single-needle
+    const uint64_t k0m = rem >= 64 ? ~0ull : ((1ull << rem) - 1);  // kernel)
+    const __m512i b0 = _mm512_maskz_loadu_epi8(k0m, s + i);
+    __m512i b1;
+    uint64_t k1m = 0;
+    bool have_b1 = false;
+    for (size_t k = 0; k < K; k++) {
+      uint64_t m = _mm512_cmpeq_epi8_mask(b0, f0[k]) & k0m;
+      if (pairs[k] && m) {
+        if (!have_b1) {
+          const size_t r1 = rem - 1;
+          k1m = r1 >= 64 ? ~0ull : (r1 ? ((1ull << r1) - 1) : 0);
+          b1 = _mm512_maskz_loadu_epi8(k1m, s + i + 1);
+          have_b1 = true;
+        }
+        m &= _mm512_cmpeq_epi8_mask(b1, f1[k]) & k1m;
+      }
+      if (los[k] && m) {
+        const size_t rl = rem > los[k] ? rem - los[k] : 0;
+        const uint64_t klm = rl >= 64 ? ~0ull : (rl ? ((1ull << rl) - 1) : 0);
+        const __m512i bl = _mm512_maskz_loadu_epi8(klm, s + i + los[k]);
+        m &= _mm512_cmpeq_epi8_mask(bl, fl[k]) & klm;
+      }
+      outs[k][i >> 6] = m;
+    }
+  }
+  return len;
 }
 #endif
 
@@ -505,6 +586,18 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
         if (ci_null_counts.size() != nk) ci_null_counts.clear();
       }
     }
+    // ColumnIndex null_counts replace the per-page def-level RLE parse on
+    // flat optional columns (nn = num_values - null_count): the def section
+    // is cursor-skipped, not decoded.  Only exercised when every per-page
+    // entry is in range; DPQ_NO_CI_NN=1 forces the decode (A/B lane).
+    if (lf.max_def > 0 && lf.max_rep == 0 && ci_null_counts.empty() &&
+        !std::getenv("DPQ_NO_CI_NN")) {
+      read_chunk_null_counts(g.columns[size_t(lf.chunk_idx)], ci_null_counts);
+      if (int64_t(ci_null_counts.size()) != expect[size_t(j)])
+        ci_null_counts.clear();
+    }
+    const bool have_ci_nn = lf.max_rep == 0 &&
+                            int64_t(ci_null_counts.size()) == expect[size_t(j)];
 
     std::vector<Run> runs;  // reused per page
     const size_t K = pat.needles.size();
@@ -560,12 +653,26 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
     // header parse + gid numbering + match walk happen in one pass.
     int64_t gid_next = gid_base[size_t(j)];
     int64_t hoff = 0, walk_values = 0, walk_rows = 0;
+    const bool cold_pf = [] {
+      const char* e = std::getenv("DPQ_COLD_PF");
+      return !e || e[0] != '0';
+    }();
     while (walk_values < cm.num_values) {
       if (hoff >= span) break;  // short chunk span: stop like the reference
       PageRec pr;
       int64_t hsz = parse_page_rec(chunk_ptr, hoff, span, chunk_start, rg,
                                    lf.chunk_idx, walk_rows, walk_values, pr);
       hoff += hsz + pr.size;
+      // Look-ahead prefetch (DPQ_COLD_PF=0 disables): pull the NEXT page's
+      // bytes toward L2 while this page's sweep/walk runs — per-page
+      // processing stalls the HW streamer (~1 KB sequential bursts), so
+      // the next page's first touch otherwise pays DRAM latency.
+      // Interleaved A/B on the lineitem fixture: min 32.9 vs 35.4 ms.
+      if (cold_pf) {
+        const int64_t pf_end = std::min<int64_t>(hoff + 2048, span);
+        for (int64_t pf = hoff & ~63; pf < pf_end; pf += 64)
+          __builtin_prefetch(chunk_ptr + pf);
+      }
       if (pr.gid == 0) pr.gid = gid_next++;
       // stats-pruned PLAIN page: the ColumnIndex proves no value here can
       // start with the pattern's mandatory prefix — skip decompression, the
@@ -629,9 +736,20 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
 
       Cursor cur(d, dlen);
       int64_t nn = pr.num_values;
+      // CI null_counts replace the def decode (flat columns): nn is known
+      // without parsing the def section, which is cursor-skipped instead.
+      const int64_t ci_ord = pr.gid - gid_base[size_t(j)];
+      const bool ci_nn_ok =
+          have_ci_nn && ci_ord >= 0 &&
+          ci_ord < int64_t(ci_null_counts.size()) &&
+          ci_null_counts[size_t(ci_ord)] >= 0 &&
+          ci_null_counts[size_t(ci_ord)] <= int64_t(pr.num_values);
       if (v2) {
         cur.bytes(size_t(pr.v2_rep_len));  // rep levels: ignored
-        if (lf.max_def > 0) {
+        if (lf.max_def > 0 && ci_nn_ok) {
+          cur.bytes(size_t(pr.v2_def_len));
+          nn = pr.num_values - ci_null_counts[size_t(ci_ord)];
+        } else if (lf.max_def > 0) {
           auto t0 = tick();
           const uint8_t* dp = cur.bytes(size_t(pr.v2_def_len));
           runs.clear();
@@ -649,7 +767,11 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
           uint32_t rep_len = cur.le<uint32_t>();
           cur.bytes(rep_len);
         }
-        if (lf.max_def > 0) {
+        if (lf.max_def > 0 && ci_nn_ok) {
+          uint32_t def_len = cur.le<uint32_t>();
+          cur.bytes(def_len);
+          nn = pr.num_values - ci_null_counts[size_t(ci_ord)];
+        } else if (lf.max_def > 0) {
           auto t0 = tick();
           uint32_t def_len = cur.le<uint32_t>();
           const uint8_t* dp = cur.bytes(def_len);
@@ -751,65 +873,213 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
         const bool neg_ind = pat.neg && !pat.exact;
         constexpr int64_t mbase = 0;  // masks are page-local (vp-relative)
         bool possible = true;
-        bigram_masks(vp, size_t(vlen), pat.needles[screen_k],
-                     masks[screen_k]);
-        {
+        // Sweep strategy (DPQ_COLD_SWEEP=single|multi overrides): `multi`
+        // fills EVERY needle's mask in one fused pass (chain confirms then
+        // run on mask bits alone, and any empty mask screens the page);
+        // `single` sweeps only the filter needle (the other needles
+        // confirm by find_sub inside each candidate's split ranges).
+        // Multi pays ~K mask stores + extra compares per block; single
+        // pays byte scans per candidate.  Measured on the lineitem bench
+        // fixture (2026-08-21, interleaved min-of-9): single wins for
+        // K=2 (31.8 vs 35.4 ms) and K=3 (33.5 vs 42.8 ms) — the extra
+        // mask planes cost more than the short split-range find_subs they
+        // replace — so single is the default.
+        bool multi_masks = false;
+        if (const char* e = std::getenv("DPQ_COLD_SWEEP"))
+          multi_masks = K > 1 && e[0] == 'm';
+        // Indicator-positive pages decide at their FIRST accepting value,
+        // so the sweep can be LAZY there (DPQ_COLD_SEG=1): one 512 B
+        // segment at a time inside the walk below — a decided page never
+        // touches its tail bytes.  Off by default: on the lineitem bench
+        // fixture per-value match density (~1.6%) means most pages sweep
+        // nearly fully anyway (measured neutral, min 43.8 vs 43.2 ms in
+        // the same interleaved run); it pays on match-DENSE columns where
+        // the first accepting value sits early in every page.
+        bool seg_mode = false;
+        if (const char* e = std::getenv("DPQ_COLD_SEG"))
+          seg_mode = !pat.exact && !pat.neg && !multi_masks && e[0] == '1';
+        if (seg_mode) {
+          masks[screen_k].assign(size_t((vlen + 63) >> 6), 0);
+        } else if (!multi_masks) {
+          bigram_masks(vp, size_t(vlen), pat.needles[screen_k],
+                       masks[screen_k]);
           uint64_t any = 0;
           for (uint64_t w : masks[screen_k]) any |= w;
           possible = any != 0;
-          if (timing) (possible ? n_walked : n_screened)++;
+        } else {
+          bigram_masks_multi(vp, size_t(vlen), pat.needles, masks);
+          for (size_t k = 0; k < K && possible; k++) {
+            uint64_t any = 0;
+            for (uint64_t w : masks[k]) any |= w;
+            possible = any != 0;
+          }
         }
+        if (timing && !seg_mode) (possible ? n_walked : n_screened)++;
         if (possible && !neg_ind) {
           // BIT-DRIVEN walk: iterate the filter needle's candidate bits in
           // this value section (ascending) and chase value boundaries
           // lazily up to each candidate — values without the rarest needle
           // (the common case) are chased past at ~5 ns each with no mask or
-          // match work at all.  A value accepts at most once: after its
-          // chain_match (hit or miss) the cursor skips every further bit it
-          // contains.  (The neg+indicator mode needs "some value fails",
+          // match work at all.  Each candidate is confirmed ANCHORED at its
+          // bit (the mask proved the first two + last bytes; only the
+          // middle bytes need a memcmp) and the remaining needles chain in
+          // the split ranges [value_start, p] / [p + len, value_end) — the
+          // full-value chain_match re-search (memchr from the value start,
+          // expensive on text where the needle's first byte is dense) drops
+          // out.  A value matches iff SOME confirmed candidate of the
+          // filter needle splits it this way (any full chain contains a
+          // true filter-needle occurrence, and greedy earliest chaining in
+          // each half is exchange-optimal), so accepting on the first
+          // working candidate and skipping the value's remaining bits is
+          // exact.  (The neg+indicator mode needs "some value fails",
           // which non-candidate values decide implicitly — it keeps the
           // per-value path below.)
           if (timing) { lap(ns_sweep, t0); t0 = tick(); }
           const auto& mk = masks[screen_k];
           const int64_t nb = int64_t(mk.size());
-          const int64_t lk = int64_t(pat.needles[screen_k].size());
+          const std::string& ndk = pat.needles[screen_k];
+          const int64_t lk = int64_t(ndk.size());
+          const uint8_t* ndk_p = reinterpret_cast<const uint8_t*>(ndk.data());
+          // first confirmed candidate of needle k2 in [from, last_start]
+          // (bit-skipping on its own mask + middle-byte memcmp; failed
+          // confirms memoize by clearing their bit — same byte, same
+          // failure, page-wide)
+          auto next_conf = [&](size_t k2, int64_t from,
+                               int64_t last_start) -> int64_t {
+            if (from > last_start) return -1;
+            const std::string& nd2 = pat.needles[k2];
+            const size_t nl = nd2.size();
+            auto& mk2 = masks[k2];
+            const int64_t nb2 = int64_t(mk2.size());
+            int64_t b2 = from >> 6;
+            const int64_t bhi = last_start >> 6;
+            uint64_t w2 =
+                b2 < nb2 ? mk2[size_t(b2)] & (~0ull << (from & 63)) : 0;
+            for (;;) {
+              while (!w2) {
+                if (++b2 > bhi || b2 >= nb2) return -1;
+                w2 = mk2[size_t(b2)];
+              }
+              const int64_t q2 = b2 * 64 + __builtin_ctzll(w2);
+              if (q2 > last_start) return -1;
+              if (nl <= 3 ||
+                  ::memcmp(vp + q2 + 2, nd2.data() + 2, nl - 3) == 0)
+                return q2;
+              const uint64_t low = w2 & (~w2 + 1);
+              mk2[size_t(b2)] &= ~low;
+              w2 &= ~low;
+            }
+          };
           if (timing) n_vals += nn;
           int64_t pos = 0, v = 0;        // prefix-chase cursor
           int64_t cur_a = -1, cur_b = -1;  // current value byte range
+          int64_t done_b = -1;            // end of the last ACCEPTED value
           bool chased_out = false;        // prefix/bytes never finalize
-          const int64_t w0 = mbase >> 6;
-          const int64_t wend = std::min<int64_t>(nb - 1, (mbase + vlen) >> 6);
           bool decided = false;
-          for (int64_t blk = w0; blk <= wend && !decided; blk++) {
+          // Lazy segment sweep (seg_mode): fill the filter needle's mask
+          // one 64-aligned 512 B segment at a time and walk its bits; a
+          // decision stops the page before its tail bytes are ever read.
+          // The sweep window extends past the segment by the needle's
+          // filter span so boundary-straddling candidates land in the
+          // NEXT segment's words (rewritten before they are consumed).
+          constexpr int64_t SEG = 512;
+          const int64_t lo_scr = lk > 2 ? lk - 1 : 0;
+          int64_t seg_lo = 0;
+          bool any_bits = false;
+          while (!decided) {
+          int64_t blk_lo = 0, blk_hi = std::min<int64_t>(nb - 1, vlen >> 6);
+          if (seg_mode) {
+            if (seg_lo >= vlen) break;
+            const int64_t seg_hi = std::min<int64_t>(seg_lo + SEG, vlen);
+            const int64_t win_hi = std::min<int64_t>(seg_hi + lo_scr + 1,
+                                                     vlen);
+            bigram_masks_into(vp, seg_lo, win_hi, ndk,
+                              masks[screen_k].data());
+            blk_lo = seg_lo >> 6;
+            blk_hi = (seg_hi - 1) >> 6;
+            seg_lo = seg_hi;
+          }
+          for (int64_t blk = blk_lo; blk <= blk_hi && !decided; blk++) {
             uint64_t w = mk[size_t(blk)];
-            if (blk == w0) w &= ~0ull << (mbase & 63);
+            if (w) any_bits = true;
             while (w && !decided) {
               const int64_t p = (blk << 6 | __builtin_ctzll(w)) - mbase;
               w &= w - 1;
               if (p >= vlen) break;
-              if (p < cur_b) continue;  // same value as the last chain run
-              // chase forward to the value containing p
-              while (v < nn) {
-                if (pos + 4 > vlen) { chased_out = true; break; }
-                uint32_t len;
-                std::memcpy(&len, vp + pos, 4);
-                cur_a = pos + 4;
-                cur_b = cur_a + int64_t(len);
-                if (cur_b > vlen) { chased_out = true; break; }
-                pos = cur_b;
-                v++;
-                if (p < cur_b) break;
+              if (p < done_b) continue;  // value already accepted
+              if (p >= cur_b) {
+                // chase forward to the value containing p
+                while (v < nn) {
+                  if (pos + 4 > vlen) { chased_out = true; break; }
+                  uint32_t len;
+                  std::memcpy(&len, vp + pos, 4);
+                  cur_a = pos + 4;
+                  cur_b = cur_a + int64_t(len);
+                  if (cur_b > vlen) { chased_out = true; break; }
+                  pos = cur_b;
+                  v++;
+                  if (p < cur_b) break;
+                }
+                if (chased_out || v > nn) { decided = true; break; }
               }
-              if (chased_out || v > nn) { decided = true; break; }
               if (p < cur_a || p > cur_b - lk) continue;  // dead bit
-              if (chain_match(pat.needles, vp + cur_a,
-                              size_t(cur_b - cur_a))) {
+              // anchored confirm: the mask proved bytes 0,1 and lk-1 —
+              // only the middle [2, lk-1) needs checking
+              if (lk > 3 &&
+                  std::memcmp(vp + p + 2, ndk_p + 2, size_t(lk - 3)) != 0)
+                continue;
+              // chain the needles before the filter needle in [cur_a, p)
+              // (each occurrence must fit fully before p) and the ones
+              // after it in [p + lk, cur_b) — on their own candidate masks
+              // (bit skips + middle memcmp) when multi-swept, by find_sub
+              // byte scan otherwise
+              bool m = true;
+              int64_t q = cur_a;
+              for (size_t k2 = 0; k2 < screen_k && m; k2++) {
+                const std::string& nd2 = pat.needles[k2];
+                const int64_t l2 = int64_t(nd2.size());
+                if (multi_masks) {
+                  const int64_t hit = next_conf(k2, q, p - l2);
+                  if (hit < 0) m = false;
+                  else q = hit + l2;
+                } else {
+                  const uint8_t* f = find_sub(
+                      vp + q, size_t(p - q),
+                      reinterpret_cast<const uint8_t*>(nd2.data()),
+                      nd2.size());
+                  if (!f) m = false;
+                  else q = int64_t(f - vp) + l2;
+                }
+              }
+              if (m) {
+                q = p + lk;
+                for (size_t k2 = screen_k + 1; k2 < K && m; k2++) {
+                  const std::string& nd2 = pat.needles[k2];
+                  const int64_t l2 = int64_t(nd2.size());
+                  if (multi_masks) {
+                    const int64_t hit = next_conf(k2, q, cur_b - l2);
+                    if (hit < 0) m = false;
+                    else q = hit + l2;
+                  } else {
+                    const uint8_t* f = find_sub(
+                        vp + q, size_t(cur_b - q),
+                        reinterpret_cast<const uint8_t*>(nd2.data()),
+                        nd2.size());
+                    if (!f) m = false;
+                    else q = int64_t(f - vp) + l2;
+                  }
+                }
+              }
+              if (m) {
                 accepted++;
+                done_b = cur_b;  // value decided — skip its remaining bits
                 if (!pat.exact) { decided = true; break; }  // survivor known
               }
-              // hit or miss, this value is done — skip its remaining bits
             }
           }
+          if (!seg_mode) break;
+          }
+          if (timing && seg_mode) (any_bits ? n_walked : n_screened)++;
           if (timing) lap(ns_walk, t0);
           int64_t counts = pat.neg ? nn - accepted : accepted;
           if (!pat.exact) counts = counts > 0 ? 1 : 0;
@@ -817,15 +1087,18 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
           continue;
         }
         // per-value confirm walk (neg+indicator, or screened-out pages):
-        // needs every needle's masks — a needle with no candidate anywhere
-        // decides the page immediately (every value fails the chain).
-        for (size_t k = 0; k < K && possible; k++) {
-          if (k == screen_k) continue;  // already swept
-          bigram_masks(vp, size_t(vlen), pat.needles[k], masks[k]);
-          uint64_t any = 0;
-          for (uint64_t w : masks[k]) any |= w;
-          possible = any != 0;
-        }
+        // needs every needle's masks — already filled when multi-swept;
+        // the single-sweep route fills the rest here.  A needle with no
+        // candidate anywhere decides the page immediately (every value
+        // fails the chain).
+        if (!multi_masks)
+          for (size_t k = 0; k < K && possible; k++) {
+            if (k == screen_k) continue;  // already swept
+            bigram_masks(vp, size_t(vlen), pat.needles[k], masks[k]);
+            uint64_t any = 0;
+            for (uint64_t w : masks[k]) any |= w;
+            possible = any != 0;
+          }
         auto& msel = masks;
         if (timing) {
           lap(ns_sweep, t0);

@@ -51,8 +51,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def stream_supported(steps: int) -> bool:
-    """Whether the kernel's VMEM tile fits for this step count."""
-    return steps * LANE_TILE <= VMEM_TILE_CAP
+    """Whether the kernel's VMEM tile fits for this step count — at the
+    lane tile pick_lane_tile would actually choose (it shrinks the tile
+    for large step counts, so e.g. steps in (4096, 32768] still route to
+    the kernel at a narrower tile instead of the slower lax.scan walk)."""
+    steps = _round_up(steps, INNER)
+    return steps * pick_lane_tile(steps) <= VMEM_TILE_CAP
 
 
 def pick_lane_tile(steps: int) -> int:
@@ -259,8 +263,8 @@ def tile_stream(payload_t, steps: int, lane_tile: int | None = None,
 
 
 def match_stream_pallas_tiled(tiled, payload_len, nn, pattern,
-                              n: int, lane_tile: int = LANE_TILE,
-                              inner: int = INNER, interpret: bool = False):
+                              n: int, inner: int = INNER,
+                              interpret: bool = False):
     """Streaming match over a `tile_stream` layout.  Returns
     (hits, seen [n] i32) — the match_payload_stream contract (dict pages
     masked by the caller via plen/nn).  `pattern` may be a single pattern

@@ -395,5 +395,15 @@ def test_local_table_dict_lookup_parity(tmp_path):
     assert np.array_equal(np.asarray(nn_j), nn_np)
     for pj, pn in zip(planes_j, planes_np):
         assert np.array_equal(np.asarray(pj), pn)
+    # The level-free fast path (idx_vals present) must ALSO agree with the
+    # legacy def-level decode — drop idx_vals so decode_dict_indices takes
+    # the run-expansion + null-rank route (the fast path is what both jax
+    # and numpy used above, so without this the legacy path goes untested).
+    legacy_arrays = {k: v for k, v in b.arrays.items() if k != "idx_vals"}
+    planes_leg, nn_leg = D.decode_fixed(
+        np, legacy_arrays, [], b.dict_planes, None, **kw)
+    assert np.array_equal(nn_leg, nn_np)
+    for pl_, pn in zip(planes_leg, planes_np):
+        assert np.array_equal(pl_, pn)
     # end-to-end read parity too
     assert r.read_column("k").to_pylist() == expect
