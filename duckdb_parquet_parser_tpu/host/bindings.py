@@ -76,6 +76,11 @@ def _load() -> ct.CDLL:
         ct.c_char_p, ct.c_size_t,
     ]
     lib.dpq_index_plan.restype = ct.c_void_p
+    lib.dpq_index_build.argtypes = [
+        ct.c_void_p, ct.c_int32, ct.c_int64, ct.c_int64,
+        ct.c_char_p, ct.c_size_t,
+    ]
+    lib.dpq_index_build.restype = ct.c_void_p
     lib.dpq_split_plan.argtypes = [
         ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_void_p, ct.c_void_p,
         ct.c_void_p, ct.c_int64, ct.c_char_p, ct.c_size_t,
@@ -309,6 +314,20 @@ def native_index_plan(pos: np.ndarray, lens: np.ndarray, num_rows: int,
         pos.ctypes.data_as(ct.c_void_p), lens.ctypes.data_as(ct.c_void_p),
         len(pos), num_rows, chunk_size, err, _ERRCAP,
     )
+    if not b:
+        raise NativeError(err.value.decode("utf-8", "replace"))
+    return _wrap_batch(b)
+
+
+def native_index_build(reader_handle, leaf_idx: int, num_rows: int,
+                       chunk_size: int) -> tuple[dict, dict[str, np.ndarray]]:
+    """Fused chunked-index build straight off an open reader
+    (dpq_index.hpp::Reader::index_build): header walk + emission + boundary
+    plan in ONE native pass — same output contract as native_index_plan
+    (positions/lens/chunk_of_entry/tuple_to_chunk/chunk_starts + dims)."""
+    err = _err_buf()
+    b = lib().dpq_index_build(reader_handle, leaf_idx, num_rows, chunk_size,
+                              err, _ERRCAP)
     if not b:
         raise NativeError(err.value.decode("utf-8", "replace"))
     return _wrap_batch(b)

@@ -208,6 +208,18 @@ void* dpq_index_plan(const int64_t* pos, const int32_t* lens, int64_t cap,
   })
 }
 
+// Fused chunked-index build straight off an open reader (see
+// dpq_index.hpp::Reader::index_build): header walk + emission + boundary
+// plan in one native pass — no intermediate emission arrays.
+void* dpq_index_build(void* reader, int32_t leaf_idx, int64_t num_rows,
+                      int64_t chunk_size, char* err, size_t errcap) {
+  DPQ_TRY({
+    auto* r = static_cast<Reader*>(reader);
+    auto out = r->index_build(leaf_idx, num_rows, chunk_size);
+    return static_cast<void*>(out.release());
+  })
+}
+
 // Value-boundary payload split plan (see dpq_scan.hpp::split_payload_plan):
 // ArrayStore handle with seg_page/seg_off/seg_len/seg_nn + dims
 // n_segs/seg_pitch — re-chunks big PLAIN pages at value starts for the

@@ -692,6 +692,11 @@ class Reader {
   std::unique_ptr<ArrayStore> cold_scan(int leaf_idx, const ColdPattern& pat,
                                         int rg0, int rg1) const;
 
+  // Fused chunked-index build (see dpq_index.hpp): header walk + emission +
+  // boundary plan in ONE native pass — no intermediate emission arrays.
+  std::unique_ptr<ArrayStore> index_build(int leaf_idx, int64_t num_rows,
+                                          int64_t chunk_size) const;
+
  private:
   void pread_full(int64_t off, size_t len, uint8_t* out) const {
     ssize_t got = ::pread(fd_, out, len, off);

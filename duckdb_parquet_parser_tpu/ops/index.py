@@ -128,6 +128,30 @@ def build_index_for_column(reader, column: str, chunk_size: int = 4096,
     from ..host.reader import _string_stream
 
     if engine == "native":
+        # Fused one-call build (round 5): header walk + emission + boundary
+        # plan in one native pass.  Unsupported value encodings fall back to
+        # the emission route below (engine="emission" forces it).
+        try:
+            dims, arrays = bindings.native_index_build(
+                reader._h, reader.find_column(column), reader.num_rows(),
+                chunk_size,
+            )
+        except bindings.NativeError as e:
+            if "unsupported" not in str(e):
+                raise
+            engine = "emission"
+        else:
+            m = int(dims["m"])
+            return ChunkedIndex(
+                num_rows=int(dims["num_rows"]),
+                chunk_size=chunk_size,
+                positions=arrays["positions"][:m],
+                lens=arrays["lens"][:m],
+                chunk_of_entry=arrays["chunk_of_entry"][:m],
+                tuple_to_chunk=arrays["tuple_to_chunk"],
+                chunk_starts=arrays["chunk_starts"],
+            )
+    if engine == "emission":
         batch = reader.prescan(
             column, flags=bindings.PS_INDEX | bindings.PS_RUNS_ONLY)
         dims, arrays = bindings.native_index_plan(

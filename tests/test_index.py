@@ -96,15 +96,24 @@ def test_native_plan_matches_numpy(tmp_path, rng):
                    compression="snappy", data_page_size=700,
                    row_group_size=900)
     paths.append(str(p3))
+    # V2 pages (unprefixed levels, values-only compression): the fused
+    # build must handle them natively too
+    p4 = tmp_path / "d.parquet"
+    pq.write_table(pa.table({"s": pa.array(vals, type=pa.binary())}), p4,
+                   compression="zstd", data_page_size=700,
+                   row_group_size=900, data_page_version="2.0")
+    paths.append(str(p4))
     for path in paths:
         r = ParquetReader(str(path))
         for cs in (700, 4096):
             a = build_index_for_column(r, "s", cs, engine="numpy")
             b = build_index_for_column(r, "s", cs, engine="native")
-            for f in ("positions", "lens", "chunk_of_entry",
-                      "tuple_to_chunk", "chunk_starts"):
-                np.testing.assert_array_equal(
-                    getattr(a, f), getattr(b, f), err_msg=f)
+            c = build_index_for_column(r, "s", cs, engine="emission")
+            for other in (b, c):
+                for f in ("positions", "lens", "chunk_of_entry",
+                          "tuple_to_chunk", "chunk_starts"):
+                    np.testing.assert_array_equal(
+                        getattr(a, f), getattr(other, f), err_msg=f)
 
 
 def test_null_rows_keep_zero(tmp_path, rng):
