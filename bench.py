@@ -314,8 +314,50 @@ def _marginal(fn, args, reps_hi=6, tries=3, min_signal=0.03):
             if signal < min_signal:
                 log(f"  [marginal] weak signal {signal*1000:.1f} ms even at "
                     f"{reps_hi} reps — treat as noise-bound")
+            global LAST_BAND
+            margs = sorted(max((tr - t1) / (reps_hi - 1), 1e-9) for tr in trs)
+            LAST_BAND = {
+                "n": len(margs),
+                "min_s": margs[0],
+                "med_s": margs[len(margs) // 2],
+                "max_s": margs[-1],
+            }
             return t1, max(signal / (reps_hi - 1), 1e-9)
         reps_hi = min((reps_hi - 1) * 4 + 1, 513)
+
+
+LAST_BAND: dict | None = None
+
+
+def _band(out: dict, key: str, total: float) -> None:
+    """Record the variance band of the LAST _marginal call for `key`, in
+    rows/s: {min, med, spread, n} — min = the worst-draw rate, spread =
+    best/worst ratio.  The headline values stay min-of-N; the band lets
+    the driver tell a bad relay draw from a regression (round-4 VERDICT
+    #4: headline swings are a ~2x luck band on this box)."""
+    b = LAST_BAND
+    if not b:
+        return
+    out.setdefault("bands", {})[key] = {
+        "min": round(total / b["max_s"], 1),
+        "med": round(total / b["med_s"], 1),
+        "spread": round(b["max_s"] / b["min_s"], 3),
+        "n": b["n"],
+    }
+
+
+def _host_band(out: dict, key: str, times_s: list, total: float) -> None:
+    """Same band contract for host-side loops: `times_s` are per-run wall
+    seconds of identical work."""
+    ts = sorted(times_s)
+    if not ts:
+        return
+    out.setdefault("bands", {})[key] = {
+        "min": round(total / ts[-1], 1),
+        "med": round(total / ts[len(ts) // 2], 1),
+        "spread": round(ts[-1] / ts[0], 3),
+        "n": len(ts),
+    }
 
 
 def bench_engine(path: Path, reps: int) -> dict:
@@ -396,6 +438,7 @@ def bench_engine(path: Path, reps: int) -> dict:
                               reps_hi=1 + reps)
     out["rows"] = total
     out["scan_rows_per_s"] = total / marg
+    _band(out, "scan_sustained", total)
     out["scan_single_call_rows_per_s"] = total / t_first
     out["t"] = dict(open=t_open, prescan=t_prescan, upload=t_upload,
                     single_call=t_first, marginal=marg)
@@ -406,6 +449,7 @@ def bench_engine(path: Path, reps: int) -> dict:
     _, marg_gen = _marginal(make_scan_for(PATTERN_GENERAL), (pd, pld, nnd),
                             reps_hi=1 + reps)
     out["scan_general_rows_per_s"] = total / marg_gen
+    _band(out, "scan_general", total)
     log(f"scan general {PATTERN_GENERAL!r}: {total/marg_gen:.3g} rows/s "
         f"(marginal {marg_gen*1000:.1f} ms)")
 
@@ -413,6 +457,7 @@ def bench_engine(path: Path, reps: int) -> dict:
     _, marg_alt = _marginal(make_scan_for(PATTERN_ALT), (pd, pld, nnd),
                             reps_hi=1 + reps)
     out["scan_alternation_rows_per_s"] = total / marg_alt
+    _band(out, "scan_alternation", total)
     log(f"scan alternation {PATTERN_ALT!r}: {total/marg_alt:.3g} rows/s "
         f"(marginal {marg_alt*1000:.1f} ms)")
 
@@ -421,6 +466,7 @@ def bench_engine(path: Path, reps: int) -> dict:
     _, marg_wide = _marginal(make_scan_for(PATTERN_WIDE), (pd, pld, nnd),
                              reps_hi=1 + reps)
     out["scan_wide_rows_per_s"] = total / marg_wide
+    _band(out, "scan_wide", total)
     log(f"scan wide {PATTERN_WIDE!r}: {total/marg_wide:.3g} rows/s "
         f"(marginal {marg_wide*1000:.1f} ms)")
 
@@ -445,6 +491,7 @@ def bench_engine(path: Path, reps: int) -> dict:
 
     _, marg_multi = _marginal(make_multi, (pd, pld, nnd), reps_hi=1 + reps)
     out["scan_multi3_pattern_rows_per_s"] = 3 * total / marg_multi
+    _band(out, "scan_multi3", 3 * total)
     log(f"scan fused x3 patterns: {3*total/marg_multi:.3g} pattern-rows/s "
         f"(marginal {marg_multi*1000:.1f} ms vs "
         f"{(1/out['scan_rows_per_s']+1/out['scan_general_rows_per_s']+1/out['scan_alternation_rows_per_s'])*total*1000:.1f} ms separate)")
@@ -526,10 +573,12 @@ def bench_engine(path: Path, reps: int) -> dict:
             reps_hi=1 + reps,
         )
         out["scan_bucketed_rows_per_s"] = total / marg_b
+        _band(out, "scan_bucketed", total)
         log(f"scan bucketed ({[s for _, s in buckets]} steps): "
             f"{total/marg_b:.3g} rows/s (marginal {marg_b*1000:.1f} ms)")
         if out["scan_bucketed_rows_per_s"] > out["scan_rows_per_s"]:
             out["scan_rows_per_s"] = out["scan_bucketed_rows_per_s"]
+            _band(out, "scan_sustained", total)  # headline now = this route
 
     # ── Pallas streaming matcher (resident serving fast path, round 3b) ─────
     # Same pre-transposed stream re-laid tiled-contiguous once at residency;
@@ -567,10 +616,12 @@ def bench_engine(path: Path, reps: int) -> dict:
             pallas_ok = False
     if pallas_ok and marg_ps is not None:
         out["scan_pallas_stream_rows_per_s"] = total / marg_ps
+        _band(out, "scan_pallas_stream", total)
         log(f"scan pallas stream {PATTERN!r}: {total/marg_ps:.3g} rows/s "
             f"(marginal {marg_ps*1000:.2f} ms)")
         if out["scan_pallas_stream_rows_per_s"] > out["scan_rows_per_s"]:
             out["scan_rows_per_s"] = out["scan_pallas_stream_rows_per_s"]
+            _band(out, "scan_sustained", total)  # headline now = this route
 
         # every pattern family serves through the same kernel — fold the
         # pallas numbers into the per-family metrics like the bucketed ones
@@ -585,6 +636,7 @@ def bench_engine(path: Path, reps: int) -> dict:
                 f"(marginal {marg_pf*1000:.2f} ms)")
             if rate > out[key]:
                 out[key] = rate
+                _band(out, key.replace("_rows_per_s", ""), total)
 
     # ── big-page files (pyarrow-default ~1 MB pages): split layout ──────────
     # Real-world files carry ~1 MB pages; the value-boundary split re-chunks
@@ -621,6 +673,7 @@ def bench_engine(path: Path, reps: int) -> dict:
         _, marg_bp = _marginal(make_bp, (bp_payload, bp_len, bp_nn),
                                reps_hi=1 + reps)
         out["scan_bigpage_rows_per_s"] = bp_total / marg_bp
+        _band(out, "scan_bigpage", bp_total)
         log(f"scan big-page split (lax): {bp_total/marg_bp:.3g} rows/s "
             f"(marginal {marg_bp*1000:.2f} ms, "
             f"{sub_bp.shape[0]} segs x {bsteps} steps)")
@@ -655,30 +708,38 @@ def bench_engine(path: Path, reps: int) -> dict:
     # ── cold one-shot paths (fresh engine each run, min-of-3) ───────────────
     from duckdb_parquet_parser_tpu.models.scan import ScanEngine
 
-    def cold_once_path(p, fn, env_off=False):
+    def cold_once_path(p, fn, env_off=False, times=None, reps=5):
         import os as _os
 
         if env_off:
             _os.environ["DPQ_NO_PRUNE"] = "1"
         try:
             best = float("inf")
-            for _ in range(3):
+            for _ in range(reps):
+                time.sleep(0.05)
                 t0 = time.time()
                 fn(ScanEngine(str(p)))
-                best = min(best, time.time() - t0)
+                dt = time.time() - t0
+                if times is not None:
+                    times.append(dt)
+                best = min(best, dt)
             return best
         finally:
             if env_off:
                 _os.environ.pop("DPQ_NO_PRUNE", None)
 
-    def cold_once(fn):
-        return cold_once_path(path, fn)
+    def cold_once(fn, times=None, reps=5):
+        return cold_once_path(path, fn, times=times, reps=reps)
 
-    t_cold = cold_once(lambda e: e.cold_scan("l_comment", PATTERN))
+    cold_ts: list = []
+    t_cold = cold_once(lambda e: e.cold_scan("l_comment", PATTERN),
+                       times=cold_ts)
     out["scan_cold_e2e_rows_per_s"] = total / t_cold
+    _host_band(out, "scan_cold_one_shot", cold_ts, total)
     log(f"cold one-shot (fused native): {total/t_cold:.3g} rows/s "
         f"({t_cold*1000:.0f} ms)")
-    t_cold_dev = cold_once(lambda e: e.scan_streaming("l_comment", PATTERN))
+    t_cold_dev = cold_once(lambda e: e.scan_streaming("l_comment", PATTERN),
+                           reps=3)
     out["scan_cold_device_rows_per_s"] = total / t_cold_dev
     log(f"cold one-shot (streamed device): {total/t_cold_dev:.3g} rows/s "
         f"({t_cold_dev*1000:.0f} ms)")
@@ -729,12 +790,14 @@ def bench_engine(path: Path, reps: int) -> dict:
     # whose [min,max] cannot hold the prefix — before any decode.
     spath = gen_sorted_fixture(out["rows"])
     t_np = cold_once_path(spath, lambda e: e.cold_scan(
-        "s_key", "^user_0009", exact_counts=True), env_off=True)
+        "s_key", "^user_0009", exact_counts=True), env_off=True, reps=3)
+    prune_ts: list = []
     t_pr = cold_once_path(spath, lambda e: e.cold_scan(
-        "s_key", "^user_0009", exact_counts=True))
+        "s_key", "^user_0009", exact_counts=True), times=prune_ts)
     rp = ScanEngine(str(spath)).cold_scan("s_key", "^user_0009",
                                           exact_counts=True)
     out["scan_stats_prune_rows_per_s"] = total / t_pr
+    _host_band(out, "scan_stats_prune", prune_ts, total)
     out["scan_stats_prune_decomp"] = {
         "pages_skipped": int(rp.stats_pruned_pages),
         "n_pages": int(len(rp.page_gid)),
@@ -755,16 +818,21 @@ def bench_engine(path: Path, reps: int) -> dict:
                ("l_tax", "read_column_f64opt_rows_per_s"),
                ("l_comment", "read_column_strings_rows_per_s"))
     rc_best = {key: float("inf") for _, key in rc_cols}
+    rc_times = {key: [] for _, key in rc_cols}
     rc_len = {}
     for rnd in range(6):
         for col, key in rc_cols:
             time.sleep(0.08)
             t0 = time.time()
             c = reader.read_column(col)
-            rc_best[key] = min(rc_best[key], time.time() - t0)
+            dt = time.time() - t0
+            rc_times[key].append(dt)
+            rc_best[key] = min(rc_best[key], dt)
             rc_len[key] = len(c)
     for col, key in rc_cols:
         out[key] = rc_len[key] / rc_best[key]
+        _host_band(out, key.replace("_rows_per_s", ""), rc_times[key],
+                   rc_len[key])
         log(f"read_column {col}: {out[key]:.3g} rows/s "
             f"({rc_best[key]*1000:.0f} ms)")
 
@@ -772,12 +840,16 @@ def bench_engine(path: Path, reps: int) -> dict:
     from duckdb_parquet_parser_tpu.ops.index import build_index_for_column
 
     best_idx = float("inf")
+    idx_ts: list = []
     for _ in range(9):
         time.sleep(0.05)
         t0 = time.time()
         cidx = build_index_for_column(reader, "l_comment")
-        best_idx = min(best_idx, time.time() - t0)
+        dt = time.time() - t0
+        idx_ts.append(dt)
+        best_idx = min(best_idx, dt)
     out["index_build_rows_per_s"] = cidx.num_rows / best_idx
+    _host_band(out, "index_build", idx_ts, cidx.num_rows)
     out["index_chunks"] = cidx.num_chunks
     log(f"index build: {out['index_build_rows_per_s']:.3g} rows/s "
         f"({best_idx*1000:.0f} ms, {cidx.num_chunks} chunks)")
@@ -805,6 +877,7 @@ def bench_engine(path: Path, reps: int) -> dict:
 
     _, marg_dec = _marginal(make_dec, (core2, planes2), reps_hi=1 + reps)
     out["decode_f64opt_rows_per_s"] = total / marg_dec
+    _band(out, "decode_f64opt", total)
     out["decode_f64opt_gb_per_s"] = total * 8 / marg_dec / 1e9
     log(f"decode f64-optional: {out['decode_f64opt_rows_per_s']:.3g} rows/s "
         f"({out['decode_f64opt_gb_per_s']:.2f} GB/s, marginal {marg_dec*1000:.1f} ms)")
@@ -838,6 +911,7 @@ def bench_engine(path: Path, reps: int) -> dict:
     _, marg_dict = _marginal(make_dict, (core_d, dplanes, dpp),
                              reps_hi=1 + reps)
     out["decode_dict_rows_per_s"] = total_d / marg_dict
+    _band(out, "decode_dict", total_d)
     log(f"decode dict-heavy (DN=100): {out['decode_dict_rows_per_s']:.3g} "
         f"rows/s (marginal {marg_dict*1000:.1f} ms)")
 
@@ -882,6 +956,7 @@ def bench_engine(path: Path, reps: int) -> dict:
 
     _, marg_ds = _marginal(make_dscan, (core_s, dm_d), reps_hi=1 + reps)
     out["scan_dict_strings_rows_per_s"] = total_s / marg_ds
+    _band(out, "scan_dict_strings", total_s)
     log(f"scan dict strings ({dict_pat!r}, DN={int(bs.dims.get('dict_n', 0))}): "
         f"{out['scan_dict_strings_rows_per_s']:.3g} rows/s "
         f"(marginal {marg_ds*1000:.1f} ms)")
