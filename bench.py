@@ -40,6 +40,8 @@ PATTERN = "special.*requests"  # TPC-H Q13-style filter
 PATTERN_GENERAL = "spe[cs]ial.*requ[ea]sts"  # classes: bit-parallel NFA path
 PATTERN_ALT = "carefully|quickly|special"   # alternation: packed registers
 PATTERN_WIDE = "[a-z ]{30,45}requests"      # 53 positions: carry-chained regs
+PATTERN_INTERIOR = "carefully[a-z ]{32,}requests"  # interior run -> anchored
+                                            # counter (_collapse_interior_runs)
 
 
 def log(*a):
@@ -470,6 +472,16 @@ def bench_engine(path: Path, reps: int) -> dict:
     log(f"scan wide {PATTERN_WIDE!r}: {total/marg_wide:.3g} rows/s "
         f"(marginal {marg_wide*1000:.1f} ms)")
 
+    # INTERIOR counted run (prefix register -> anchored counter -> suffix):
+    # the round-5 _collapse_interior_runs family — `a[0-9]{200}b`-class
+    # patterns that previously fell off to the MXU DFA
+    _, marg_int = _marginal(make_scan_for(PATTERN_INTERIOR), (pd, pld, nnd),
+                            reps_hi=1 + reps)
+    out["scan_interior_run_rows_per_s"] = total / marg_int
+    _band(out, "scan_interior_run", total)
+    log(f"scan interior-run {PATTERN_INTERIOR!r}: {total/marg_int:.3g} rows/s "
+        f"(marginal {marg_int*1000:.1f} ms)")
+
     # fused multi-pattern serving (ResidentColumn.scan_many): K patterns
     # ride one payload walk — stream + boundary control amortize
     from duckdb_parquet_parser_tpu.ops.strings import match_payload_multi
@@ -628,7 +640,8 @@ def bench_engine(path: Path, reps: int) -> dict:
     if pallas_ok:
         for pat, key in ((PATTERN_GENERAL, "scan_general_rows_per_s"),
                          (PATTERN_ALT, "scan_alternation_rows_per_s"),
-                         (PATTERN_WIDE, "scan_wide_rows_per_s")):
+                         (PATTERN_WIDE, "scan_wide_rows_per_s"),
+                         (PATTERN_INTERIOR, "scan_interior_run_rows_per_s")):
             _, marg_pf = _marginal(make_pallas(pat), (tiled, pld, nnd),
                                    reps_hi=1 + reps)
             rate = total / marg_pf

@@ -54,12 +54,16 @@ MAX_POSITIONS = 31     # positions per register (int32 bits 0..30)
 MAX_WIDE_REGS = 4      # registers a single WIDE segment may span (carry-chained)
 MAX_COUNTED = 1 << 16  # {m,n} token-expansion sanity cap per atom.  The REAL
                        # register bound (MAX_POSITIONS * MAX_WIDE_REGS = 124
-                       # positions per segment) is enforced AFTER
-                       # _collapse_lead_runs in compile_bitprog — a LEADING
-                       # same-class {m,n} of any size collapses to a counter
-                       # register, so 'x{500}' / '[a-z]{2000}q' compile while
-                       # 'q[ab]{500}z' still raises (mid-segment runs keep
-                       # their shift-ladder positions)
+                       # positions per segment) is enforced AFTER the run
+                       # collapses in compile_bitprog — a LEADING same-class
+                       # {m,n} of any size becomes a streak counter
+                       # (_collapse_lead_runs), and an INTERIOR one becomes
+                       # an ANCHORED counter (_collapse_interior_runs), so
+                       # 'x{500}', '[a-z]{2000}q', 'a[0-9]{200}b' and
+                       # 'q[ab]{500,}z' all compile.  Still raising: bounded
+                       # interior runs whose prefix shares the run class
+                       # ('a[ab]{200}c' — the counter can't tell anchor age)
+                       # past 124 positions
 
 
 class BitprogUnsupported(UnsupportedPattern):
@@ -210,6 +214,10 @@ class Machine:
     lead_run: tuple | None = None  # (cls, mand, sticky): leading same-class
                              # position run collapsed to a saturating counter
                              # (_collapse_lead_runs); segments hold the residual
+    mid_run: tuple | None = None   # (cls, mand, cap, bounded): INTERIOR
+                             # same-class run collapsed to an anchored counter
+                             # (_collapse_interior_runs); segments then hold
+                             # [prefix] or [prefix, suffix]
 
 
 def _as_class(node) -> frozenset | None:
@@ -424,6 +432,89 @@ def _collapse_lead_runs(machines: list[Machine]) -> None:
         m.segments = residual
 
 
+def _collapse_interior_runs(machines: list[Machine]) -> None:
+    """Collapse a long INTERIOR same-class position run into an ANCHORED
+    saturating counter (Machine.mid_run) — `a[0-9]{200}b` compiles without
+    the MXU DFA fallback.
+
+    Model: the machine's single segment splits into PREFIX | RUN | SUFFIX.
+    The prefix is an ordinary (sub-31-position) register whose accept bit
+    p_t = "prefix ends at byte t" anchors the counter; the counter tracks
+    the run-class streak since its anchor; the suffix register is seeded
+    from the counter window, exactly like the lead-run residual.
+
+    Soundness:
+      * unbounded runs ({m,}): the counter keeps the EARLIEST anchor alive
+        through the streak (later p-events inside the streak are redundant
+        — a longer streak-suffix always contains an acceptable one), so
+        seed = (streak since earliest anchor) >= mand is exact.
+      * bounded runs ({m,u}): exactness needs the anchor age, which a
+        single counter only knows when anchors can occur ONLY at streak
+        starts — guaranteed when every class that can END the prefix (its
+        last required position + trailing optionals = the acc_mask
+        positions) is DISJOINT from the run class: a p-event byte is then
+        never a run-class byte, so each streak has at most one anchor and
+        the streak length IS the age.  Non-disjoint bounded runs keep
+        their registers (and fall back to the DFA past 124 positions).
+
+    Within one same-class run the ORDER of required/optional positions is
+    irrelevant (the acceptable consume-counts are [mand, n_positions] — or
+    [mand, inf) with a STAR/PLUS) so mixed shapes like `[0-9]{3}[0-9]*`
+    collapse too."""
+    for m in machines:
+        if m.lead_run is not None or m.always or m.anch_s:
+            continue
+        if len(m.segments) != 1:
+            continue
+        seg = m.segments[0]
+        n = len(seg.cls)
+        best = None  # (length, i, j) of the longest same-class run
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and seg.cls[j] == seg.cls[i]:
+                j += 1
+            if best is None or j - i > best[0]:
+                best = (j - i, i, j)
+            i = j
+        if best is None or best[0] <= MAX_POSITIONS:
+            continue  # short runs: plain registers are cheaper
+        _, i, j = best
+        if i == 0:
+            continue  # leading run: _collapse_lead_runs territory
+        run_cls = seg.cls[i]
+        runq = seg.quant[i:j]
+        mand = sum(1 for q in runq if q in (Q_ONE, Q_PLUS))
+        if mand < 1:
+            continue  # all-optional run: acceptance may skip it entirely
+        unbounded = any(q in (Q_STAR, Q_PLUS) for q in runq)
+        cap = 0 if unbounded else (j - i)
+        pre_cls, pre_q = seg.cls[:i], seg.quant[:i]
+        suf_cls, suf_q = seg.cls[j:], seg.quant[j:]
+        if len(pre_cls) > MAX_POSITIONS or len(suf_cls) > MAX_POSITIONS:
+            continue  # v1: prefix/suffix must each fit one register
+        if not any(q in (Q_ONE, Q_PLUS) for q in pre_q):
+            continue  # prefix must consume >= 1 byte (p is a register bit)
+        if suf_cls and not any(q in (Q_ONE, Q_PLUS) for q in suf_q):
+            continue  # would need counter-OR-register accepts — rare shape
+        if not unbounded:
+            k = len(pre_cls) - 1
+            ok = True
+            while k >= 0:
+                if pre_cls[k] & run_cls:
+                    ok = False
+                    break
+                if pre_q[k] in (Q_ONE, Q_PLUS):
+                    break
+                k -= 1
+            if not ok:
+                continue  # bounded + shared classes: age would be ambiguous
+        m.mid_run = (run_cls, mand, cap, not unbounded)
+        m.segments = [Segment(cls=pre_cls, quant=pre_q)]
+        if suf_cls:
+            m.segments.append(Segment(cls=suf_cls, quant=suf_q))
+
+
 @dataclass
 class BitProgram:
     machines: list            # list[Machine]
@@ -442,6 +533,7 @@ class BitProgram:
         return sum(
             sum(-(-len(s.cls) // MAX_POSITIONS) for s in m.segments) + 1
             + (2 if m.lead_run else 0)
+            + (1 if m.mid_run else 0)  # the anchored counter word
             for m in self.machines
         ) + 1
 
@@ -480,6 +572,7 @@ def compile_bitprog(pattern: str) -> BitProgram:
         kept.append(m)
     machines = [] if always else kept
     _collapse_lead_runs(machines)
+    _collapse_interior_runs(machines)
     for m in machines:
         for s in m.segments:
             if len(s.cls) > MAX_POSITIONS * MAX_WIDE_REGS:
@@ -490,6 +583,9 @@ def compile_bitprog(pattern: str) -> BitProgram:
             m.anch_e,
             (None if m.lead_run is None
              else (tuple(sorted(m.lead_run[0])), m.lead_run[1], m.lead_run[2])),
+            (None if m.mid_run is None
+             else (tuple(sorted(m.mid_run[0])), m.mid_run[1], m.mid_run[2],
+                   m.mid_run[3])),
             tuple(
                 tuple(
                     (tuple(sorted(c)), q)
@@ -755,6 +851,21 @@ class _CountedMachine:
 
 
 @dataclass
+class _MidRunMachine:
+    """Interior-run counter machine (Machine.mid_run,
+    _collapse_interior_runs): prefix register -> anchored counter ->
+    optional suffix register."""
+
+    pre: object            # _SegConsts of the prefix (start-seeded normally)
+    run_cid: int | None    # specs index of the run class; None = ANY
+    mand: int              # minimum run length
+    cap: int               # maximum run length (bounded mode; 0 otherwise)
+    bounded: bool
+    suf: object | None     # _SegConsts of the suffix (counter-seeded) | None
+    anch_e: bool
+
+
+@dataclass
 class _Compiled:
     """Register-compile stage shared by the per-byte and pair emitters."""
 
@@ -770,6 +881,8 @@ class _Compiled:
     n_regs: int
     counted: list = field(default_factory=list)        # _CountedMachine
     counted_plans: list = field(default_factory=list)  # _MaskPlan | None
+    midrun: list = field(default_factory=list)         # _MidRunMachine
+    midrun_plans: list = field(default_factory=list)   # (pre, suf|None)
 
 
 def _compile_registers(prog: BitProgram) -> _Compiled:
@@ -781,8 +894,27 @@ def _compile_registers(prog: BitProgram) -> _Compiled:
     chained = []  # per oversized machine: ([[chunk consts] per seg], anch_e)
     needs_marker = any(m.anch_s for m in prog.machines)
     counted: list[_CountedMachine] = []
+    midrun: list[_MidRunMachine] = []
 
     for m in prog.machines:
+        if m.mid_run is not None:
+            run_cls, mand, cap, bounded = m.mid_run
+            if run_cls == ANY:
+                rcid = None
+            else:
+                if run_cls not in class_ids:
+                    class_ids[run_cls] = len(specs)
+                    specs.append(_intervals(run_cls))
+                rcid = class_ids[run_cls]
+            pre_sc = _seg_consts(m.segments[0], 0)
+            suf_sc = None
+            if len(m.segments) > 1:
+                suf_sc = _seg_consts(m.segments[1], 0)
+                suf_sc.start_mask = 0  # seeded by the counter, never freely
+            midrun.append(
+                _MidRunMachine(pre_sc, rcid, mand, cap, bounded, suf_sc,
+                               m.anch_e))
+            continue
         if m.lead_run is not None:
             run_cls, mand, sticky = m.lead_run
             if run_cls == ANY:
@@ -865,11 +997,18 @@ def _compile_registers(prog: BitProgram) -> _Compiled:
         _mask_plan(e.res[0], class_ids, specs) if e.res is not None else None
         for e in counted
     ]
+    midrun_plans = [
+        (_mask_plan(e.pre, class_ids, specs),
+         _mask_plan(e.suf, class_ids, specs) if e.suf is not None else None)
+        for e in midrun
+    ]
     bit_planes = sorted({
         k
         for plan in (packed_plans + fused_plans
                      + [p for seg in chained_plans for ch in seg for p in ch]
-                     + [p for p in counted_plans if p is not None])
+                     + [p for p in counted_plans if p is not None]
+                     + [p for pair in midrun_plans for p in pair
+                        if p is not None])
         if plan.bslice is not None
         for k, _, _ in plan.bslice[3]
     })
@@ -884,10 +1023,13 @@ def _compile_registers(prog: BitProgram) -> _Compiled:
               + sum(sum(len(ch) for ch in s) + 1 for s, _ in chained)
               + sum(3 if e.res is not None else (1 if e.anch_e else 2)
                     for e in counted)
+              + sum(2 + (1 if e.suf is not None else 0)
+                    + (0 if e.anch_e else 1)
+                    for e in midrun)
               + (1 if needs_marker else 0))
     return _Compiled(packed, fused, chained, packed_plans, fused_plans,
                      chained_plans, specs, bit_planes, needs_marker, n_regs,
-                     counted, counted_plans)
+                     counted, counted_plans, midrun, midrun_plans)
 
 
 def make_bitprog_transition(xp, prog: BitProgram):
@@ -932,6 +1074,7 @@ def make_bitprog_transition(xp, prog: BitProgram):
     packed_plans, fused_plans = cp.packed_plans, cp.fused_plans
     chained_plans = cp.chained_plans
     counted, counted_plans = cp.counted, cp.counted_plans
+    midrun, midrun_plans = cp.midrun, cp.midrun_plans
     specs, bit_planes = cp.specs, cp.bit_planes
     needs_marker, n_regs = cp.needs_marker, cp.n_regs
 
@@ -1149,6 +1292,56 @@ def make_bitprog_transition(xp, prog: BitProgram):
                    else ((new_done >> len(seg_accs)) & 1))
             new_state.append(reg)
             new_state.append(new_done)
+        for ent, (pre_plan, suf_plan) in zip(midrun, midrun_plans):
+            # interior-run counter machine: prefix register -> anchored
+            # counter -> suffix register (_collapse_interior_runs).  All
+            # three pieces read LAST byte's state, so their updates are
+            # independent dataflow within the step:
+            #   p_prev  = prefix accept through the PREVIOUS byte
+            #   counter = run-class streak since its anchor (0 = inactive);
+            #             saturates at cap+1 (bounded: counts past the
+            #             window disable the seed) or mand (unbounded)
+            #   suffix  = seeded from the LIVE counter window, exactly like
+            #             the lead-run residual
+            pre_reg = state[reg_at]
+            cnt = state[reg_at + 1]
+            reg_at += 2
+            p_prev = ((pre_reg & ent.pre.acc_mask) != 0).astype(xp.int32)
+            hit_now = None
+            new_suf = None
+            if ent.suf is not None:
+                seed_ok = cnt >= ent.mand
+                if ent.bounded:
+                    seed_ok = seed_ok & (cnt <= ent.cap)
+                suf_old = state[reg_at]
+                reg_at += 1
+                sreg, _ = advance(ent.suf, suf_plan, suf_old,
+                                  seed_ok.astype(xp.int32))
+                hit_now = ((sreg & ent.suf.acc_mask) != 0).astype(xp.int32)
+                new_suf = sreg
+            cap_sat = (ent.cap + 1) if ent.bounded else ent.mand
+            inc = cnt + (cnt < cap_sat).astype(xp.int32)
+            active = xp.where(cnt > 0, inc, p_prev)
+            new_cnt = (active if ent.run_cid is None
+                       else xp.where(tests[ent.run_cid], active, 0))
+            if ent.suf is None:
+                ok = new_cnt >= ent.mand
+                if ent.bounded:
+                    ok = ok & (new_cnt <= ent.cap)
+                hit_now = ok.astype(xp.int32)
+            new_pre, _ = advance(ent.pre, pre_plan, pre_reg,
+                                 ent.pre.start_mask)
+            new_state.append(new_pre)
+            new_state.append(new_cnt)
+            if new_suf is not None:
+                new_state.append(new_suf)
+            if ent.anch_e:
+                acc_or(hit_now)
+            else:
+                stick = state[reg_at] | hit_now
+                reg_at += 1
+                new_state.append(stick)
+                acc_or(stick)
 
         if needs_marker:
             new_state.append(xp.ones_like(c))
@@ -1189,7 +1382,7 @@ def pair_supported(prog: BitProgram) -> bool:
     no optional positions — the family `make_bitprog_transition_pair`
     covers."""
     for m in prog.machines:
-        if m.lead_run is not None:
+        if m.lead_run is not None or m.mid_run is not None:
             return False          # counter machines: per-byte only
         total = sum(len(s.cls) for s in m.segments)
         if total > MAX_POSITIONS:

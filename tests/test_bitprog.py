@@ -48,13 +48,21 @@ SUPPORTED = [
     "^a?.*bc", "bc.*a?$", "^[ab]{1,2}q$", "^aq|bx$", "^x+y*z$",
     "^abcdefgabcdefgabq.*cdefgabcdefgqxyz$",
     "^a{40}$", "^x{40}y{40}",     # anchored wide segments
+    # INTERIOR counted runs -> anchored counter (_collapse_interior_runs)
+    "qx{40}z",                    # bounded exact, disjoint prefix
+    "q[0-9]{33,45}z",             # bounded range
+    "ky{38,}w",                   # unbounded
+    "q[ab]{35}",                  # suffix-empty bounded
+    "ab?x{40}c",                  # optional prefix tail (still disjoint)
+    "qx{40}z$",                   # end-anchored suffix
 ]
 
 UNSUPPORTED = [
     "(ab)*x",          # unbounded multi-byte repeat
     "aa|bb|cc|dd|ee|ff|gg|hh|ii|jj|kk|ll|mm|nn|oo|pp|qq",  # > MAX_MACHINES
-    "qx{140}z",        # MID-segment 140-run: > MAX_POSITIONS * MAX_WIDE_REGS
-    "q" + "a" * 130,   # segment > MAX_POSITIONS * MAX_WIDE_REGS (non-leading)
+    "a[ab]{200}c",     # bounded interior run, prefix class NOT disjoint
+                       # (counter age would be ambiguous) -> > 124 positions
+    "x[bx]{140}",      # same, suffix-empty ('x' can re-anchor mid-streak)
     "x{99999}",        # beyond the token-expansion sanity cap
     "a?^b",            # anchor adjacent to an optional (positional)
     "^a?$",            # empty-matching branch pinned by both anchors
@@ -665,3 +673,90 @@ def test_lead_run_lifts_counted_limit():
             np, pm, np.array([len(buf)], np.int32),
             np.array([len(vals)], np.int32), None, None, prog=prog)
         assert int(h[0]) == want and int(seen[0]) == len(vals), pat
+
+
+# ── interior counted-run counter machines (_collapse_interior_runs) ─────────
+
+INTERIOR_RUN_PATTERNS = [
+    "a[0-9]{40}b",        # bounded exact, disjoint prefix class
+    "a[0-9]{40,60}b",     # bounded range
+    "xy[0-9]{35,}z",      # unbounded
+    "q[a-f]{32,40}",      # suffix-empty bounded
+    "[a-z][0-9]{33,}",    # class prefix, suffix-empty unbounded
+    "ab?[0-9]{40}c",      # optional in the prefix tail (classes disjoint)
+    "k[0-9]{38}[0-9]",    # suffix shares the run class (allowed)
+    "no[0-9]{32}pe$",     # end-anchored suffix
+    "a[0-9]{200}b",       # far past MAX_POSITIONS * MAX_WIDE_REGS
+    "q[ab]{500,}z",       # unbounded long run
+]
+
+
+def test_interior_run_collapses():
+    for pattern in INTERIOR_RUN_PATTERNS:
+        prog = compile_bitprog(pattern)
+        assert any(m.mid_run is not None for m in prog.machines), pattern
+
+
+def test_interior_run_re_parity():
+    """Anchored-counter machines vs Python re on long random values —
+    lengths bracket every counter threshold (off-by-one hunting)."""
+    import random
+    import re
+
+    random.seed(17)
+    vals = []
+    for _ in range(300):
+        n = random.randint(0, 260)
+        vals.append("".join(
+            random.choice("abcxyzq0123456789kpenof") for _ in range(n)))
+    for k in (31, 32, 33, 38, 39, 40, 41, 59, 60, 61, 199, 200, 201,
+              499, 500, 501):
+        for pre, mid, post in (("a", "7", "b"), ("xy", "1", "z"),
+                               ("ab", "9", "c"), ("k", "5", ""),
+                               ("no", "3", "pe"), ("no", "3", "pex"),
+                               ("q", "a", "z"), ("q", "ab", "z")):
+            vals.append(pre + mid * k + post)
+    for pattern in INTERIOR_RUN_PATTERNS:
+        prog = compile_bitprog(pattern)
+        trans, n_regs, acc_empty = make_bitprog_transition(np, prog)
+        for v in vals:
+            bs = v.encode()
+            state = tuple(np.zeros(1, np.int32) for _ in range(n_regs))
+            a = np.zeros(1, np.int32)
+            for b in bs:
+                state, a = trans(state, np.array([b], np.int32))
+            got = bool(a[0]) if bs else bool(acc_empty)
+            want = bool(re.search(pattern, v))
+            assert got == want, (pattern, v[:80], got, want)
+
+
+def test_interior_run_stream_parity():
+    """Counter machines through match_payload_stream (value boundaries,
+    truncation, empty values) and the Pallas interpret kernel."""
+    import jax.numpy as jnp
+
+    from duckdb_parquet_parser_tpu.ops.pallas.stream_matcher import (
+        match_stream_pallas,
+    )
+
+    rng = np.random.default_rng(23)
+    # long values so >31-byte runs actually occur
+    pm, pl_, nn = _pages(rng, n_pages=80, vals_per_page=3, maxlen=90,
+                         alphabet=b"aq0123456789bz")
+    for pattern in ["a[0-9]{34}b", "q[0-9]{32,50}z", "a[0-9]{33,}"]:
+        prog = compile_bitprog(pattern)
+        dfa = compile_pattern(pattern)
+        h_dfa, s_dfa = match_payload_stream(np, pm, pl_, nn, dfa.table,
+                                            dfa.accept)
+        h_bp, s_bp = match_payload_stream(np, pm, pl_, nn, None, None,
+                                          prog=prog)
+        np.testing.assert_array_equal(h_bp, h_dfa, err_msg=pattern)
+        np.testing.assert_array_equal(s_bp, s_dfa, err_msg=pattern)
+        h_pl, s_pl = match_stream_pallas(jnp.asarray(pm.T), pl_, nn,
+                                         pattern, max_steps=pm.shape[1],
+                                         lane_tile=128, inner=8,
+                                         interpret=True)
+        np.testing.assert_array_equal(np.asarray(h_pl), h_dfa,
+                                      err_msg=pattern)
+        np.testing.assert_array_equal(np.asarray(s_pl), s_dfa,
+                                      err_msg=pattern)
