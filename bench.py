@@ -973,6 +973,46 @@ def bench_engine(path: Path, reps: int) -> dict:
     log(f"scan dict strings ({dict_pat!r}, DN={int(bs.dims.get('dict_n', 0))}): "
         f"{out['scan_dict_strings_rows_per_s']:.3g} rows/s "
         f"(marginal {marg_ds*1000:.1f} ms)")
+
+    # ── selective dict pattern: all-miss short-circuit (cold path) ──────────
+    # A positive pattern matching ZERO dictionary entries skips the per-page
+    # index-run walk entirely (dpq_scan.hpp round 5); DPQ_NO_DICT_SKIP=1 is
+    # the A/B control.
+    sel_pat = "zurich"  # matches no city
+    def cold_dict(env_off):
+        import os as _os
+        if env_off:
+            _os.environ["DPQ_NO_DICT_SKIP"] = "1"
+        try:
+            best, ts = float("inf"), []
+            for _ in range(5):
+                time.sleep(0.05)
+                t0 = time.time()
+                ScanEngine(str(spath)).cold_scan("city", sel_pat)
+                dt = time.time() - t0
+                ts.append(dt)
+                best = min(best, dt)
+            return best, ts
+        finally:
+            if env_off:
+                _os.environ.pop("DPQ_NO_DICT_SKIP", None)
+    t_walk, _ = cold_dict(True)
+    t_skip, skip_ts = cold_dict(False)
+    res_sel = ScanEngine(str(spath)).cold_scan("city", sel_pat)
+    out["scan_dict_selective_rows_per_s"] = total_s / t_skip
+    _host_band(out, "scan_dict_selective", skip_ts, total_s)
+    out["scan_dict_selective_decomp"] = {
+        "pages_skipped": int(res_sel.dict_skipped_pages),
+        "n_pages": int(len(res_sel.page_gid)),
+        "walk_ms": round(t_walk * 1000, 1),
+        "skip_ms": round(t_skip * 1000, 1),
+        "speedup": round(t_walk / max(t_skip, 1e-9), 2),
+    }
+    log(f"selective dict cold scan ({sel_pat!r}): "
+        f"{out['scan_dict_selective_rows_per_s']:.3g} rows/s "
+        f"({t_skip*1000:.1f} ms skip vs {t_walk*1000:.1f} ms walk; "
+        f"{res_sel.dict_skipped_pages}/{len(res_sel.page_gid)} pages "
+        f"short-circuited)")
     return out
 
 

@@ -511,6 +511,7 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
   std::atomic<int64_t> ns_def{0}, ns_sweep{0}, ns_walk{0};
   std::atomic<int64_t> n_screened{0}, n_walked{0}, n_vals{0};
   std::atomic<int64_t> n_stats_pruned{0};  // pages skipped via ColumnIndex
+  std::atomic<int64_t> n_dict_skipped{0};  // all-miss dict short-circuits
   auto tick = [] { return std::chrono::steady_clock::now(); };
   auto lap = [&](std::atomic<int64_t>& acc, auto t0) {
     acc += std::chrono::duration_cast<std::chrono::nanoseconds>(tick() - t0)
@@ -548,6 +549,7 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
     // per-row-group dictionary accepts (pre-negation) — one match per entry
     std::vector<uint8_t> dict_acc;
     int32_t dict_n = 0;
+    bool dict_all_miss = false;  // positive pattern, zero accepted entries
 
     // ── Page-Index stats pruning (anchored-prefix patterns) ──────────────
     // prune[k] (k = data-page ordinal in this chunk — ColumnIndex entry k IS
@@ -701,6 +703,51 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
       if (off < 0 || off + pr.size > span) throw Error("page outside chunk span");
       const uint8_t* d = chunk_ptr + off;
       size_t dlen = size_t(pr.size);
+      // CI null_counts replace the def decode (flat columns): nn is known
+      // without parsing the def section (also feeds the dict-miss skip).
+      const int64_t ci_ord = pr.gid - gid_base[size_t(j)];
+      const bool ci_nn_ok =
+          have_ci_nn && ci_ord >= 0 &&
+          ci_ord < int64_t(ci_null_counts.size()) &&
+          ci_null_counts[size_t(ci_ord)] >= 0 &&
+          ci_null_counts[size_t(ci_ord)] <= int64_t(pr.num_values);
+      // Dict-miss short-circuit, stage 1 (pre-decompress): a POSITIVE
+      // pattern matching ZERO dictionary entries cannot match any value of
+      // a dict-encoded page.  Soundness needs two facts without decoding:
+      // nn (CI null_counts) and that no index can be OUT-OF-RANGE — OOB
+      // indices decode as NULL (reference drops them silently,
+      // src/reader/column_reader.cpp:190-194) and would shrink the
+      // participating count below nn.  (1 << idx_bw) <= dict_n proves OOB
+      // impossible from the bit width alone; the width byte sits after the
+      // level sections, readable in place on UNCOMPRESSED pages.
+      // Compressed pages decompress first and take stage 2 below.
+      const bool enc_dict_hdr =
+          pr.encoding == E_PLAIN_DICTIONARY || pr.encoding == E_RLE_DICTIONARY;
+      if (dict_all_miss && enc_dict_hdr && !compressed && ci_nn_ok &&
+          (pr.kind == P_DATA || pr.kind == P_DATA_V2)) {
+        Cursor qc(d, dlen);
+        if (pr.kind == P_DATA_V2) {
+          qc.bytes(size_t(pr.v2_rep_len));
+          qc.bytes(size_t(pr.v2_def_len));
+        } else {
+          if (lf.max_rep > 0) {
+            uint32_t rl = qc.le<uint32_t>();
+            qc.bytes(rl);
+          }
+          if (lf.max_def > 0) {
+            uint32_t dl = qc.le<uint32_t>();
+            qc.bytes(dl);
+          }
+        }
+        const int bw = qc.left() ? int(qc.u8()) : 255;
+        if (bw < 31 && (int64_t(1) << bw) <= int64_t(dict_n)) {
+          n_dict_skipped++;
+          out.pages.push_back(
+              {pr.gid, 0,
+               int64_t(pr.num_values) - ci_null_counts[size_t(ci_ord)]});
+          continue;
+        }
+      }
       if (compressed && (pr.kind == P_DICTIONARY || pr.kind == P_DATA)) {
         dbuf.resize(size_t(std::max<int64_t>(pr.usize, 0)));
         codec_decompress(cm.codec, d, dlen, dbuf.data(), dbuf.size());
@@ -723,12 +770,20 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
         dict_acc.clear();
         dict_acc.reserve(size_t(pr.num_values));
         Cursor cur(d, dlen);
+        bool any_acc = false;
         for (int32_t i = 0; i < pr.num_values; i++) {
           uint32_t len = cur.le<uint32_t>();
           const uint8_t* p = cur.bytes(len);
-          dict_acc.push_back(cold_accept(pat, p, len) ? 1 : 0);
+          const bool a = cold_accept(pat, p, len);
+          any_acc |= a;
+          dict_acc.push_back(a ? 1 : 0);
         }
         dict_n = pr.num_values;
+        // negated patterns can match through NON-accepted entries, so the
+        // all-miss short-circuit is positive-only (DPQ_NO_DICT_SKIP=1
+        // forces the full walk — the bench A/B lane)
+        dict_all_miss = !pat.neg && dict_n > 0 && !any_acc &&
+                        !std::getenv("DPQ_NO_DICT_SKIP");
         continue;
       }
       const bool v2 = pr.kind == P_DATA_V2 && pr.num_values > 0;
@@ -736,14 +791,6 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
 
       Cursor cur(d, dlen);
       int64_t nn = pr.num_values;
-      // CI null_counts replace the def decode (flat columns): nn is known
-      // without parsing the def section, which is cursor-skipped instead.
-      const int64_t ci_ord = pr.gid - gid_base[size_t(j)];
-      const bool ci_nn_ok =
-          have_ci_nn && ci_ord >= 0 &&
-          ci_ord < int64_t(ci_null_counts.size()) &&
-          ci_null_counts[size_t(ci_ord)] >= 0 &&
-          ci_null_counts[size_t(ci_ord)] <= int64_t(pr.num_values);
       if (v2) {
         cur.bytes(size_t(pr.v2_rep_len));  // rep levels: ignored
         if (lf.max_def > 0 && ci_nn_ok) {
@@ -799,6 +846,16 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
 
       if (enc_dict) {
         int idx_bw = cur.u8();
+        // Dict-miss short-circuit, stage 2 (post-decompress): the width
+        // check proves no OOB index is expressible, so the participating
+        // count is exactly nn and zero accepted entries means zero
+        // matches — the index-run walk drops out.
+        if (dict_all_miss && idx_bw < 31 &&
+            (int64_t(1) << idx_bw) <= int64_t(dict_n)) {
+          n_dict_skipped++;
+          out.pages.push_back({pr.gid, 0, nn});
+          continue;
+        }
         int64_t vlen = int64_t(cur.left());
         const uint8_t* vp = cur.bytes(size_t(vlen));
         runs.clear();
@@ -1217,6 +1274,7 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
   auto store = std::make_unique<ArrayStore>();
   store->dims["n_pages"] = n_pages;
   store->dims["stats_pruned_pages"] = n_stats_pruned.load();
+  store->dims["dict_skipped_pages"] = n_dict_skipped.load();
   auto* a_gid = store->alloc<int64_t>("page_gid", {n_pages});
   auto* a_cnt = store->alloc<int64_t>("match_counts", {n_pages});
   auto* a_val = store->alloc<int64_t>("value_counts", {n_pages});

@@ -506,6 +506,7 @@ def cold_scan(
         value_counts=arrays["value_counts"].copy(),
     )
     res.stats_pruned_pages = int(_dims.get("stats_pruned_pages", 0))
+    res.dict_skipped_pages = int(_dims.get("dict_skipped_pages", 0))
     return res
 
 

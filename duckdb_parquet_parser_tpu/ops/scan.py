@@ -112,6 +112,7 @@ class PageMatchResult:
     # pages skipped via ColumnIndex min/max before any decode (cold path
     # only; 0 when stats pruning did not apply)
     stats_pruned_pages: int = 0
+    dict_skipped_pages: int = 0  # all-miss dict short-circuits (cold scan)
 
     def pruned_pages(self) -> np.ndarray:
         """Global ids of pages with NO accepted values (the reported set)."""

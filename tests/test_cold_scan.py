@@ -193,3 +193,122 @@ def test_resident_bucketed_scan_parity(dict_file, plain_file, monkeypatch):
             np.testing.assert_array_equal(got.match_counts, golden.match_counts)
             np.testing.assert_array_equal(got.value_counts, golden.value_counts)
             np.testing.assert_array_equal(got.page_gid, golden.page_gid)
+
+
+# ── dict-miss short-circuit (round 5) ───────────────────────────────────────
+
+
+def _dict_file(tmp_path, n_unique, name, n=4000, null_p=0.1, rgs=2):
+    rng = np.random.default_rng(101)
+    return strings_file(tmp_path / name, rng, n=n,
+                        n_unique=n_unique, null_p=null_p, rgs=rgs)
+
+
+def test_dict_all_miss_short_circuit(tmp_path):
+    """A positive pattern matching zero dictionary entries skips the
+    index-run walk — same pages, counts, and values as the full walk —
+    but ONLY when (1 << idx_bw) <= dict_n proves OOB indices impossible."""
+    import os
+
+    from duckdb_parquet_parser_tpu.host.reader import ParquetReader
+
+    # dict_n == 8 (power of two): bw == 3 and 2^3 <= 8 -> skip engages
+    p8 = _dict_file(tmp_path, 8, "d8.parquet")
+    miss = "zz_nothing_matches"
+    res_skip = ScanEngine(p8).cold_scan("s", miss, exact_counts=True)
+    assert res_skip.dict_skipped_pages > 0
+    # forced full walk via a pattern that accepts one entry (no skip) has
+    # identical value_counts; and the indicator mode agrees too
+    os.environ["DPQ_NO_CI_NN"] = "1"  # also exercise the def-decode fall
+    try:
+        res_ind = ScanEngine(p8).cold_scan("s", miss)
+    finally:
+        os.environ.pop("DPQ_NO_CI_NN", None)
+    assert np.array_equal(res_skip.page_gid, res_ind.page_gid)
+    assert np.array_equal(res_skip.value_counts, res_ind.value_counts)
+    assert not res_skip.match_counts.any()
+    # cross-check against the device/prescan path (oracle for counts)
+    batch = ParquetReader(p8).prescan("s", pad_strings=8)
+    ref = scan_batch(batch, miss)
+    assert np.array_equal(np.asarray(res_ind.match_counts) > 0,
+                          np.asarray(ref.match_counts) > 0)
+
+    # dict_n == 5: bw == 3 but 2^3 > 5 -> OOB is EXPRESSIBLE, never skip
+    p5 = _dict_file(tmp_path, 5, "d5.parquet")
+    res5 = ScanEngine(p5).cold_scan("s", miss, exact_counts=True)
+    assert res5.dict_skipped_pages == 0
+
+
+def test_dict_all_miss_negation_never_skips(tmp_path):
+    """Negated patterns match THROUGH non-accepted entries — the all-miss
+    short-circuit must never engage."""
+    from duckdb_parquet_parser_tpu.models.scan import ScanEngine
+
+    p8 = _dict_file(tmp_path, 8, "dneg.parquet")
+    res = ScanEngine(p8).cold_scan("s", "zz_nothing", negate=True,
+                                   exact_counts=True)
+    assert res.dict_skipped_pages == 0
+    assert res.match_counts.sum() > 0  # every non-null value survives
+
+
+def test_dict_oob_page_never_skips(tmp_path):
+    """A page with a REAL out-of-range index: corrupt one RLE run value to
+    an index >= dict_n (expressible because 2^bw > dict_n) and check the
+    cold scan still walks it and drops the OOB values from the
+    participating count, exactly like the prescan path."""
+    from duckdb_parquet_parser_tpu.host.reader import ParquetReader
+    from duckdb_parquet_parser_tpu.host.schema import ParquetType
+    from duckdb_parquet_parser_tpu.host.writer import ColumnSpec, ParquetWriter
+
+    rng = np.random.default_rng(7)
+    path = str(tmp_path / "oob.parquet")
+    # 5 unique -> bw 3; one row group, no nulls -> def section all-ones RLE
+    w = ParquetWriter(path, [ColumnSpec("s", ParquetType.BYTE_ARRAY,
+                                        optional=True)],
+                      key_value={"pad": "x" * 512})
+    # runs of >= 4 repeats make the writer emit RLE idx runs (patchable
+    # value byte); 5 distinct entries -> bw 3, OOB expressible
+    uniq = [b"aaaa", b"bbbb", b"cccc", b"dddd", b"eeee"]
+    vals = [u for u in uniq for _ in range(40)]
+    w.write_row_group({"s": vals})
+    w.close()
+
+    r = ParquetReader(path)
+    batch = r.prescan("s", pad_strings=8)
+    assert int(batch.arrays["page_kind"][0]) == 1  # dict-encoded
+    bw = int(batch.arrays["page_idx_bw"][0])
+    assert (1 << bw) > 5  # OOB expressible
+    # locate the first data page's index section inside the FILE: data page
+    # payload = [u32 def_len][def RLE][bw byte][idx RLE runs]
+    import struct
+    e = r.page_index_entry(int(batch.arrays["page_gid"][0]))
+    raw = bytearray(open(path, "rb").read())
+    off = e.data_offset
+    def_len = struct.unpack_from("<I", raw, off)[0]
+    idx_at = off + 4 + def_len
+    assert raw[idx_at] == bw
+    # first idx run header: RLE run = varint(count << 1), then value byte.
+    # Patch the value byte to 7 (>= dict_n == 5) — a real OOB run.
+    hdr_at = idx_at + 1
+    assert raw[hdr_at] & 1 == 0, "expected an RLE run, got a literal group"
+    val_at = hdr_at + 1
+    while raw[val_at - 1] & 0x80:  # skip varint continuation bytes
+        val_at += 1
+    old = raw[val_at]
+    assert old < 5
+    raw[val_at] = 7
+    cpath = str(tmp_path / "oob_corrupt.parquet")
+    open(cpath, "wb").write(bytes(raw))
+
+    res = ScanEngine(cpath).cold_scan("s", "zz_nothing", exact_counts=True)
+    assert res.dict_skipped_pages == 0  # bw check forbids the skip
+    # oracle: the prescan/device path drops OOB values identically
+    ref = scan_batch(ParquetReader(cpath).prescan("s", pad_strings=8),
+                     "zz_nothing")
+    order = np.argsort(res.page_gid)
+    order_ref = np.argsort(ref.page_gid)
+    assert np.array_equal(res.value_counts[order],
+                          np.asarray(ref.value_counts)[order_ref])
+    # the corrupt run really removed participating values
+    full = ScanEngine(path).cold_scan("s", "zz_nothing", exact_counts=True)
+    assert res.value_counts.sum() < full.value_counts.sum()
