@@ -58,8 +58,8 @@ def _load() -> ct.CDLL:
     lib.dpq_cold_scan.argtypes = [
         ct.c_void_p, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32,
         ct.c_int32, ct.c_char_p, ct.c_void_p, ct.c_int32, ct.c_void_p,
-        ct.c_void_p, ct.c_int32, ct.c_char_p, ct.c_int32, ct.c_char_p,
-        ct.c_size_t,
+        ct.c_void_p, ct.c_int32, ct.c_char_p, ct.c_int32, ct.c_int32,
+        ct.c_char_p, ct.c_size_t,
     ]
     lib.dpq_cold_scan.restype = ct.c_void_p
     lib.dpq_batch_free.argtypes = [ct.c_void_p]
@@ -434,7 +434,7 @@ def native_cold_scan(
     h: int, leaf: int, rg0: int, rg1: int, *, negate: bool, exact: bool = True,
     needles: list[bytes] | None = None,
     table: np.ndarray | None = None, accept: np.ndarray | None = None,
-    prune_prefix: bytes | None = None,
+    prune_prefix: bytes | None = None, prune_exact: bool = False,
 ) -> tuple[dict, dict[str, np.ndarray]]:
     """Fused cold-path regex scan (see native/dpq_scan.hpp); returns
     (dims, {page_gid, match_counts, value_counts}).  exact=False turns
@@ -453,7 +453,7 @@ def native_cold_scan(
         b = lib().dpq_cold_scan(
             h, leaf, rg0, rg1, int(negate), int(exact), buf,
             lens.ctypes.data_as(ct.c_void_p), len(needles), None, None, 0,
-            pfx, pfx_len, err, _ERRCAP,
+            pfx, pfx_len, int(prune_exact), err, _ERRCAP,
         )
     else:
         t = np.ascontiguousarray(table, np.int32)
@@ -461,7 +461,7 @@ def native_cold_scan(
         b = lib().dpq_cold_scan(
             h, leaf, rg0, rg1, int(negate), int(exact), None, None, 0,
             t.ctypes.data_as(ct.c_void_p), a.ctypes.data_as(ct.c_void_p),
-            t.shape[0], pfx, pfx_len, err, _ERRCAP,
+            t.shape[0], pfx, pfx_len, int(prune_exact), err, _ERRCAP,
         )
     if not b:
         raise NativeError(err.value.decode("utf-8", "replace"))

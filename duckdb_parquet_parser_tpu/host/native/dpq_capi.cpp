@@ -254,14 +254,17 @@ void* dpq_cold_scan(void* h, int32_t leaf_idx, int32_t rg0, int32_t rg1,
                     const int32_t* needle_lens, int32_t n_needles,
                     const int32_t* table, const uint8_t* accept,
                     int32_t n_states, const uint8_t* prune_prefix,
-                    int32_t prefix_len, char* err, size_t errcap) {
+                    int32_t prefix_len, int32_t prune_exact, char* err,
+                    size_t errcap) {
   DPQ_TRY({
     ColdPattern pat;
     pat.neg = neg != 0;
     pat.exact = exact != 0;
-    if (prune_prefix && prefix_len > 0 && !pat.neg)
+    if (prune_prefix && prefix_len > 0 && !pat.neg) {
       pat.prune_prefix.assign(reinterpret_cast<const char*>(prune_prefix),
                               size_t(prefix_len));
+      pat.prune_exact = prune_exact != 0;
+    }
     size_t at = 0;
     for (int32_t i = 0; i < n_needles; i++) {
       pat.needles.emplace_back(reinterpret_cast<const char*>(needle_buf) + at,

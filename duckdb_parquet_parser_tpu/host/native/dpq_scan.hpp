@@ -61,6 +61,11 @@ struct ColdPattern {
   // caller must leave this empty under negation (a no-match page SURVIVES
   // a negated scan).
   std::string prune_prefix;
+  // prune_prefix is the WHOLE pattern's literal (`^lit$`, no metachars):
+  // matching values equal it exactly, so the prune range tightens from
+  // [prefix, next_prefix) to the single point [P, P] — pages holding only
+  // P-prefixed LONGER values prune too.
+  bool prune_exact = false;
 
   bool use_chain() const { return !needles.empty(); }
   bool accept_empty() const {
@@ -583,7 +588,13 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
         for (size_t k = 0; k < nk; k++) {
           if (k < ci_null_pages.size() && ci_null_pages[k])
             continue;  // all-null pages already skip matching (nn == 0)
-          if (ci_maxs[k] < P || (!Q.empty() && ci_mins[k] >= Q)) prune[k] = 1;
+          if (pat.prune_exact) {
+            // equality range [P, P]: sound under truncation (stored min is
+            // a LOWER bound, stored max an UPPER bound of the true range)
+            if (ci_maxs[k] < P || ci_mins[k] > P) prune[k] = 1;
+          } else if (ci_maxs[k] < P || (!Q.empty() && ci_mins[k] >= Q)) {
+            prune[k] = 1;
+          }
         }
         if (ci_null_counts.size() != nk) ci_null_counts.clear();
       }

@@ -457,6 +457,7 @@ def cold_scan(
     from ..host.schema import ParquetType
     from ..ops.regex import (
         anchored_literal_prefix,
+        exact_literal,
         like_to_regex,
         substring_chain,
     )
@@ -473,15 +474,23 @@ def cold_scan(
     # prefix lets the native walk skip pages whose ColumnIndex [min, max]
     # range cannot hold a prefix-P value — before any decode.  Never sound
     # under negation (a no-match page SURVIVES a negated scan).
+    # Exact literals (`^lit$`, no metachars) prune as the EQUALITY range
+    # [P, P] — tighter than the prefix range, which keeps pages that hold
+    # only P-prefixed longer values.
     prefix = None
+    prune_exact = False
     if not negate and not os.environ.get("DPQ_NO_PRUNE"):
-        prefix = anchored_literal_prefix(pat)
+        lit = exact_literal(pat)
+        if lit is not None:
+            prefix, prune_exact = lit, True
+        else:
+            prefix = anchored_literal_prefix(pat)
     try:
         if chain:
             _dims, arrays = bindings.native_cold_scan(
                 reader._h, reader.find_column(column), 0, -1,
                 negate=negate, exact=exact_counts, needles=chain,
-                prune_prefix=prefix,
+                prune_prefix=prefix, prune_exact=prune_exact,
             )
         else:
             try:
@@ -493,6 +502,7 @@ def cold_scan(
                 reader._h, reader.find_column(column), 0, -1,
                 negate=negate, exact=exact_counts, table=dfa.table,
                 accept=dfa.accept.astype(np.uint8), prune_prefix=prefix,
+                prune_exact=prune_exact,
             )
     except bindings.NativeError as e:
         if "unsupported value encoding" not in str(e):

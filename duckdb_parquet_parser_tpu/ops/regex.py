@@ -469,6 +469,37 @@ def anchored_literal_prefix(pattern: str) -> bytes | None:
     return bytes(out) if out else None
 
 
+def exact_literal(pattern: str) -> bytes | None:
+    """The literal L when the pattern is `^L$` with NO metacharacters —
+    i.e. it matches exactly the value L and nothing else.  This is the
+    EQUALITY stats-pruning hook: a page whose ColumnIndex range cannot
+    contain L itself (max < L or min > L) cannot match — strictly tighter
+    than the prefix range [L, next(L)) that `anchored_literal_prefix`
+    yields for the same pattern (which keeps pages holding L-prefixed
+    longer values).  Escaped literal chars (`\\.`) are fine; escape
+    classes (`\\d`), quantifiers, classes, groups, and alternations all
+    disqualify.  None when the shape doesn't apply."""
+    if not (pattern.startswith("^") and pattern.endswith("$")
+            and not pattern.endswith("\\$")):
+        return None
+    body = pattern[1:-1]
+    out = bytearray()
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch in ".[](){}|*+?^$":
+            return None
+        if ch == "\\":
+            if i + 1 >= n or body[i + 1].isalnum():
+                return None  # \d, \w, ... are classes, not literals
+            out.append(ord(body[i + 1]))
+            i += 2
+        else:
+            out.append(ord(ch))
+            i += 1
+    return bytes(out) if out else None
+
+
 def like_to_regex(pattern: str) -> str:
     """SQL LIKE -> regex ('%' any run, '_' any byte), anchored both ends."""
     out = ["^"]

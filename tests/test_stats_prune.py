@@ -187,3 +187,76 @@ def test_prune_random_prefix_fuzz(tmp_path):
         golden_by_gid = dict(zip(golden.page_gid, golden.match_counts))
         for gid in dead:
             assert golden_by_gid[int(gid)] == 0
+
+
+# ── exact-literal equality pruning (round 5) ────────────────────────────────
+
+
+def test_exact_literal():
+    from duckdb_parquet_parser_tpu.ops.regex import exact_literal
+
+    cases = [
+        ("^user_0000042 tail$", b"user_0000042 tail"),
+        ("^abc$", b"abc"),
+        ("^a\\.b$", b"a.b"),        # escaped metachar is literal
+        ("abc", None),              # unanchored
+        ("^abc", None),             # prefix only
+        ("abc$", None),
+        ("^ab?c$", None),           # quantifier
+        ("^a.c$", None),            # dot
+        ("^a[bc]$", None),          # class
+        ("^a|b$", None),            # alternation
+        ("^\\db$", None),           # escape class
+        ("^$", None),               # empty literal: no pruning hook
+        ("^abc\\$", None),          # escaped trailing $: not an anchor
+    ]
+    for pat, want in cases:
+        assert exact_literal(pat) == want, pat
+
+
+def test_exact_literal_prunes_tighter_than_prefix(tmp_path):
+    """`^user_0000042 tail$` keeps only pages that can hold THAT value —
+    strictly more pruning than the prefix range on a sorted file — with the
+    golden triple intact."""
+    path = _sorted_file(tmp_path / "ex.parquet", rgs=2)
+    eng = ScanEngine(path)
+    r_ex = eng.cold_scan("k", "^user_0000042 tail$", exact_counts=True)
+    golden = eng.scan("k", "^user_0000042 tail$", engine="numpy")
+    np.testing.assert_array_equal(r_ex.page_gid, golden.page_gid)
+    np.testing.assert_array_equal(r_ex.match_counts, golden.match_counts)
+    np.testing.assert_array_equal(r_ex.value_counts, golden.value_counts)
+    assert int(golden.match_counts.sum()) == 1  # the value exists once
+    # the equality range prunes at least as much as the prefix range on a
+    # PREFIX pattern that admits more values
+    r_pre = eng.cold_scan("k", "^user_0000042", exact_counts=True)
+    assert r_ex.stats_pruned_pages >= r_pre.stats_pruned_pages
+    assert r_ex.stats_pruned_pages > 0
+
+
+@pytest.mark.parametrize("pattern", [
+    "^user_0000000 tail$",   # first value
+    "^user_0019999 tail$",   # last value
+    "^user_0004242 tail$",   # interior
+    "^user_0004242$",        # literal that is a PREFIX of stored values —
+                             # equality range must keep the page holding it
+    "^zzzz$",                # above every value
+    "^AAAA$",                # below every value
+])
+@pytest.mark.parametrize("kind", ["sorted", "shuffled", "nulls"])
+def test_exact_literal_soundness_matrix(tmp_path, pattern, kind):
+    path = _sorted_file(
+        tmp_path / f"x{kind}.parquet", n=20000, rgs=2,
+        shuffle=(kind == "shuffled"), null_p=0.2 if kind == "nulls" else 0.0,
+    )
+    eng = ScanEngine(path)
+    golden = eng.scan("k", pattern, engine="numpy")
+    for exact in (True, False):
+        r = eng.cold_scan("k", pattern, exact_counts=exact)
+        np.testing.assert_array_equal(r.page_gid, golden.page_gid)
+        np.testing.assert_array_equal(r.value_counts, golden.value_counts)
+        if exact:
+            np.testing.assert_array_equal(r.match_counts, golden.match_counts)
+        else:
+            np.testing.assert_array_equal(
+                np.sort(r.pruned_pages()), np.sort(golden.pruned_pages())
+            )
