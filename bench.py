@@ -208,6 +208,28 @@ def gen_bigpage_fixture(rows: int) -> Path:
     return path
 
 
+def gen_delta_fixture(rows: int) -> Path:
+    """DELTA_BINARY_PACKED INT64 column (pyarrow-written, 5% nulls, mixed
+    miniblock widths: sorted runs + noise spikes)."""
+    path = CACHE / f"deltai64_{rows}.parquet"
+    if path.exists():
+        return path
+    CACHE.mkdir(parents=True, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(21)
+    base = np.cumsum(rng.integers(-50, 200, rows)).astype(np.int64)
+    base[:: 131] += rng.integers(-(1 << 40), 1 << 40, (rows + 130) // 131)
+    vals = [None if rng.random() < 0.05 else int(v) for v in base]
+    pq.write_table(
+        pa.table({"x": pa.array(vals, type=pa.int64())}), path,
+        use_dictionary=False, column_encoding={"x": "DELTA_BINARY_PACKED"},
+        data_page_version="2.0", data_page_size=64 << 10,
+    )
+    return path
+
+
 def gen_dict_strings_fixture(rows: int) -> Path:
     """Low-cardinality BYTE_ARRAY column (city names, 2% nulls) — every data
     page dictionary-encoded (64 distinct <= non_null/5)."""
@@ -973,6 +995,56 @@ def bench_engine(path: Path, reps: int) -> dict:
     log(f"scan dict strings ({dict_pat!r}, DN={int(bs.dims.get('dict_n', 0))}): "
         f"{out['scan_dict_strings_rows_per_s']:.3g} rows/s "
         f"(marginal {marg_ds*1000:.1f} ms)")
+
+    # ── DELTA_BINARY_PACKED: device bit-unpack + prefix-sum decode ──────────
+    # (round 5; the reference REJECTS every non-PLAIN/dict encoding, so the
+    # multipliers to read against are the engine's own PLAIN decode rates)
+    from duckdb_parquet_parser_tpu.ops.delta import (
+        decode_delta_planes, delta_bws, read_delta_column,
+    )
+
+    del_path = gen_delta_fixture(out["rows"])
+    rdel = ParquetReader(str(del_path))
+    db = rdel.prescan("x", flags=bindings.PS_DELTA_RAW)
+    del_total = int(db.arrays["page_nn"].sum())
+    del_bws = delta_bws(db.arrays)
+    del_dims = {k: int(v) for k, v in db.dims.items()
+                if str(k).startswith("delta_")}
+    del_core = {k: jax.device_put(np.asarray(v))
+                for k, v in db.arrays.items() if k.startswith("delta_")}
+    del_nncap, del_np = db.nn_cap, 2
+
+    @jax.jit
+    def make_delta(reps_n, c):
+        def body(i, acc):
+            c2 = dict(c)
+            # perturb the packed bytes so XLA cannot hoist the unpack
+            c2["delta_bytes"] = c["delta_bytes"] ^ (i % 2).astype(jnp.uint8)
+            planes = decode_delta_planes(jnp, c2, del_dims, del_bws,
+                                         del_nncap, del_np)
+            return acc + jnp.sum(planes[0] & 1) + jnp.sum(planes[1] & 1)
+        return jax.lax.fori_loop(0, reps_n, body, jnp.zeros((), jnp.int32))
+
+    _, marg_del = _marginal(make_delta, (del_core,), reps_hi=1 + reps)
+    out["decode_delta_i64_rows_per_s"] = del_total / marg_del
+    _band(out, "decode_delta_i64", del_total)
+    log(f"decode delta-i64 (device unpack+cumsum, widths {list(del_bws)}): "
+        f"{out['decode_delta_i64_rows_per_s']:.3g} rows/s "
+        f"(marginal {marg_del*1000:.1f} ms)")
+    best_drc, drc_ts = float("inf"), []
+    for _ in range(5):
+        time.sleep(0.05)
+        t0 = time.time()
+        c = ParquetReader(str(del_path)).read_column("x")
+        dt = time.time() - t0
+        drc_ts.append(dt)
+        best_drc = min(best_drc, dt)
+    out["read_column_delta_i64_rows_per_s"] = len(c) / best_drc
+    _host_band(out, "read_column_delta_i64", drc_ts, len(c))
+    log(f"read_column delta-i64 (host e2e): "
+        f"{out['read_column_delta_i64_rows_per_s']:.3g} rows/s "
+        f"({best_drc*1000:.0f} ms)")
+    del del_core
 
     # ── selective dict pattern: all-miss short-circuit (cold path) ──────────
     # A positive pattern matching ZERO dictionary entries skips the per-page

@@ -239,6 +239,9 @@ PS_COLUMN = 16    # fully-materialized read_column arrays from the pack pass
 PS_REP_LEVELS = 32  # materialize the rep_levels plane (list reconstruction)
 PS_INDEX = 64     # chunked-index emission stream (idx_emit_pos/idx_emit_len)
 PS_COL_ONLY = 128  # suppress per-value string tables (PS_COLUMN-only reads)
+PS_DELTA_RAW = 256  # DELTA_BINARY_PACKED structure planes for the device
+                    # bit-unpack + prefix-sum decode (ops/delta.py); throws
+                    # on mixed delta/plain pages (host decode fallback)
 
 
 class _BatchOwner:

@@ -46,12 +46,27 @@ inline std::vector<uint64_t> delta_binary_values(Cursor& cur, int64_t want) {
     for (uint64_t m = 0; m < miniblocks && have < need; m++) {
       const int bw = bws[m];
       if (bw > 64) throw Error("delta: bit width > 64");
-      const uint8_t* d = cur.bytes(size_t(mb_values) * size_t(bw) / 8);
+      const size_t sec = size_t(mb_values) * size_t(bw) / 8;
+      const uint8_t* d = cur.bytes(sec);
+      const uint64_t mask = bw == 64 ? ~uint64_t(0)
+                                     : ((uint64_t(1) << bw) - 1);
       uint64_t bit = 0;
       for (uint64_t i = 0; i < mb_values && have < need; i++) {
+        // word extraction (a per-BIT loop here measured ~30 ns/value):
+        // unaligned 8-byte window + one spill byte covers any bw <= 64
         uint64_t delta = 0;
-        for (int k = 0; k < bw; k++, bit++)
-          delta |= uint64_t((d[bit >> 3] >> (bit & 7)) & 1) << k;
+        if (bw) {
+          const size_t b0 = size_t(bit >> 3);
+          const int sh = int(bit & 7);
+          uint64_t wd = 0;
+          const size_t nb = sec - b0 < 8 ? sec - b0 : 8;
+          std::memcpy(&wd, d + b0, nb);
+          wd >>= sh;
+          if (sh && b0 + 8 < sec)
+            wd |= uint64_t(d[b0 + 8]) << (64 - sh);
+          delta = wd & mask;
+          bit += uint64_t(bw);
+        }
         v += min_delta + delta;
         out.push_back(v);
         have++;

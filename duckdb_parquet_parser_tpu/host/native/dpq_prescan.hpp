@@ -121,6 +121,7 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     // per ROW GROUP instead of per page — a per-page std::vector<Run>
     // measured ~150 ns/page of malloc churn, the bulk of the walk on 1 KB-
     // page columns); def_runs_p/idx_runs_p are fixed up after the walk.
+    bool delta_raw = false;  // PS_DELTA_RAW: val_ptr/val_len = raw stream
     int32_t def_run_at = 0, def_nruns = 0;
     int32_t idx_run_at = 0, idx_nruns = 0;
     const Run* def_runs_p = nullptr;
@@ -534,6 +535,16 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
             t.slens.push_back(int32_t(len));
           }
         }
+      } else if (w > 0 && pr.encoding == E_DELTA_BINARY_PACKED &&
+                 (flags & PS_DELTA_RAW)) {
+        if (lf.type != T_INT32 && lf.type != T_INT64)
+          throw Error("DELTA_BINARY_PACKED on a non-integer column");
+        // device route: keep the RAW stream; structure planes are emitted
+        // in the pack pass and the bit-unpack + prefix sum run on device
+        t.kind = 0;
+        t.delta_raw = true;
+        t.val_len = int64_t(cur.left());
+        t.val_ptr = cur.bytes(size_t(t.val_len));
       } else if (w > 0 && pr.encoding == E_DELTA_BINARY_PACKED) {
         if (lf.type != T_INT32 && lf.type != T_INT64)
           throw Error("DELTA_BINARY_PACKED on a non-integer column");
@@ -619,6 +630,32 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   }
   for (const auto& res : rg_results)
     for (int32_t l : res.dict_lens) max_dlen = std::max<int64_t>(max_dlen, l);
+  // DELTA_BINARY_PACKED structure planes (PS_DELTA_RAW): uniform miniblock
+  // geometry across pages, capacity = max miniblocks per page (deltas cover
+  // values [1, nn), so a page needs ceil((nn-1)/mb_values) miniblocks)
+  int64_t delta_mb_values = 0, delta_mb_cap = 0, n_delta = 0;
+  for (const auto& tp : tmp) {
+    const PageTmp& t = *tp;
+    if (!t.delta_raw) continue;
+    n_delta++;
+    Cursor hc(t.val_ptr, size_t(t.val_len));
+    const uint64_t bs = hc.uleb();
+    const uint64_t mbs = hc.uleb();
+    if (bs == 0 || mbs == 0 || bs % mbs != 0)
+      throw Error("delta: bad block geometry");
+    const int64_t mv = int64_t(bs / mbs);
+    if (mv % 8 != 0 || mv > (1 << 20))
+      throw Error("delta: bad miniblock size");
+    if (delta_mb_values == 0) delta_mb_values = mv;
+    else if (delta_mb_values != mv)
+      throw Error("delta: mixed miniblock geometries (host decode fallback)");
+    const int64_t need = std::max<int64_t>(t.nn - 1, 0);
+    delta_mb_cap = std::max<int64_t>(delta_mb_cap, (need + mv - 1) / mv);
+  }
+  if (n_delta > 0 && n_delta != int64_t(tmp.size()))
+    throw Error("delta: mixed delta/plain pages (host decode fallback)");
+  const bool all_delta = n_delta > 0;
+  const int64_t delta_pitch = all_delta ? delta_mb_values * 8 : 0;  // bw<=64
   vmax = round_up(vmax, 8);
   nn_cap = round_up(nn_cap, 8);
   def_pad = round_up(std::max<int64_t>(def_pad, 4) + 4, align);  // +4 slack so
@@ -650,6 +687,11 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
   dims["max_def"] = lf.max_def;
   dims["max_rep"] = lf.max_rep;
   dims["def_bw"] = def_bw;
+  if (all_delta) {
+    dims["delta_mb_values"] = delta_mb_values;
+    dims["delta_mb_cap"] = std::max<int64_t>(delta_mb_cap, 1);
+    dims["delta_pitch"] = delta_pitch;
+  }
 
   const int64_t str_pitch =
       (want_strings && pad_strings > 0)
@@ -738,8 +780,25 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
     std::memset(a_idxv, 0xFF, size_t(N) * size_t(vmax) * sizeof(int32_t));
   }
   uint8_t* a_plain = nullptr;
-  if (w > 0 && !host_only)
+  if (w > 0 && !host_only && !all_delta)
     a_plain = store->alloc<uint8_t>("plain_fixed", {N, nn_cap * w});
+  int32_t* d_bw = nullptr;
+  int32_t* d_mdl = nullptr;
+  int32_t* d_mdh = nullptr;
+  int32_t* d_cnt = nullptr;
+  int32_t* d_dfl = nullptr;
+  int32_t* d_dfh = nullptr;
+  uint8_t* d_bytes = nullptr;
+  const int64_t dmbc = std::max<int64_t>(delta_mb_cap, 1);
+  if (all_delta) {
+    d_bw = store->alloc<int32_t>("delta_bw", {N, dmbc});
+    d_mdl = store->alloc<int32_t>("delta_md_lo", {N, dmbc});
+    d_mdh = store->alloc<int32_t>("delta_md_hi", {N, dmbc});
+    d_cnt = store->alloc<int32_t>("delta_cnt", {N, dmbc});
+    d_dfl = store->alloc<int32_t>("delta_first_lo", {N});
+    d_dfh = store->alloc<int32_t>("delta_first_hi", {N});
+    d_bytes = store->alloc<uint8_t>("delta_bytes", {N, dmbc * delta_pitch});
+  }
   uint8_t* a_bits = nullptr;
   if (is_bool && !host_only)
     a_bits = store->alloc<uint8_t>("bool_bits", {N, bool_pad});
@@ -934,8 +993,41 @@ inline std::unique_ptr<ArrayStore> Reader::prescan(int leaf_idx, int rg0,
           if (v < vmax) row[v] = idx_scratch[size_t(v)];
       }
     }
-    if (a_plain && t.kind == 0 && !is_ba && !is_bool && t.val_len)
+    if (a_plain && t.kind == 0 && !is_ba && !is_bool && !t.delta_raw &&
+        t.val_len)
       std::memcpy(a_plain + i * nn_cap * w, t.val_ptr, size_t(t.val_len));
+    if (d_bytes && t.delta_raw) {
+      Cursor dc(t.val_ptr, size_t(t.val_len));
+      const uint64_t bs = dc.uleb();
+      const uint64_t mbs = dc.uleb();
+      dc.uleb();  // total (the stream may carry more than nn)
+      const uint64_t first = uint64_t(dc.zigzag());
+      d_dfl[i] = int32_t(uint32_t(first));
+      d_dfh[i] = int32_t(uint32_t(first >> 32));
+      const int64_t mv = int64_t(bs / mbs);
+      int64_t need = std::max<int64_t>(t.nn - 1, 0);
+      int64_t mb_at = 0;
+      while (need > 0) {
+        const uint64_t md = uint64_t(dc.zigzag());
+        const uint8_t* bws = dc.bytes(size_t(mbs));
+        for (uint64_t m = 0; m < mbs && need > 0; m++) {
+          const int bw = bws[m];
+          if (bw > 64) throw Error("delta: bit width > 64");
+          const size_t sec = size_t(mv) * size_t(bw) / 8;
+          const uint8_t* db = dc.bytes(sec);
+          if (mb_at >= dmbc) throw Error("delta: miniblock overflow");
+          const int64_t k = i * dmbc + mb_at;
+          d_bw[k] = bw;
+          d_mdl[k] = int32_t(uint32_t(md));
+          d_mdh[k] = int32_t(uint32_t(md >> 32));
+          const int64_t cnt = std::min<int64_t>(need, mv);
+          d_cnt[k] = int32_t(cnt);
+          if (sec) std::memcpy(d_bytes + k * delta_pitch, db, sec);
+          mb_at++;
+          need -= cnt;
+        }
+      }
+    }
     if (a_bits && t.kind == 0 && t.val_len)
       std::memcpy(a_bits + i * bool_pad, t.val_ptr, size_t(t.val_len));
     if (a_payload && t.kind == 0 && t.val_len)

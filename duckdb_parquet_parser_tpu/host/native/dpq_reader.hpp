@@ -75,6 +75,13 @@ enum PrescanFlags : int64_t {
                         // arrays (read_column fast path); the owned
                         // str_chars buffer is still emitted in copy mode
                         // because col_offs point into it
+  PS_DELTA_RAW = 256,   // DELTA_BINARY_PACKED pages: emit STRUCTURE planes
+                        // (delta_bw/delta_md_*/delta_cnt/delta_bytes per
+                        // miniblock + per-page first values) instead of
+                        // host-decoding to PLAIN — the device unpacks the
+                        // bit-packed deltas and prefix-sums them
+                        // (ops/delta.py).  Throws on mixed delta/plain
+                        // pages (callers fall back to the host decode)
 };
 
 // ── Leaf column descriptor ──────────────────────────────────────────────────
