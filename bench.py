@@ -438,19 +438,26 @@ def bench_engine(path: Path, reps: int) -> dict:
     log(f"scan steps: {steps} (payload pitch {batch.arrays['payload'].shape[1]})")
 
     def make_scan_for(pattern):
-        d = compile_pattern(pattern)
         try:
             prog = compile_bitprog(pattern)
             chain = None
         except BitprogUnsupported:
             prog = None
             chain = substring_chain(pattern)
+        # the DFA table is only consumed when bitprog declines; interior-run
+        # counter patterns can blow up the subset construction the register
+        # machine never needs
+        if prog is None:
+            d_table, d_accept = (lambda d: (d.table, d.accept))(
+                compile_pattern(pattern))
+        else:
+            d_table = d_accept = None
 
         @jax.jit
         def f(reps_n, p, pl, n):
             def body(i, acc):
                 hits, _ = match_payload_stream(
-                    jnp, p, pl, n + (i % 2), d.table, d.accept,
+                    jnp, p, pl, n + (i % 2), d_table, d_accept,
                     use_mxu=True, chain=chain, prog=prog,
                     transposed=True,
                 )

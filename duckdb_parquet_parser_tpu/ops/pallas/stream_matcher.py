@@ -92,7 +92,8 @@ def pick_streams(n_tiles: int, steps: int, lane_tile: int) -> int:
 
 @functools.lru_cache(maxsize=64)
 def _build_call(patterns: tuple, steps: int, n_pad: int, lane_tile: int,
-                inner: int, interpret: bool, streams: int = 1):
+                inner: int, interpret: bool, streams: int = 1,
+                step_blocks: int = 1):
     """The K-pattern kernel: the tile DMA, the byte loop, and the boundary
     control amortize over every pattern (the in-kernel analog of
     ops/strings.match_payload_multi).  `streams` independent lane tiles
@@ -150,21 +151,24 @@ def _build_call(patterns: tuple, steps: int, n_pad: int, lane_tile: int,
         ]
         return (prefix_left, ctr, done, *hits, *state)
 
-    def walk(shape, plen, nnv, get_block, extract):
+    def walk(shape, plen, nnv, get_block, extract, init=None,
+             n_blocks=None, byte_base=0):
         zero = jnp.zeros(shape, jnp.int32)
 
         def step(i, carry):
             blk = get_block(i)  # one hoisted inner-block slice per step
             for j in range(inner):
-                b = i * inner + j
+                b = byte_base + i * inner + j
                 c = extract(blk, j).astype(jnp.int32)
                 carry = byte_step(b, c, plen, nnv, carry)
             return carry
 
-        init = ((jnp.full(shape, 4, jnp.int32), zero, zero)
-                + tuple(zero for _ in range(k))
-                + tuple(zero for _ in range(total_regs)))
-        return jax.lax.fori_loop(0, n_inner, step, init)
+        if init is None:
+            init = ((jnp.full(shape, 4, jnp.int32), zero, zero)
+                    + tuple(zero for _ in range(k))
+                    + tuple(zero for _ in range(total_regs)))
+        return jax.lax.fori_loop(0, n_inner if n_blocks is None else n_blocks,
+                                 step, init)
 
     def kernel(pay_ref, plen_ref, nn_ref, hits_ref, seen_ref):
         # multi-stream: [s, lane_tile] carried state — s independent
@@ -186,6 +190,62 @@ def _build_call(patterns: tuple, steps: int, n_pad: int, lane_tile: int,
         for kk in range(k):
             hits_ref[kk, :] = out[3 + kk]
         seen_ref[0, :] = out[2]
+
+    # Split-steps variant (DPQ_STEP_BLOCKS > 1): the byte axis additionally
+    # splits across a second SEQUENTIAL grid dimension with the carried
+    # state living in VMEM scratch — the per-invocation payload block
+    # shrinks by the block count, so wider stream counts (S=16) fit the
+    # VMEM cap at full lane tiles.  Outputs are written every step block
+    # (the block stays resident until the tile index changes; the final
+    # write wins).
+    n_sb = step_blocks if s > 1 else 1
+    if s > 1 and n_sb > 1:
+        steps_blk = steps // n_sb
+        n_blk_inner = steps_blk // inner
+        C = 3 + k + total_regs
+        from jax.experimental.pallas import tpu as pltpu
+
+        def kernel_sb(pay_ref, plen_ref, nn_ref, hits_ref, seen_ref,
+                      st_ref):
+            sb = pl.program_id(1)
+            first = (sb == 0)
+            zero = jnp.zeros((s, lane_tile), jnp.int32)
+            four = jnp.full((s, lane_tile), 4, jnp.int32)
+            init = []
+            for ci in range(C):
+                fresh = four if ci == 0 else zero
+                init.append(jnp.where(first, fresh, st_ref[ci]))
+            out = walk((s, lane_tile), plen_ref[...], nn_ref[...],
+                       lambda i: pay_ref[:, pl.ds(i * inner, inner), :],
+                       lambda blk, j: blk[:, j, :],
+                       init=tuple(init), n_blocks=n_blk_inner,
+                       byte_base=sb * steps_blk)
+            for ci in range(C):
+                st_ref[ci] = out[ci]
+            for kk in range(k):
+                hits_ref[:, kk, :] = out[3 + kk]
+            seen_ref[:, 0, :] = out[2]
+
+        return pl.pallas_call(
+            kernel_sb,
+            grid=(n_tiles // s, n_sb),
+            in_specs=[
+                pl.BlockSpec((s, steps_blk, lane_tile),
+                             lambda t, sb: (t, sb, 0)),
+                pl.BlockSpec((s, lane_tile), lambda t, sb: (t, 0)),
+                pl.BlockSpec((s, lane_tile), lambda t, sb: (t, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((s, k, lane_tile), lambda t, sb: (t, 0, 0)),
+                pl.BlockSpec((s, 1, lane_tile), lambda t, sb: (t, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles, k, lane_tile), jnp.int32),
+                jax.ShapeDtypeStruct((n_tiles, 1, lane_tile), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.VMEM((C, s, lane_tile), jnp.int32)],
+            interpret=interpret,
+        )
 
     if s == 1:
         return pl.pallas_call(
@@ -245,7 +305,11 @@ def tile_stream(payload_t, steps: int, lane_tile: int | None = None,
     steps = _round_up(min(steps, p), inner)
     if lane_tile is None:
         lane_tile = pick_lane_tile(steps)
-    n_pad = _round_up(n, lane_tile * MAX_STREAMS)
+    q = MAX_STREAMS
+    env_q = os.environ.get("DPQ_STREAMS")
+    if env_q:  # wider sweeps need the tile count divisible by the cap
+        q = max(q, (int(env_q) // 8) * 8)
+    n_pad = _round_up(n, lane_tile * q)
 
     @jax.jit
     def build(x):
@@ -279,14 +343,25 @@ def match_stream_pallas_tiled(tiled, payload_len, nn, pattern,
     k = len(patterns)
     while steps % inner:
         inner //= 2
-    streams = pick_streams(n_tiles, steps, lt)
+    # DPQ_STEP_BLOCKS > 1: split the byte axis across a second sequential
+    # grid dim (state in VMEM scratch) — the per-invocation payload block
+    # shrinks, letting wider stream counts fit the VMEM cap
+    n_sb = 1
+    env_sb = os.environ.get("DPQ_STEP_BLOCKS")
+    if env_sb:
+        n_sb = max(1, int(env_sb))
+        while n_sb > 1 and steps % (n_sb * inner):
+            n_sb -= 1
+    streams = pick_streams(n_tiles, steps // n_sb, lt)
+    if streams == 1:
+        n_sb = 1
     plen = jnp.asarray(payload_len, jnp.int32)
     nnv = jnp.asarray(nn, jnp.int32)
     if n_pad != n:
         plen = jnp.pad(plen, (0, n_pad - n))
         nnv = jnp.pad(nnv, (0, n_pad - n))
     call = _build_call(patterns, steps, n_pad, lt, inner, interpret,
-                       streams)
+                       streams, n_sb)
     if streams == 1:
         hits, seen = call(tiled, plen.reshape(1, n_pad),
                           nnv.reshape(1, n_pad))

@@ -91,3 +91,33 @@ def test_multi_stream_padding_lanes_inactive():
     assert h1.shape[0] == 37 and s1.shape[0] == 37
     np.testing.assert_array_equal(np.asarray(h1), h0)
     np.testing.assert_array_equal(np.asarray(s1), s0)
+
+
+def test_split_steps_wide_streams_parity(monkeypatch):
+    """DPQ_STEP_BLOCKS splits the byte axis across a second sequential grid
+    dim (carried state in VMEM scratch) so wider stream counts fit the
+    VMEM cap — results must be bit-identical to the single-block walk."""
+    import jax.numpy as jnp
+
+    from duckdb_parquet_parser_tpu.ops.pallas.stream_matcher import (
+        match_stream_pallas,
+    )
+
+    rng = np.random.default_rng(31)
+    pm, pl_, nn = _pages(rng, n_pages=500, vals_per_page=5, maxlen=20)
+    for pattern in ["a.*z", "q[ax]+x", "[abq]{9}"]:
+        prog = compile_bitprog(pattern)
+        h0, s0 = match_payload_stream(np, pm, pl_, nn, None, None, prog=prog)
+        for sb, st in (("2", "8"), ("2", "16"), ("4", "16")):
+            monkeypatch.setenv("DPQ_STEP_BLOCKS", sb)
+            monkeypatch.setenv("DPQ_STREAMS", st)
+            h1, s1 = match_stream_pallas(jnp.asarray(pm.T), pl_, nn, pattern,
+                                         max_steps=pm.shape[1],
+                                         lane_tile=128, inner=8,
+                                         interpret=True)
+            np.testing.assert_array_equal(np.asarray(h1), h0,
+                                          err_msg=f"{pattern} sb={sb} s={st}")
+            np.testing.assert_array_equal(np.asarray(s1), s0,
+                                          err_msg=f"{pattern} sb={sb} s={st}")
+            monkeypatch.delenv("DPQ_STEP_BLOCKS")
+            monkeypatch.delenv("DPQ_STREAMS")
