@@ -513,7 +513,7 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
   }
 
   const bool timing = std::getenv("DPQ_SCAN_TIMING") != nullptr;
-  std::atomic<int64_t> ns_def{0}, ns_sweep{0}, ns_walk{0};
+  std::atomic<int64_t> ns_def{0}, ns_sweep{0}, ns_walk{0}, ns_hdr{0};
   std::atomic<int64_t> n_screened{0}, n_walked{0}, n_vals{0};
   std::atomic<int64_t> n_stats_pruned{0};  // pages skipped via ColumnIndex
   std::atomic<int64_t> n_dict_skipped{0};  // all-miss dict short-circuits
@@ -666,23 +666,27 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
     // header parse + gid numbering + match walk happen in one pass.
     int64_t gid_next = gid_base[size_t(j)];
     int64_t hoff = 0, walk_values = 0, walk_rows = 0;
-    const bool cold_pf = [] {
+    const int64_t cold_pf = [] {
       const char* e = std::getenv("DPQ_COLD_PF");
-      return !e || e[0] != '0';
+      if (!e) return int64_t(4096);
+      const int64_t v = std::atoll(e);
+      return v == 1 ? int64_t(4096) : v;  // legacy "1" = default window
     }();
     while (walk_values < cm.num_values) {
       if (hoff >= span) break;  // short chunk span: stop like the reference
       PageRec pr;
+      auto th0 = timing ? tick() : std::chrono::steady_clock::time_point();
       int64_t hsz = parse_page_rec(chunk_ptr, hoff, span, chunk_start, rg,
                                    lf.chunk_idx, walk_rows, walk_values, pr);
+      if (timing) lap(ns_hdr, th0);
       hoff += hsz + pr.size;
-      // Look-ahead prefetch (DPQ_COLD_PF=0 disables): pull the NEXT page's
-      // bytes toward L2 while this page's sweep/walk runs — per-page
-      // processing stalls the HW streamer (~1 KB sequential bursts), so
-      // the next page's first touch otherwise pays DRAM latency.
-      // Interleaved A/B on the lineitem fixture: min 32.9 vs 35.4 ms.
+      // Look-ahead prefetch (DPQ_COLD_PF=bytes, 0 disables, default 4096):
+      // pull the next pages' bytes toward L2 while this page's sweep/walk
+      // runs — per-page processing stalls the HW streamer (~1 KB
+      // sequential bursts), so the next page's first touch otherwise pays
+      // DRAM latency; re-prefetching lines already fetched is ~free.
       if (cold_pf) {
-        const int64_t pf_end = std::min<int64_t>(hoff + 2048, span);
+        const int64_t pf_end = std::min<int64_t>(hoff + cold_pf, span);
         for (int64_t pf = hoff & ~63; pf < pf_end; pf += 64)
           __builtin_prefetch(chunk_ptr + pf);
       }
@@ -1272,10 +1276,11 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
 
   if (timing)
     std::fprintf(stderr,
-                 "[cold_scan] def: %.1f ms  sweep: %.1f ms  walk: %.1f ms "
-                 "(thread-summed)  screened %lld walked %lld vals %lld\n",
-                 double(ns_def.load()) / 1e6, double(ns_sweep.load()) / 1e6,
-                 double(ns_walk.load()) / 1e6,
+                 "[cold_scan] hdr: %.1f ms  def: %.1f ms  sweep: %.1f ms  "
+                 "walk: %.1f ms (thread-summed)  screened %lld walked %lld "
+                 "vals %lld\n",
+                 double(ns_hdr.load()) / 1e6, double(ns_def.load()) / 1e6,
+                 double(ns_sweep.load()) / 1e6, double(ns_walk.load()) / 1e6,
                  (long long)n_screened.load(), (long long)n_walked.load(),
                  (long long)n_vals.load());
 
