@@ -141,6 +141,35 @@ def test_pyarrow_cross_product(tmp_path, seed):
         want = table.column(nm).to_pylist()
         _check_column(got, want, k)
 
+    # device DELTA route over the same table's integer columns (when the
+    # random layout axes allow: delta pages written by pyarrow, any codec)
+    int_cols = [nm for nm, k in zip(names, kinds) if k in ("int32", "int64")]
+    if int_cols and seed % 2 == 0:
+        from duckdb_parquet_parser_tpu.host.bindings import NativeError
+        from duckdb_parquet_parser_tpu.ops.delta import read_delta_column
+
+        dpath = tmp_path / f"fuzz_{seed}_delta.parquet"
+        pq.write_table(
+            table.select(int_cols), dpath,
+            compression=codec if codec != "NONE" else "NONE",
+            use_dictionary=False,
+            column_encoding={nm: "DELTA_BINARY_PACKED" for nm in int_cols},
+            data_page_version="2.0",
+            data_page_size=int(rng.integers(256, 4096)),
+            row_group_size=max(int(rng.integers(20, n + 1)), 20),
+        )
+        rd = ParquetReader(str(dpath))
+        for nm in int_cols:
+            try:
+                got_d = read_delta_column(rd, nm, engine="numpy")
+            except NativeError:
+                continue  # mixed-geometry layout: host route covers it
+            want_d = table.column(nm).to_pylist()
+            got_l = [int(v) if ok else None
+                     for v, ok in zip(np.asarray(got_d.values),
+                                      np.asarray(got_d.valid))]
+            assert got_l == want_d, nm
+
     # nested reconstruction parity on the same randomized layout axes
     want_nested = table.column("nested").to_pylist()
     if nested_kind == "list":
