@@ -84,6 +84,15 @@ inline const uint8_t* find_sub(const uint8_t* h, size_t hl, const uint8_t* n,
   const uint8_t c0 = n[0];
   const uint8_t* p = h;
   const uint8_t* last = h + (hl - nl);  // last admissible start
+  if (hl <= 64) {
+    // tiny haystacks (split-range chain confirms): a plain byte loop beats
+    // memchr's per-call startup (~10-15 ns) — on text where c0 is dense,
+    // several calls per range
+    for (; p <= last; p++)
+      if (*p == c0 && (nl == 1 || ::memcmp(p + 1, n + 1, nl - 1) == 0))
+        return p;
+    return nullptr;
+  }
   while (p <= last) {
     p = static_cast<const uint8_t*>(::memchr(p, c0, size_t(last - p) + 1));
     if (!p) return nullptr;
@@ -672,6 +681,36 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
       const int64_t v = std::atoll(e);
       return v == 1 ? int64_t(4096) : v;  // legacy "1" = default window
     }();
+    // env reads hoisted out of the page loop (getenv is a linear environ
+    // scan — per-page calls cost real milliseconds at ~78k pages)
+    const size_t K_n = pat.needles.size();
+    const bool env_multi_masks = [&] {
+      const char* e = std::getenv("DPQ_COLD_SWEEP");
+      return K_n > 1 && e && e[0] == 'm';
+    }();
+    const bool env_seg_mode = [&] {
+      const char* e = std::getenv("DPQ_COLD_SEG");
+      return !pat.exact && !pat.neg && !env_multi_masks && e && e[0] == '1';
+    }();
+    // GROUP sweeps (uncompressed chains): one AVX512 pass covers ~GSPAN of
+    // the chunk at a time — header/level bytes inside get dead bits the
+    // walk never visits, and the per-page sweep setup (vector zeroing,
+    // masked tails, call overhead) amortizes across ~40 pages.  Chain
+    // confirms stay find_sub-based, so only the filter needle's mask is
+    // group-wide.  Negated patterns keep per-page sweeps (their per-value
+    // path wants page-local masks).  Measured NEUTRAL on the 1 KB-page
+    // lineitem fixture (interleaved min-of-13: 38.4 vs 37.0 ms) — the
+    // per-page setup it amortizes was already small after the masked-tail
+    // and getenv-hoist fixes — so it is OPT-IN (DPQ_COLD_GROUP=1).
+    std::vector<uint64_t> gmask;
+    int64_t gm_lo = 0, gm_hi = 0;  // chunk-offset range currently swept
+    const int64_t GSPAN = 64 << 10;
+    const bool group_sweeps = [&] {
+      const char* e = std::getenv("DPQ_COLD_GROUP");
+      return pat.use_chain() && !compressed && !pat.neg &&
+             !env_multi_masks && !env_seg_mode && !direct_chain &&
+             e && e[0] == '1';
+    }();
     while (walk_values < cm.num_values) {
       if (hoff >= span) break;  // short chunk span: stop like the reference
       PageRec pr;
@@ -956,9 +995,7 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
         // K=2 (31.8 vs 35.4 ms) and K=3 (33.5 vs 42.8 ms) — the extra
         // mask planes cost more than the short split-range find_subs they
         // replace — so single is the default.
-        bool multi_masks = false;
-        if (const char* e = std::getenv("DPQ_COLD_SWEEP"))
-          multi_masks = K > 1 && e[0] == 'm';
+        const bool multi_masks = env_multi_masks;
         // Indicator-positive pages decide at their FIRST accepting value,
         // so the sweep can be LAZY there (DPQ_COLD_SEG=1): one 512 B
         // segment at a time inside the walk below — a decided page never
@@ -967,10 +1004,39 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
         // nearly fully anyway (measured neutral, min 43.8 vs 43.2 ms in
         // the same interleaved run); it pays on match-DENSE columns where
         // the first accepting value sits early in every page.
-        bool seg_mode = false;
-        if (const char* e = std::getenv("DPQ_COLD_SEG"))
-          seg_mode = !pat.exact && !pat.neg && !multi_masks && e[0] == '1';
-        if (seg_mode) {
+        const bool seg_mode = env_seg_mode;
+        int64_t mb = 0;                 // bit offset of vp[0] in the mask
+        const uint64_t* wk = nullptr;   // filter-needle mask words
+        int64_t wnb = 0;                // mask word count
+        if (group_sweeps) {
+          const int64_t vp_off = vp - chunk_ptr;
+          if (vp_off < gm_lo || vp_off + vlen > gm_hi || gmask.empty()) {
+            gm_lo = vp_off & ~int64_t(63);
+            gm_hi = std::min(span, std::max(gm_lo + GSPAN,
+                                            (vp_off + vlen + 63)
+                                                & ~int64_t(63)));
+            gmask.resize(size_t((gm_hi - gm_lo + 63) >> 6));
+            bigram_masks_into(chunk_ptr + gm_lo, 0, gm_hi - gm_lo,
+                              pat.needles[screen_k], gmask.data());
+          }
+          mb = vp_off - gm_lo;
+          wk = gmask.data();
+          wnb = int64_t(gmask.size());
+          uint64_t any = 0;
+          const int64_t b0 = mb >> 6;
+          const int64_t b1 = std::min(wnb - 1, (mb + vlen) >> 6);
+          for (int64_t b = b0; b <= b1; b++) {
+            uint64_t w = wk[b];
+            if (b == b0 && (mb & 63)) w &= ~0ull << (mb & 63);
+            if (b == b1) {
+              const int64_t endbit = mb + vlen - (b << 6);
+              if (endbit >= 0 && endbit < 64)
+                w &= endbit ? ((1ull << endbit) - 1) : 0;
+            }
+            any |= w;
+          }
+          possible = any != 0;
+        } else if (seg_mode) {
           masks[screen_k].assign(size_t((vlen + 63) >> 6), 0);
         } else if (!multi_masks) {
           bigram_masks(vp, size_t(vlen), pat.needles[screen_k],
@@ -1007,8 +1073,10 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
           // which non-candidate values decide implicitly — it keeps the
           // per-value path below.)
           if (timing) { lap(ns_sweep, t0); t0 = tick(); }
-          const auto& mk = masks[screen_k];
-          const int64_t nb = int64_t(mk.size());
+          if (wk == nullptr) {  // page-local modes (seg / single / multi)
+            wk = masks[screen_k].data();
+            wnb = int64_t(masks[screen_k].size());
+          }
           const std::string& ndk = pat.needles[screen_k];
           const int64_t lk = int64_t(ndk.size());
           const uint8_t* ndk_p = reinterpret_cast<const uint8_t*>(ndk.data());
@@ -1058,8 +1126,10 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
           const int64_t lo_scr = lk > 2 ? lk - 1 : 0;
           int64_t seg_lo = 0;
           bool any_bits = false;
+          const int64_t mb_lo = mb >> 6;
           while (!decided) {
-          int64_t blk_lo = 0, blk_hi = std::min<int64_t>(nb - 1, vlen >> 6);
+          int64_t blk_lo = mb_lo;
+          int64_t blk_hi = std::min<int64_t>(wnb - 1, (mb + vlen) >> 6);
           if (seg_mode) {
             if (seg_lo >= vlen) break;
             const int64_t seg_hi = std::min<int64_t>(seg_lo + SEG, vlen);
@@ -1072,10 +1142,11 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
             seg_lo = seg_hi;
           }
           for (int64_t blk = blk_lo; blk <= blk_hi && !decided; blk++) {
-            uint64_t w = mk[size_t(blk)];
+            uint64_t w = wk[size_t(blk)];
+            if (blk == mb_lo && (mb & 63)) w &= ~0ull << (mb & 63);
             if (w) any_bits = true;
             while (w && !decided) {
-              const int64_t p = (blk << 6 | __builtin_ctzll(w)) - mbase;
+              const int64_t p = (blk << 6 | __builtin_ctzll(w)) - mb;
               w &= w - 1;
               if (p >= vlen) break;
               if (p < done_b) continue;  // value already accepted
