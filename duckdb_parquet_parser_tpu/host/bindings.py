@@ -58,8 +58,8 @@ def _load() -> ct.CDLL:
     lib.dpq_cold_scan.argtypes = [
         ct.c_void_p, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32,
         ct.c_int32, ct.c_char_p, ct.c_void_p, ct.c_int32, ct.c_void_p,
-        ct.c_void_p, ct.c_int32, ct.c_char_p, ct.c_int32, ct.c_int32,
-        ct.c_char_p, ct.c_size_t,
+        ct.c_void_p, ct.c_int32, ct.c_char_p, ct.c_int32, ct.c_char_p,
+        ct.c_int32, ct.c_char_p, ct.c_size_t,
     ]
     lib.dpq_cold_scan.restype = ct.c_void_p
     lib.dpq_batch_free.argtypes = [ct.c_void_p]
@@ -437,26 +437,28 @@ def native_cold_scan(
     h: int, leaf: int, rg0: int, rg1: int, *, negate: bool, exact: bool = True,
     needles: list[bytes] | None = None,
     table: np.ndarray | None = None, accept: np.ndarray | None = None,
-    prune_prefix: bytes | None = None, prune_exact: bool = False,
+    prune_range: tuple[bytes, bytes | None] | None = None,
 ) -> tuple[dict, dict[str, np.ndarray]]:
     """Fused cold-path regex scan (see native/dpq_scan.hpp); returns
     (dims, {page_gid, match_counts, value_counts}).  exact=False turns
     match_counts into 0/1 survivor indicators (same page sets, faster).
-    `prune_prefix` (sound only for non-negated scans; the native side
-    ignores it under negation) enables ColumnIndex stats pruning: pages
-    whose [min, max] range cannot contain a value starting with the prefix
-    are skipped before any decode; dims["stats_pruned_pages"] reports how
-    many."""
+    `prune_range` = (lo, hi-or-None) from ops/regex.anchored_prune_range
+    (sound only for non-negated scans; the native side ignores it under
+    negation) enables ColumnIndex stats pruning: pages whose [min, max]
+    cannot intersect [lo, hi) are skipped before any decode;
+    dims["stats_pruned_pages"] reports how many."""
     err = _err_buf()
-    pfx = prune_prefix or None
-    pfx_len = len(prune_prefix) if prune_prefix else 0
+    lo = prune_range[0] if prune_range else None
+    hi = (prune_range[1] or None) if prune_range else None
+    lo_len = len(lo) if lo else 0
+    hi_len = len(hi) if hi else 0
     if needles:
         buf = b"".join(needles)
         lens = np.array([len(x) for x in needles], np.int32)
         b = lib().dpq_cold_scan(
             h, leaf, rg0, rg1, int(negate), int(exact), buf,
             lens.ctypes.data_as(ct.c_void_p), len(needles), None, None, 0,
-            pfx, pfx_len, int(prune_exact), err, _ERRCAP,
+            lo, lo_len, hi, hi_len, err, _ERRCAP,
         )
     else:
         t = np.ascontiguousarray(table, np.int32)
@@ -464,7 +466,7 @@ def native_cold_scan(
         b = lib().dpq_cold_scan(
             h, leaf, rg0, rg1, int(negate), int(exact), None, None, 0,
             t.ctypes.data_as(ct.c_void_p), a.ctypes.data_as(ct.c_void_p),
-            t.shape[0], pfx, pfx_len, int(prune_exact), err, _ERRCAP,
+            t.shape[0], lo, lo_len, hi, hi_len, err, _ERRCAP,
         )
     if not b:
         raise NativeError(err.value.decode("utf-8", "replace"))

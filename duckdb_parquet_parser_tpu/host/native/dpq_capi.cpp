@@ -253,17 +253,19 @@ void* dpq_cold_scan(void* h, int32_t leaf_idx, int32_t rg0, int32_t rg1,
                     int32_t neg, int32_t exact, const uint8_t* needle_buf,
                     const int32_t* needle_lens, int32_t n_needles,
                     const int32_t* table, const uint8_t* accept,
-                    int32_t n_states, const uint8_t* prune_prefix,
-                    int32_t prefix_len, int32_t prune_exact, char* err,
-                    size_t errcap) {
+                    int32_t n_states, const uint8_t* prune_lo,
+                    int32_t lo_len, const uint8_t* prune_hi, int32_t hi_len,
+                    char* err, size_t errcap) {
   DPQ_TRY({
     ColdPattern pat;
     pat.neg = neg != 0;
     pat.exact = exact != 0;
-    if (prune_prefix && prefix_len > 0 && !pat.neg) {
-      pat.prune_prefix.assign(reinterpret_cast<const char*>(prune_prefix),
-                              size_t(prefix_len));
-      pat.prune_exact = prune_exact != 0;
+    if (prune_lo && lo_len > 0 && !pat.neg) {
+      pat.prune_lo.assign(reinterpret_cast<const char*>(prune_lo),
+                          size_t(lo_len));
+      if (prune_hi && hi_len > 0)
+        pat.prune_hi.assign(reinterpret_cast<const char*>(prune_hi),
+                            size_t(hi_len));
     }
     size_t at = 0;
     for (int32_t i = 0; i < n_needles; i++) {

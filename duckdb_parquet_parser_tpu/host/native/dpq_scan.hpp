@@ -53,19 +53,16 @@ struct ColdPattern {
   // at the first deciding value (same surviving/pruned sets, ~2x faster on
   // match-heavy data); exact=true reproduces the device engine's counts.
   bool exact = true;
-  // Mandatory anchored literal prefix of the pattern (empty = none): every
-  // matching value must START with these bytes, so a page whose ColumnIndex
-  // [min, max] range cannot intersect [prefix, next_prefix) is skipped
-  // before any def/payload work (engine extension — the reference never
-  // reads the page-index region: src/reader/metadata.cpp:68-86).  The
-  // caller must leave this empty under negation (a no-match page SURVIVES
-  // a negated scan).
-  std::string prune_prefix;
-  // prune_prefix is the WHOLE pattern's literal (`^lit$`, no metachars):
-  // matching values equal it exactly, so the prune range tightens from
-  // [prefix, next_prefix) to the single point [P, P] — pages holding only
-  // P-prefixed LONGER values prune too.
-  bool prune_exact = false;
+  // Unified ColumnIndex prune range (ops/regex.anchored_prune_range):
+  // every matching value v satisfies prune_lo <= v and (prune_hi empty or
+  // v < prune_hi), so a page whose stored range cannot intersect it skips
+  // all def/payload work (engine extension — the reference never reads
+  // the page-index region: src/reader/metadata.cpp:68-86).  Covers literal
+  // prefixes [P, inc P), exact literals [L, L+"\0"), and class-extended
+  // prefixes [P+min_c, inc(P+max_c)).  The caller must leave prune_lo
+  // empty under negation (a no-match page SURVIVES a negated scan).
+  std::string prune_lo;
+  std::string prune_hi;  // empty = no upper bound
 
   bool use_chain() const { return !needles.empty(); }
   bool accept_empty() const {
@@ -576,7 +573,7 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
     // decoding definition levels.
     std::vector<uint8_t> prune;
     std::vector<int64_t> ci_null_counts;
-    if (!pat.prune_prefix.empty() && !pat.neg) {
+    if (!pat.prune_lo.empty() && !pat.neg) {
       std::vector<uint8_t> ci_null_pages;
       std::vector<std::string> ci_mins, ci_maxs;
       if (read_chunk_column_index(g.columns[size_t(lf.chunk_idx)],
@@ -586,24 +583,17 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
         if (ci_mins.size() != nk || ci_maxs.size() != nk)
           throw Error("ColumnIndex entry count does not match the chunk's "
                       "data pages");
-        const std::string& P = pat.prune_prefix;
-        // Q = successor bound: values starting with P are exactly [P, Q).
-        // All-0xFF prefixes have no finite successor (Q empty: only the
-        // max < P test applies).
-        std::string Q = P;
-        while (!Q.empty() && uint8_t(Q.back()) == 0xFF) Q.pop_back();
-        if (!Q.empty()) Q.back() = char(uint8_t(Q.back()) + 1);
+        // [LO, HI): sound under truncation (stored min is a LOWER bound,
+        // stored max an UPPER bound of the true extremes); empty HI means
+        // no finite upper bound (only the max < LO test applies)
+        const std::string& LO = pat.prune_lo;
+        const std::string& HI = pat.prune_hi;
         prune.assign(nk, 0);
         for (size_t k = 0; k < nk; k++) {
           if (k < ci_null_pages.size() && ci_null_pages[k])
             continue;  // all-null pages already skip matching (nn == 0)
-          if (pat.prune_exact) {
-            // equality range [P, P]: sound under truncation (stored min is
-            // a LOWER bound, stored max an UPPER bound of the true range)
-            if (ci_maxs[k] < P || ci_mins[k] > P) prune[k] = 1;
-          } else if (ci_maxs[k] < P || (!Q.empty() && ci_mins[k] >= Q)) {
+          if (ci_maxs[k] < LO || (!HI.empty() && ci_mins[k] >= HI))
             prune[k] = 1;
-          }
         }
         if (ci_null_counts.size() != nk) ci_null_counts.clear();
       }

@@ -456,8 +456,7 @@ def cold_scan(
     from ..host import bindings
     from ..host.schema import ParquetType
     from ..ops.regex import (
-        anchored_literal_prefix,
-        exact_literal,
+        anchored_prune_range,
         like_to_regex,
         substring_chain,
     )
@@ -474,23 +473,18 @@ def cold_scan(
     # prefix lets the native walk skip pages whose ColumnIndex [min, max]
     # range cannot hold a prefix-P value — before any decode.  Never sound
     # under negation (a no-match page SURVIVES a negated scan).
-    # Exact literals (`^lit$`, no metachars) prune as the EQUALITY range
-    # [P, P] — tighter than the prefix range, which keeps pages that hold
-    # only P-prefixed longer values.
-    prefix = None
-    prune_exact = False
+    # Unified prune range (ops/regex.anchored_prune_range): exact literals
+    # as [L, L+"\0"), class-extended prefixes as [P+min_c, inc(P+max_c)),
+    # plain literal prefixes as [P, inc(P)).
+    prange = None
     if not negate and not os.environ.get("DPQ_NO_PRUNE"):
-        lit = exact_literal(pat)
-        if lit is not None:
-            prefix, prune_exact = lit, True
-        else:
-            prefix = anchored_literal_prefix(pat)
+        prange = anchored_prune_range(pat)
     try:
         if chain:
             _dims, arrays = bindings.native_cold_scan(
                 reader._h, reader.find_column(column), 0, -1,
                 negate=negate, exact=exact_counts, needles=chain,
-                prune_prefix=prefix, prune_exact=prune_exact,
+                prune_range=prange,
             )
         else:
             try:
@@ -501,8 +495,7 @@ def cold_scan(
             _dims, arrays = bindings.native_cold_scan(
                 reader._h, reader.find_column(column), 0, -1,
                 negate=negate, exact=exact_counts, table=dfa.table,
-                accept=dfa.accept.astype(np.uint8), prune_prefix=prefix,
-                prune_exact=prune_exact,
+                accept=dfa.accept.astype(np.uint8), prune_range=prange,
             )
     except bindings.NativeError as e:
         if "unsupported value encoding" not in str(e):

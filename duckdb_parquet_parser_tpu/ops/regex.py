@@ -500,6 +500,73 @@ def exact_literal(pattern: str) -> bytes | None:
     return bytes(out) if out else None
 
 
+def _inc_last(b: bytes) -> bytes | None:
+    """Smallest upper bound of the set {strings starting with b} under the
+    byte-increment rule: pop trailing 0xFF bytes, bump the last byte.  None
+    when b is all-0xFF (no finite bound)."""
+    q = bytearray(b)
+    while q and q[-1] == 0xFF:
+        q.pop()
+    if not q:
+        return None
+    q[-1] += 1
+    return bytes(q)
+
+
+def anchored_prune_range(pattern: str) -> tuple[bytes, bytes | None] | None:
+    """Unified ColumnIndex prune range for an anchored pattern: every
+    matching value v satisfies lo <= v and (hi is None or v < hi), so a
+    page is UNMATCHABLE when its stored max < lo or stored min >= hi
+    (sound under the format's truncation bounds: stored min is a LOWER
+    bound, stored max an UPPER bound of the true extremes).
+
+    Cases, tightest first:
+      * `^lit$` exact literal        -> [lit, lit + b"\\x00")  (equality)
+      * `^P[c1-c2]...` class-extended -> [P + min_c, inc(P + max_c))
+        (the class char is MANDATORY: unquantified or '+'); '.' extends
+        with the full byte range (still tightens lo by one byte)
+      * `^P...` literal prefix        -> [P, inc(P))
+    None when the pattern is unanchored or yields no usable bound."""
+    lit = exact_literal(pattern)
+    if lit is not None:
+        return lit, lit + b"\x00"
+    if not pattern.startswith("^"):
+        return None
+    prefix = anchored_literal_prefix(pattern)
+    if prefix is None:
+        return None
+    # find where the literal collection stopped to peek the next atom
+    i, n = 1, len(pattern)
+    taken = 0
+    while i < n and taken < len(prefix):
+        if pattern[i] == "\\":
+            i += 2
+        else:
+            i += 1
+        taken += 1
+        # '+' after the final collected char ends collection there
+        if taken == len(prefix) and i < n and pattern[i] == "+":
+            return prefix, _inc_last(prefix)
+    cls: frozenset | None = None
+    if i < n and pattern[i] == "[":
+        try:
+            cls, j = parse_class_at(pattern, i + 1)
+        except Exception:
+            return prefix, _inc_last(prefix)
+        q = pattern[j] if j < n else ""
+        if q in ("*", "?", "{"):
+            cls = None  # the class char may vanish: no extension
+    elif i < n and pattern[i] == ".":
+        q = pattern[i + 1] if i + 1 < n else ""
+        if q not in ("*", "?", "{"):
+            cls = ANY
+    if cls:
+        lo = prefix + bytes([min(cls)])
+        hi = _inc_last(prefix + bytes([max(cls)]))
+        return lo, hi
+    return prefix, _inc_last(prefix)
+
+
 def like_to_regex(pattern: str) -> str:
     """SQL LIKE -> regex ('%' any run, '_' any byte), anchored both ends."""
     out = ["^"]

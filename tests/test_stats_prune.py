@@ -260,3 +260,71 @@ def test_exact_literal_soundness_matrix(tmp_path, pattern, kind):
             np.testing.assert_array_equal(
                 np.sort(r.pruned_pages()), np.sort(golden.pruned_pages())
             )
+
+
+# ── class-extended prune ranges (round 5, unified [lo, hi)) ─────────────────
+
+
+def test_anchored_prune_range():
+    from duckdb_parquet_parser_tpu.ops.regex import anchored_prune_range
+
+    cases = [
+        ("^abc", (b"abc", b"abd")),                    # plain prefix
+        ("^abc$", (b"abc", b"abc\x00")),               # exact literal
+        ("^user_00[0-4]", (b"user_000", b"user_005")),  # class-extended
+        ("^user_00[0-4]x", (b"user_000", b"user_005")),
+        ("^a[bc]+z", (b"ab", b"ad")),                  # '+' class mandatory
+        ("^a[bc]?z", (b"a", b"b")),                    # optional class: plain
+        ("^a[bc]*z", (b"a", b"b")),
+        ("^a.", (b"a\x00", b"b")),                     # '.' extends lo
+        ("^a.*z", (b"a", b"b")),                       # '.' optional: plain
+        ("^a+b", (b"a", b"b")),                        # '+' char: no peek
+        ("^x\xff[ab]", (b"x\xffa", b"x\xffc")),
+        ("abc", None),                                 # unanchored
+        ("^[ab]x", None),                              # class first: no prefix
+    ]
+    for pat, want in cases:
+        assert anchored_prune_range(pat) == want, pat
+
+
+def test_class_extended_prunes_more(tmp_path):
+    """`^user_000000[0-4]` must prune at least as much as its plain prefix
+    and stay bit-identical to the numpy golden."""
+    path = _sorted_file(tmp_path / "cls.parquet", rgs=2)
+    eng = ScanEngine(path)
+    r_cls = eng.cold_scan("k", "^user_000000[0-4]", exact_counts=True)
+    golden = eng.scan("k", "^user_000000[0-4]", engine="numpy")
+    np.testing.assert_array_equal(r_cls.page_gid, golden.page_gid)
+    np.testing.assert_array_equal(r_cls.match_counts, golden.match_counts)
+    np.testing.assert_array_equal(r_cls.value_counts, golden.value_counts)
+    assert int(golden.match_counts.sum()) == 5  # user_0000000..4
+    r_pre = eng.cold_scan("k", "^user_000000", exact_counts=True)
+    assert r_cls.stats_pruned_pages >= r_pre.stats_pruned_pages
+    assert r_cls.stats_pruned_pages > 0
+
+
+@pytest.mark.parametrize("pattern", [
+    "^user_001[0-9]",        # matching decade
+    "^user_[5-9]",           # upper half
+    "^zz[a-z]",              # above every value
+    "^user_0000000 tai[k-m]",  # class at the value tail
+    "^user_00[0-4][0-9]x",   # trailing literal after two classes
+])
+@pytest.mark.parametrize("kind", ["sorted", "shuffled", "nulls"])
+def test_class_prune_soundness_matrix(tmp_path, pattern, kind):
+    path = _sorted_file(
+        tmp_path / f"c{kind}.parquet", n=8000, rgs=2,
+        shuffle=(kind == "shuffled"), null_p=0.2 if kind == "nulls" else 0.0,
+    )
+    eng = ScanEngine(path)
+    golden = eng.scan("k", pattern, engine="numpy")
+    for exact in (True, False):
+        r = eng.cold_scan("k", pattern, exact_counts=exact)
+        np.testing.assert_array_equal(r.page_gid, golden.page_gid)
+        np.testing.assert_array_equal(r.value_counts, golden.value_counts)
+        if exact:
+            np.testing.assert_array_equal(r.match_counts, golden.match_counts)
+        else:
+            np.testing.assert_array_equal(
+                np.sort(r.pruned_pages()), np.sort(golden.pruned_pages())
+            )
