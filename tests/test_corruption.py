@@ -80,3 +80,42 @@ def test_targeted_corruption(tmp_path, base_file, region):
     except (NativeError, OSError, ValueError, KeyError, IndexError,
             TypeError, OverflowError, RuntimeError):
         pass
+
+
+@pytest.fixture(scope="module")
+def delta_file(tmp_path_factory):
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    base = np.cumsum(rng.integers(-5, 9, 3000)).astype(np.int64)
+    vals = [None if rng.random() < 0.1 else int(v) for v in base]
+    path = tmp_path_factory.mktemp("corrupt") / "delta.parquet"
+    pq.write_table(pa.table({"x": pa.array(vals, type=pa.int64())}), path,
+                   use_dictionary=False,
+                   column_encoding={"x": "DELTA_BINARY_PACKED"},
+                   data_page_version="2.0", data_page_size=700)
+    return path.read_bytes()
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_delta_byte_flips_never_crash(tmp_path, delta_file, seed):
+    """Byte flips on a DELTA_BINARY_PACKED file: the PS_DELTA_RAW structure
+    parse (round 5) and the host delta decoder must decode or raise
+    cleanly — never crash (strict-bounds cursors over untrusted input)."""
+    from duckdb_parquet_parser_tpu.ops.delta import read_delta_column
+
+    rng = np.random.default_rng(7000 + seed)
+    data = bytearray(delta_file)
+    for _ in range(int(rng.integers(1, 4))):
+        pos = int(rng.integers(0, len(data)))
+        data[pos] ^= int(rng.integers(1, 256))
+    path = tmp_path / f"d{seed}.parquet"
+    path.write_bytes(bytes(data))
+    try:
+        r = ParquetReader(str(path))
+        r.read_column("x")                       # host delta decode
+        read_delta_column(r, "x", engine="numpy")  # structure planes
+    except (NativeError, OSError, ValueError, KeyError, IndexError,
+            TypeError, OverflowError, RuntimeError) as e:
+        assert str(e)

@@ -125,6 +125,27 @@ b3 = r.prescan("s", flags=(bindings.PS_HOST_STRINGS | bindings.PS_STR_VIEWS
                            | bindings.PS_COLUMN | bindings.PS_RUNS_ONLY
                            | bindings.PS_COL_ONLY))
 assert int(b3.dims.get("col_mat", 0)) == 1
+
+# Round-5 native surfaces: the fused one-call index build (engine="native"
+# above already routes through it), PS_DELTA_RAW structure planes, the
+# dict-miss short-circuit, and the unified prune range
+if pa is not None:
+    base = np.cumsum(rng.integers(-5, 9, 4000)).astype(np.int64)
+    dv = [None if rng.random() < 0.1 else int(v) for v in base]
+    pq.write_table(pa.table({"x": pa.array(dv, type=pa.int64())}),
+                   "/tmp/dpq_asan_delta.parquet", use_dictionary=False,
+                   column_encoding={"x": "DELTA_BINARY_PACKED"},
+                   data_page_version="2.0", data_page_size=700)
+    rdq = ParquetReader("/tmp/dpq_asan_delta.parquet")
+    from duckdb_parquet_parser_tpu.ops.delta import read_delta_column
+    dc = read_delta_column(rdq, "x", engine="numpy")
+    hc = rdq.read_column("x")
+    assert np.array_equal(np.asarray(dc.valid), np.asarray(hc.valid))
+    assert np.array_equal(np.asarray(dc.values), np.asarray(hc.values))
+res5 = cold_scan(r, "s", "zzz_nothing_matches")   # all-miss dictionaries
+assert int(res5.match_counts.sum()) == 0
+res6 = cold_scan(r, "s", "^alp[a-z]a$", exact_counts=True)  # class range
+assert len(res6.page_gid) == len(res.page_gid)
 print("ASAN_LANE_OK")
 """
 
