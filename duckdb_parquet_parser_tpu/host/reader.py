@@ -196,6 +196,18 @@ class DecodedColumn:
                 out.append(v.item() if isinstance(v, np.generic) else v)
         return out
 
+    def to_arrow(self):
+        """pyarrow.Array bridge (interop convenience; pyarrow required at
+        call time only).  Fixed-width columns go zero-copy-ish from their
+        numpy planes with the validity as the null mask; BYTE_ARRAY and
+        INT96 fall back to the python values (binary / 12-byte blobs)."""
+        import pyarrow as pa
+
+        mask = ~np.asarray(self.valid, bool)
+        if isinstance(self.values, np.ndarray) and self.values.dtype != object:
+            return pa.array(self.values, mask=mask)
+        return pa.array(self.to_pylist(), type=pa.binary())
+
     def to_strings(self) -> list[str]:
         """Reference `Value::to_string()` formatting, for oracle diffs
         (NULL, true/false, repr of ints, %f floats, raw strings)."""

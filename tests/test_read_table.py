@@ -94,3 +94,31 @@ def test_single_leaf_list_shapes(tmp_path):
     tab = ParquetReader(str(path)).read_table()
     for f in t.column_names:
         assert tab[f].to_pylist() == t.column(f).to_pylist(), f
+
+
+def test_to_arrow_bridge(tmp_path):
+    """DecodedColumn.to_arrow(): fixed-width columns keep dtype + nulls;
+    BYTE_ARRAY becomes binary — round-trips through pyarrow equality."""
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(19)
+    n = 700
+    tbl = pa.table({
+        "i": pa.array([None if rng.random() < 0.2 else int(v)
+                       for v in rng.integers(-10**9, 10**9, n)],
+                      type=pa.int64()),
+        "f": pa.array([None if rng.random() < 0.2 else float(v)
+                       for v in rng.standard_normal(n)], type=pa.float64()),
+        "b": pa.array([None if rng.random() < 0.2 else bool(v)
+                       for v in rng.integers(0, 2, n)], type=pa.bool_()),
+        "s": pa.array([None if rng.random() < 0.2 else b"v%d" % (v % 37)
+                       for v in rng.integers(0, 10**6, n)],
+                      type=pa.binary()),
+    })
+    path = tmp_path / "arrow.parquet"
+    pq.write_table(tbl, path, data_page_size=600)
+    r = ParquetReader(str(path))
+    for name in ("i", "f", "b", "s"):
+        arr = r.read_column(name).to_arrow()
+        assert arr.to_pylist() == tbl.column(name).to_pylist(), name
