@@ -673,10 +673,9 @@ inline std::unique_ptr<ArrayStore> Reader::cold_scan(
     }();
     // env reads hoisted out of the page loop (getenv is a linear environ
     // scan — per-page calls cost real milliseconds at ~78k pages)
-    const size_t K_n = pat.needles.size();
     const bool env_multi_masks = [&] {
       const char* e = std::getenv("DPQ_COLD_SWEEP");
-      return K_n > 1 && e && e[0] == 'm';
+      return K > 1 && e && e[0] == 'm';
     }();
     const bool env_seg_mode = [&] {
       const char* e = std::getenv("DPQ_COLD_SEG");
