@@ -245,7 +245,10 @@ inline std::unique_ptr<ArrayStore> Reader::index_build(
         vp = cur.bytes(size_t(vlen));
         std::vector<Run> iruns;
         rle_prescan(vp, size_t(vlen), idx_bw, nn, iruns);
-        idx_scratch.assign(size_t(std::max<int64_t>(nn, 0)), -1);
+        // zero-fill on exhaustion: a short index section leaves trailing
+        // ranks at index 0, matching the reference RleDecoder quirk (and
+        // the prescan emission path) — NOT dropped
+        idx_scratch.assign(size_t(std::max<int64_t>(nn, 0)), 0);
         expand_runs_to(iruns, vp, size_t(vlen), idx_bw,
                        [&](int32_t v, int32_t val) {
                          if (v >= 0 && v < nn) idx_scratch[size_t(v)] = val;

@@ -122,3 +122,50 @@ def test_null_rows_keep_zero(tmp_path, rng):
     idx = build_index_for_column(r, "s")
     decoded = r.read_column("s")
     assert np.all(idx.tuple_to_chunk[~decoded.valid] == 0)
+
+
+def test_fused_build_zero_fills_on_short_index_section(tmp_path):
+    """A dictionary page whose index runs cover FEWER ranks than the value
+    count: trailing ranks decode as index 0 (the reference RleDecoder
+    zero-fills on exhaustion — quirk pinned in test_decode) and must EMIT,
+    not drop.  All three engines must agree on the corrupted file."""
+    from duckdb_parquet_parser_tpu.host.schema import ParquetType
+    from duckdb_parquet_parser_tpu.host.writer import ColumnSpec, ParquetWriter
+    import struct
+
+    path = str(tmp_path / "short_idx.parquet")
+    w = ParquetWriter(path, [ColumnSpec("s", ParquetType.BYTE_ARRAY,
+                                        optional=True)],
+                      key_value={"pad": "x" * 512})
+    uniq = [b"aaaa", b"bbbb", b"cccc", b"dddd", b"eeee"]
+    vals = [u for u in uniq for _ in range(40)]  # 5 RLE runs of 40
+    w.write_row_group({"s": vals})
+    w.close()
+
+    r = ParquetReader(path)
+    batch = r.prescan("s", pad_strings=8)
+    assert int(batch.arrays["page_kind"][0]) == 1
+    bw = int(batch.arrays["page_idx_bw"][0])
+    e = r.page_index_entry(int(batch.arrays["page_gid"][0]))
+    raw = bytearray(open(path, "rb").read())
+    off = e.data_offset
+    def_len = struct.unpack_from("<I", raw, off)[0]
+    idx_at = off + 4 + def_len
+    assert raw[idx_at] == bw
+    hdr_at = idx_at + 1
+    assert raw[hdr_at] == (40 << 1)  # first RLE run: count 40
+    raw[hdr_at] = 8 << 1             # shrink to 8 -> 32 trailing ranks short
+    cpath = str(tmp_path / "short_idx_corrupt.parquet")
+    open(cpath, "wb").write(bytes(raw))
+
+    rc = ParquetReader(cpath)
+    a = build_index_for_column(rc, "s", 700, engine="numpy")
+    b = build_index_for_column(rc, "s", 700, engine="native")
+    c = build_index_for_column(rc, "s", 700, engine="emission")
+    for other in (b, c):
+        for f in ("positions", "lens", "chunk_of_entry", "tuple_to_chunk",
+                  "chunk_starts"):
+            np.testing.assert_array_equal(getattr(a, f), getattr(other, f),
+                                          err_msg=f)
+    # the zero-filled tail really emits "aaaa" lengths (index 0)
+    assert int(a.lens.min()) == 4 and len(a.positions) == 200
