@@ -1,1 +1,1 @@
-__version__ = "0.1.0"
+__version__ = "0.5.0"  # round 5
