@@ -136,6 +136,24 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Total chunks: {idx.num_chunks}")
         return 0
 
+    if argv and argv[0] == "column":
+        # reference-dump parity: one Value::to_string() line per row
+        # (NULL / true/false / ints / %f doubles / raw strings) — diffable
+        # directly against the reference binary's `column` mode
+        ap = argparse.ArgumentParser(prog="dpq-tpu column")
+        ap.add_argument("file")
+        ap.add_argument("column")
+        ap.add_argument("--row-group", type=int, default=None)
+        args = ap.parse_args(argv[1:])
+        reader = ParquetReader()
+        if not reader.open(args.file):
+            print(f"error: cannot open {args.file}", file=sys.stderr)
+            return 1
+        col = reader.read_column(args.column, args.row_group)
+        out = col.to_strings()
+        sys.stdout.write("\n".join(out) + ("\n" if out else ""))
+        return 0
+
     if argv and argv[0] == "table":
         # one-call whole-file read with per-shape reconstruction (generic
         # Dremel assembly for nested fields — engine extension)

@@ -244,3 +244,17 @@ def test_int96_parity(tmp_path, oracle, rng):
     w.close()
     r2 = ParquetReader(path2)
     assert r2.read_column("ts").to_strings() == oracle(path2, "column", "ts").splitlines()
+
+
+def test_cli_column_matches_oracle(mixed_path, oracle, capsys):
+    """`python -m ...cli column <file> <col>` prints exactly the reference
+    dump binary's `column` mode output (Value::to_string lines)."""
+    from duckdb_parquet_parser_tpu.cli import main
+
+    r = ParquetReader(mixed_path)
+    for col in [c["name"] for c in r._meta["columns"]]:
+        rc = main(["column", mixed_path, col])
+        assert rc == 0
+        got = capsys.readouterr().out.splitlines()
+        want = oracle(mixed_path, "column", col).splitlines()
+        assert got == want, col
